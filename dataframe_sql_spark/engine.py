@@ -1,0 +1,105 @@
+"""Public engine API — Spark-native counterpart of the reference's
+3-function surface (/root/reference/dataframe_sql/__init__.py:2 exports
+``query``, ``register_temp_table``, ``remove_temp_table``;
+implementations at sql_select_query.py:15-96).
+
+Where the reference wraps sql_to_ibis + the ibis pandas backend, this
+engine wraps the dialect shim + ``spark.sql`` and lets Catalyst do all
+planning/optimization/execution. Queries return *lazy*
+``pyspark.sql.DataFrame``s (the scalable contract); ``query_pandas``
+gives the reference's eager-materialization convenience.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dialect.shim import translate
+from .session import get_spark
+
+__all__ = [
+    "SparkSqlEngine",
+    "query",
+    "register_temp_table",
+    "remove_temp_table",
+]
+
+
+class SparkSqlEngine:
+    """register/remove/query over a Spark session catalog.
+
+    The reference keeps a module-global name→table catalog
+    (sql_select_query.py:12, :36-39); here the Spark session catalog
+    (temp views) plays that role, which is what makes the same API
+    work unchanged on a multi-node cluster.
+    """
+
+    def __init__(self, spark: SparkSession | None = None) -> None:
+        self.spark = spark or get_spark()
+
+    # -- catalog ----------------------------------------------------------
+    def register_temp_table(self, frame: Any, table_name: str) -> None:
+        """Register a Spark DataFrame (or pandas DataFrame, converted
+        via Arrow) under ``table_name``. Mirrors sql_select_query.py:15-39."""
+        if not isinstance(frame, DataFrame):
+            frame = self.spark.createDataFrame(frame)
+        frame.createOrReplaceTempView(table_name)
+
+    def remove_temp_table(self, table_name: str) -> None:
+        """Drop a registered table. Mirrors sql_select_query.py:42-61
+        (raises if the table was never registered)."""
+        if not self.spark.catalog.dropTempView(table_name):
+            raise KeyError(f"Table {table_name} is not registered")
+
+    def register_parquet_dir(self, sf_dir: str, tables: list[str] | None = None) -> None:
+        """Register every parquet table in a testdata dir as a view."""
+        from .sources.io import TESTDATA_TABLES, read_table
+
+        for name in tables or TESTDATA_TABLES:
+            self.register_temp_table(read_table(self.spark, sf_dir, name), name)
+
+    # -- query ------------------------------------------------------------
+    def translate(self, sql: str) -> str:
+        """Dialect shim output for ``sql`` (exposed for inspection)."""
+        return translate(sql, schema_lookup=self._schema_lookup)
+
+    def query(self, sql: str) -> DataFrame:
+        """Parse + plan one SELECT statement; returns a lazy DataFrame.
+
+        Reference contract: sql_select_query.py:64-96 (its grammar at
+        :69-81 is a strict subset of what Spark SQL accepts after the
+        shim's rewrites)."""
+        return self.spark.sql(self.translate(sql))
+
+    def query_pandas(self, sql: str):
+        """Eager variant matching the reference's materialized-return
+        behavior (sql_select_query.py:96). Arrow-accelerated."""
+        return self.query(sql).toPandas()
+
+    def _schema_lookup(self, table_name: str) -> list[str]:
+        return self.spark.table(table_name).columns
+
+
+# -- module-level convenience API (drop-in for the reference import style) --
+_DEFAULT: SparkSqlEngine | None = None
+
+
+def _default() -> SparkSqlEngine:
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = SparkSqlEngine()
+    return _DEFAULT
+
+
+def register_temp_table(frame: Any, table_name: str) -> None:
+    _default().register_temp_table(frame, table_name)
+
+
+def remove_temp_table(table_name: str) -> None:
+    _default().remove_temp_table(table_name)
+
+
+def query(sql: str) -> DataFrame:
+    return _default().query(sql)

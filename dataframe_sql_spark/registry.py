@@ -1,0 +1,460 @@
+"""Query catalog: one entry per operator from SURVEY.md §2.
+
+Each entry pairs
+  - an *engine* query — reference-dialect SQL executed through
+    :class:`SparkSqlEngine` (exercising the dialect shim + Catalyst),
+    or a DataFrame-API callable for non-SQL operators — with
+  - a DuckDB *oracle* — ANSI SQL over the same parquet tables —
+and the driver hash-compares the two at sf0.01 (see __spark_entry__.py).
+
+Determinism conventions (so value-hashes match across engines):
+  - Non-integral double sums go through DECIMAL(18,2) then back to
+    DOUBLE: exact arithmetic in both engines, identical bits out.
+    (Integral-valued doubles like l_quantity sum exactly in binary
+    floating point already.)
+  - Averages are written sum/count with the same decimal trick.
+  - Every ORDER BY ... LIMIT carries a unique-key tiebreak.
+  - Column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .engine import SparkSqlEngine
+
+__all__ = ["QuerySpec", "CATALOG", "spark_queries", "oracle_sqls", "engine_for"]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    engine_sql: str | None = None  # reference-dialect SQL via SparkSqlEngine
+    oracle: str | None = None  # DuckDB ANSI SQL (None → rows-only check)
+    fn: Callable[[SparkSession, str], DataFrame] | None = None  # DataFrame-API impl
+    doc: str = ""
+
+
+# --------------------------------------------------------------------------
+# per-session view registration
+# --------------------------------------------------------------------------
+
+_REGISTERED: dict[int, str] = {}  # session id → sf_dir currently registered
+_ENGINES: dict[int, SparkSqlEngine] = {}
+
+
+def engine_for(spark: SparkSession, sf_dir: str) -> SparkSqlEngine:
+    key = id(spark)
+    if _ENGINES.get(key) is None:
+        _ENGINES[key] = SparkSqlEngine(spark)
+    if _REGISTERED.get(key) != sf_dir:
+        _ENGINES[key].register_parquet_dir(sf_dir)
+        _REGISTERED[key] = sf_dir
+    return _ENGINES[key]
+
+
+# --------------------------------------------------------------------------
+# SQL snippet helpers (identical text is valid in both dialects)
+# --------------------------------------------------------------------------
+
+
+def dsum(col: str, alias: str) -> str:
+    """Exact double sum via decimal: identical bits in Spark & DuckDB."""
+    return f"cast(sum(cast({col} as decimal(18,2))) as double) as {alias}"
+
+
+def davg(col: str, alias: str) -> str:
+    return f"cast(sum(cast({col} as decimal(18,2))) as double) / count({col}) as {alias}"
+
+
+# --------------------------------------------------------------------------
+# catalog
+# --------------------------------------------------------------------------
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _sql(name: str, engine_sql: str, oracle: str | None = None, doc: str = "") -> None:
+    CATALOG[name] = QuerySpec(engine_sql=engine_sql, oracle=oracle or engine_sql, doc=doc)
+
+
+# --- §2.2 projection / filter / scalar expressions ------------------------
+
+_sql(
+    "p_select_star",
+    "select * from nation",
+    doc="P1 select-star passthrough (ref tests :33-40)",
+)
+_sql(
+    "p_project_alias",
+    "select l_orderkey, l_linenumber, l_extendedprice as price, "
+    "l_extendedprice as price2, l_quantity from lineitem",
+    doc="P2/P3 projection, AS alias, multiple aliases of one column (:53-62, :1040-1058)",
+)
+_sql(
+    "p_autonaming",
+    "select avg(l_quantity), sum(l_quantity), count(*) from lineitem",
+    oracle="SELECT avg(l_quantity) AS _col0, sum(l_quantity) AS _col1, count(*) AS _col2 "
+    "FROM lineitem",
+    doc="P4 unnamed expressions become _colN by position (:206-213, :262-279)",
+)
+_sql(
+    "p_arith",
+    "select l_orderkey, l_linenumber, "
+    "l_quantity * l_extendedprice + l_tax / 2 - 1 as m, "
+    "1 + 2 * 3 as lit, (l_quantity + 1) * 2 as paren from lineitem",
+    doc="P5 arithmetic precedence + parentheses (:97-105, :418-431, :1114-1147)",
+)
+_sql(
+    "p_string_literal",
+    "select n_name, 'yes' as flag from nation",
+    doc="P6 string literal column (:970-982)",
+)
+_sql(
+    "p_cast",
+    "select cast(l_quantity as int64) as q_int, cast(l_orderkey as object) as o_str, "
+    "cast(l_linenumber as float64) as ln_f, cast(l_quantity as int16) as q_small, "
+    "cast('1995-03-15' as datetime64) as d from lineitem",
+    oracle="SELECT CAST(l_quantity AS BIGINT) AS q_int, CAST(l_orderkey AS VARCHAR) AS o_str, "
+    "CAST(l_linenumber AS DOUBLE) AS ln_f, CAST(l_quantity AS SMALLINT) AS q_small, "
+    "CAST('1995-03-15' AS TIMESTAMP) AS d FROM lineitem",
+    doc="P7 pandas type vocabulary in CAST (:65-94, :1062-1111); D4 date literal cast (:985-997)",
+)
+_sql(
+    "p_filter_predicates",
+    "select l_orderkey, l_linenumber, l_quantity, l_discount from lineitem "
+    "where (l_returnflag = 'R' and l_quantity > 30) "
+    "or (l_discount <= 0.02 and l_tax != 0.0 and l_quantity >= 48) "
+    "or l_quantity < 2",
+    doc="P8-P10 comparison + boolean predicates with parens (:301-332, :1150-1167)",
+)
+_sql(
+    "p_between_in",
+    "select o_orderkey, o_totalprice from orders "
+    "where o_totalprice between 1000 and 100000 "
+    "and o_orderpriority in ('1-URGENT', '2-HIGH') "
+    "and o_orderstatus not in ('X', 'Y')",
+    doc="P11 BETWEEN (:641-656), P12 IN/NOT IN (:659-705)",
+)
+_sql(
+    "p_case",
+    "select l_orderkey, l_linenumber, "
+    "case when l_quantity > 30 then 'big' when l_quantity = 30 then 'mid' "
+    "else 'small' end as bucket, "
+    "case when l_quantity > 30 then l_quantity else l_discount end as colval "
+    "from lineitem",
+    doc="P13 CASE WHEN first-match-wins, literal + column branches (:708-769, :1022-1037)",
+)
+_sql(
+    "p_distinct",
+    "select distinct l_returnflag, l_linestatus from lineitem",
+    doc="P14 DISTINCT projection (:108-118)",
+)
+
+# --- §2.3 date/time -------------------------------------------------------
+
+_sql(
+    "d_timestamp_fn",
+    "select o_orderkey, timestamp('1995-03-15', '10:30:00') as ts0 from orders "
+    "where o_orderdate > cast('1995-06-01' as datetime64)",
+    oracle="SELECT o_orderkey, TIMESTAMP '1995-03-15 10:30:00' AS ts0 FROM orders "
+    "WHERE o_orderdate > CAST('1995-06-01' AS TIMESTAMP)",
+    doc="D3 timestamp(date,time) builder (:1008,:1014); D4 cast datetime64 (:985-997). "
+    "now()/today() (D1/D2) are wall-clock-dependent → covered in tests/, not oracled.",
+)
+
+# --- §2.4 joins -----------------------------------------------------------
+
+_sql(
+    "j_inner",
+    "select o_orderpriority, count(*) as c from lineitem "
+    "join orders on l_orderkey = o_orderkey group by o_orderpriority",
+    doc="J1 bare join ≡ inner (utils:93-105); qualified/bare ON columns (:131-167)",
+)
+_sql(
+    "j_left",
+    "select c_custkey, c_name, o_orderkey from customer "
+    "left join (select * from orders where o_totalprice > 150000) big_orders "
+    "on c_custkey = o_custkey",
+    doc="J2 left outer join, null-extension verified (utils:99-100)",
+)
+_sql(
+    "j_right",
+    "select o_orderkey, c_custkey from "
+    "(select * from orders where o_totalprice > 150000) big_orders "
+    "right outer join customer on c_custkey = o_custkey",
+    doc="J3 right outer join (utils:101-102)",
+)
+_sql(
+    "j_full",
+    "select c_custkey, s_suppkey from customer "
+    "full outer join supplier on c_nationkey = s_nationkey",
+    doc="J4 full outer join (utils:97-98)",
+)
+_sql(
+    "j_cross",
+    "select r_name, n_name from region cross join nation",
+    doc="J5 explicit CROSS JOIN (:170-186)",
+)
+_sql(
+    "j_comma_implicit",
+    "select r_name, n_name from region, nation where r_regionkey = n_regionkey",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation "
+    "WHERE r_regionkey = n_regionkey",
+    doc="J6 implicit comma-FROM cross join (:434-453); shim rewrites to CROSS JOIN",
+)
+_sql(
+    "j_self_alias",
+    "select t1.n_name as n1, t2.n_name as n2 from nation t1, nation t2 "
+    "where t1.n_regionkey = t2.n_regionkey and t1.n_nationkey < t2.n_nationkey",
+    oracle="SELECT t1.n_name AS n1, t2.n_name AS n2 FROM nation t1 CROSS JOIN nation t2 "
+    "WHERE t1.n_regionkey = t2.n_regionkey AND t1.n_nationkey < t2.n_nationkey",
+    doc="J7 self cross join with table aliases — xfail in reference (:456-484), native here",
+)
+
+# --- §2.5 aggregation -----------------------------------------------------
+
+_sql(
+    "a_global",
+    "select min(l_quantity) as min_q, max(l_quantity) as max_q, "
+    "sum(l_quantity) as sum_q, count(l_quantity) as cnt_q, count(*) as cnt, "
+    f"{dsum('l_extendedprice', 'sum_price')}, {davg('l_discount', 'avg_disc')} "
+    "from lineitem",
+    doc="A1-A6 global aggregates, several in one SELECT (:201-279, :1170-1193)",
+)
+_sql(
+    "a_groupby_bare",
+    "select l_returnflag, l_linestatus from lineitem "
+    "group by l_returnflag, l_linestatus",
+    doc="A7 bare GROUP BY acts as DISTINCT (:189-198)",
+)
+_sql(
+    "a_groupby_having",
+    "select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty, "
+    f"{dsum('l_extendedprice', 'sum_price')}, count(*) as cnt "
+    "from lineitem group by l_returnflag, l_linestatus "
+    "having sum(l_quantity) > 100",
+    doc="A8 GROUP BY + aggregates (:282-298); A9 HAVING (:401-415)",
+)
+_sql(
+    "a_having_no_groupby",
+    "select sum(l_quantity) as s from lineitem having sum(l_quantity) > 0",
+    doc="A10 HAVING without GROUP BY — xfail in reference (:361-398), native in Spark",
+)
+_sql(
+    "a_count_distinct",
+    "select count(distinct l_orderkey) as d_orders, "
+    "count(distinct l_returnflag) as d_flags from lineitem",
+    doc="A11 distinct aggregates (extension beyond reference)",
+)
+_sql(
+    "a_rollup",
+    "select l_returnflag, l_linestatus, sum(l_quantity) as sq from lineitem "
+    "group by rollup(l_returnflag, l_linestatus)",
+    doc="A11 ROLLUP (extension)",
+)
+_sql(
+    "a_cube",
+    "select l_returnflag, l_linestatus, count(*) as c from lineitem "
+    "group by cube(l_returnflag, l_linestatus)",
+    doc="A11 CUBE (extension)",
+)
+_sql(
+    "a_grouping_sets",
+    "select l_returnflag, l_linestatus, sum(l_quantity) as sq from lineitem "
+    "group by grouping sets ((l_returnflag), (l_linestatus))",
+    doc="A11 GROUPING SETS (extension)",
+)
+
+# --- §2.6 window functions ------------------------------------------------
+
+_sql(
+    "w_rank",
+    "select l_orderkey, l_linenumber, l_quantity, "
+    "rank() over (order by l_quantity desc) as rnk from lineitem",
+    doc="W1 rank over order by (:772-786) — xfail in reference, native here",
+)
+_sql(
+    "w_rank_multi",
+    "select l_orderkey, l_linenumber, "
+    "rank() over (order by l_quantity desc, l_extendedprice asc, l_orderkey) as rnk "
+    "from lineitem",
+    doc="W2 multi-key ordered rank (:789-825)",
+)
+_sql(
+    "w_dense_rank",
+    "select l_orderkey, l_linenumber, "
+    "dense_rank() over (order by l_quantity desc) as drnk from lineitem",
+    doc="W3 dense_rank (:828-863)",
+)
+_sql(
+    "w_rank_partition",
+    "select l_orderkey, l_linenumber, l_returnflag, "
+    "rank() over (partition by l_returnflag order by l_quantity desc) as rnk, "
+    "dense_rank() over (partition by l_returnflag order by l_quantity desc) as drnk "
+    "from lineitem",
+    doc="W4/W5 partitioned (dense_)rank (:866-967)",
+)
+_sql(
+    "w_frames",
+    "select l_orderkey, l_linenumber, "
+    "sum(l_quantity) over (partition by l_orderkey order by l_linenumber "
+    "rows between unbounded preceding and current row) as running_qty "
+    "from lineitem",
+    doc="W6 frame specs (extension; absent from reference)",
+)
+_sql(
+    "w_lag_lead",
+    "select l_orderkey, l_linenumber, "
+    "lag(l_quantity) over (partition by l_orderkey order by l_linenumber) as prev_q, "
+    "lead(l_quantity) over (partition by l_orderkey order by l_linenumber) as next_q, "
+    "row_number() over (partition by l_orderkey order by l_linenumber) as rn "
+    "from lineitem",
+    doc="W6 lag/lead/row_number (extension)",
+)
+
+# --- §2.7 sort / limit ----------------------------------------------------
+
+_sql(
+    "o_orderby_limit",
+    "select l_orderkey, l_linenumber, l_extendedprice from lineitem "
+    "order by l_extendedprice desc, l_orderkey asc, l_linenumber limit 10",
+    doc="O1-O3 multi-key ORDER BY + LIMIT top-k (:335-358, :537-540); "
+    "unique-key tiebreak keeps the result set deterministic",
+)
+_sql(
+    "o_limit_offset",
+    "select o_orderkey, o_totalprice from orders "
+    "order by o_totalprice desc, o_orderkey limit 20 offset 10",
+    doc="O4 LIMIT/OFFSET (grammar sql_select_query.py:78)",
+)
+_sql(
+    "o_orderby_ordinal",
+    "select o_orderpriority, count(*) as c from orders "
+    "group by o_orderpriority order by 2 desc, 1",
+    doc="O5 positional ORDER BY (grammar :76-77)",
+)
+
+# --- §2.8 set operations --------------------------------------------------
+
+_SET_LEFT = "select l_orderkey as k from lineitem where l_quantity > 49"
+_SET_RIGHT = "select o_orderkey as k from orders where o_totalprice > 300000"
+_sql(
+    "u_union",
+    f"{_SET_LEFT} union {_SET_RIGHT}",
+    doc="U1 UNION dedups (:529-548)",
+)
+_sql(
+    "u_union_all",
+    f"{_SET_LEFT} union all {_SET_RIGHT}",
+    doc="U2 UNION ALL keeps duplicates (:551-566)",
+)
+_sql(
+    "u_intersect",
+    f"{_SET_LEFT} intersect {_SET_RIGHT}",
+    doc="U3 INTERSECT DISTINCT (:569-587)",
+)
+_sql(
+    "u_except",
+    f"{_SET_LEFT} except {_SET_RIGHT}",
+    doc="U4 EXCEPT — ANSI left-minus-right; the reference's own oracle computes "
+    "symmetric difference (:602-614), a documented divergence (SURVEY §2.8 note)",
+)
+_sql(
+    "u_intersect_all",
+    f"{_SET_LEFT} intersect all {_SET_RIGHT}",
+    doc="U6 INTERSECT ALL (grammar :79-80)",
+)
+_sql(
+    "u_except_all",
+    f"{_SET_LEFT} except all {_SET_RIGHT}",
+    doc="U5 EXCEPT ALL, ANSI semantics (:617-638 divergence documented)",
+)
+
+# --- §2.9 subqueries / composition ---------------------------------------
+
+_sql(
+    "q_subquery_nested",
+    "select k, cnt from (select l_orderkey as k, count(*) as cnt from "
+    "(select * from lineitem where l_quantity > 20) big group by l_orderkey) g "
+    "where cnt > 3",
+    doc="Q1/Q2 derived tables, 2 levels (:121-128, :497-508)",
+)
+_sql(
+    "q_cte",
+    "with big as (select * from orders where o_totalprice > 200000) "
+    "select o_orderpriority, count(*) as c from big group by o_orderpriority",
+    doc="Q3 CTE (extension; absent from reference grammar)",
+)
+_sql(
+    "q_scalar_subquery",
+    "select o_orderkey, o_totalprice from orders "
+    "where o_totalprice > 2 * (select avg(o_totalprice) from orders)",
+    doc="Q3 scalar subquery (extension)",
+)
+_sql(
+    "q_in_subquery",
+    "select c_custkey from customer where c_custkey in "
+    "(select o_custkey from orders where o_totalprice > 300000)",
+    doc="Q3 IN-subquery (extension)",
+)
+_sql(
+    "q_exists_correlated",
+    "select c_custkey from customer where exists "
+    "(select 1 from orders where o_custkey = c_custkey and o_totalprice > 300000)",
+    doc="Q3 correlated EXISTS (extension); Catalyst decorrelates to a semi-join",
+)
+
+# --- headline TPC-H-shaped queries (multi-operator integration) -----------
+
+_sql(
+    "tpch_q1_pricing",
+    "select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty, "
+    f"{dsum('l_extendedprice', 'sum_base_price')}, "
+    "count(*) as count_order from lineitem "
+    "where l_shipdate <= cast('1998-09-02' as datetime64) "
+    "group by l_returnflag, l_linestatus "
+    "order by l_returnflag, l_linestatus",
+    oracle="SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+    "cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price, "
+    "count(*) AS count_order FROM lineitem "
+    "WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP) "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    doc="TPC-H Q1 shape: scan-filter-agg-sort integration",
+)
+_sql(
+    "tpch_q5_revenue",
+    "select n_name, "
+    "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) "
+    "as revenue "
+    "from customer join orders on c_custkey = o_custkey "
+    "join lineitem on l_orderkey = o_orderkey "
+    "join nation on c_nationkey = n_nationkey "
+    "group by n_name",
+    doc="TPC-H Q5 shape: 4-way join + grouped revenue; nation/region broadcast at scale",
+)
+
+
+# --------------------------------------------------------------------------
+# exports for __spark_entry__.py
+# --------------------------------------------------------------------------
+
+
+def _make_runner(spec: QuerySpec) -> Callable[[SparkSession, str], DataFrame]:
+    if spec.fn is not None:
+        return spec.fn
+
+    def run(spark: SparkSession, sf_dir: str, _sql: str = spec.engine_sql) -> DataFrame:
+        return engine_for(spark, sf_dir).query(_sql)
+
+    return run
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _make_runner(spec) for name, spec in CATALOG.items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle is not None}

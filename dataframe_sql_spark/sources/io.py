@@ -1,0 +1,69 @@
+"""Sources/sinks (SURVEY.md §2.1).
+
+The reference ingests via ``pandas.read_csv`` at registration time
+(/root/reference/dataframe_sql/tests/utils.py:15-19) and has no file
+sinks. Here every reader returns a lazy DataFrame whose scan supports
+predicate pushdown + column pruning (parquet/csv data sources), and
+writers are thin wrappers that keep partitioning explicit — both are
+what make the same call scale to 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+__all__ = ["TESTDATA_TABLES", "read_table", "read_csv", "read_json", "write_parquet"]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table (TESTDATA.md layout).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as
+    a nanosecond long under ``spark.sql.legacy.parquet.nanosAsLong``;
+    convert to a microsecond timestamp with a JVM-side expression
+    (truncation matches DuckDB's internal microsecond precision).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    """CSV with header+inference by default — mirrors the reference's
+    ``read_csv`` ingestion semantics (utils.py:15-19)."""
+    opts = {"header": "true", "inferSchema": "true", **options}
+    return spark.read.options(**opts).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` low-cardinality columns (e.g.
+    date) so downstream scans get partition pruning at scale."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

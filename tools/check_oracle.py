@@ -1,0 +1,101 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB at the given sf dir, then compares row count, column names, and
+an order-insensitive value multiset (strings, with float rounding to
+absorb last-ulp formatting differences — stricter than needed, the
+driver hashes; any mismatch here is a real risk there).
+
+Usage: python tools/check_oracle.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from dataframe_sql_spark.session import get_spark  # noqa: E402
+from dataframe_sql_spark.sources.io import TESTDATA_TABLES  # noqa: E402
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    return str(v)
+
+
+def multiset(rows: list[tuple], col_order: list[int]) -> Counter:
+    return Counter(tuple(norm_cell(r[i]) for i in col_order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    name_filter = sys.argv[2:]
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_rows = sdf.collect()
+            spark_cols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, no oracle)")
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            duck_cols = [d[0] for d in rel.description]
+            duck_rows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        problems = []
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
+            problems.append(f"columns spark={spark_cols} duck={duck_cols}")
+        else:
+            s_order = [i for _, i in sorted((c.lower(), i) for i, c in enumerate(spark_cols))]
+            d_order = [i for _, i in sorted((c.lower(), i) for i, c in enumerate(duck_cols))]
+            ms, md = multiset(spark_rows, s_order), multiset(duck_rows, d_order)
+            if ms != md:
+                diff = list((ms - md).items())[:3] + list((md - ms).items())[:3]
+                problems.append(f"values differ; sample diff: {diff}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(spark_rows)} rows)")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
