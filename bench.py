@@ -1,0 +1,96 @@
+"""Benchmark harness (driver contract).
+
+Runs the BASELINE.md query set on the engine at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1), local[$SPARK_GRAFT_CPUS], and prints
+ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology matches BASELINE.md: each query's result is fully
+materialized into Python (Arrow-accelerated toPandas, the fair
+counterpart of DuckDB's fetchall), timed warm (best of N_RUNS after
+one untimed warm-up of the whole session).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dataframe_sql_spark.registry import engine_for  # noqa: E402
+from dataframe_sql_spark.session import get_spark  # noqa: E402
+
+N_RUNS = 3
+
+# Same queries as BASELINE.md (ANSI; valid in both dialects).
+QUERIES = {
+    "q_select_star": "SELECT * FROM lineitem",
+    "q_project_alias": "SELECT l_quantity, l_extendedprice AS price, l_discount FROM lineitem",
+    "q_filter_bool": "SELECT * FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30 "
+    "AND l_discount <= 0.05 AND l_tax != 0",
+    "q_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_agg_global": "SELECT min(l_quantity), max(l_quantity), avg(l_extendedprice), "
+    "sum(l_quantity), count(*) FROM lineitem",
+    "q_groupby_having": "SELECT l_returnflag, l_linestatus, sum(l_quantity) qty, "
+    "avg(l_extendedprice) ap FROM lineitem GROUP BY l_returnflag, l_linestatus "
+    "HAVING sum(l_quantity) > 100",
+    "q_join_inner": "SELECT o_orderpriority, count(*) c FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority",
+    "q_join_multi": "SELECT n_name, sum(l_extendedprice*(1-l_discount)) rev FROM customer "
+    "JOIN orders ON c_custkey=o_custkey JOIN lineitem ON l_orderkey=o_orderkey "
+    "JOIN nation ON c_nationkey=n_nationkey GROUP BY n_name",
+    "q_orderby_limit": "SELECT * FROM lineitem ORDER BY l_extendedprice DESC, "
+    "l_quantity ASC LIMIT 10",
+    "q_case_when": "SELECT l_quantity, CASE WHEN l_quantity > 30 THEN 'big' "
+    "WHEN l_quantity = 30 THEN 'mid' ELSE 'small' END AS bucket FROM lineitem",
+    "q_union_setops": "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45 "
+    "UNION SELECT o_orderkey FROM orders WHERE o_totalprice > 400000",
+    "q_in_between": "SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH') "
+    "AND o_totalprice BETWEEN 100000 AND 200000",
+    "q_cast_math": "SELECT CAST(l_quantity AS BIGINT) q, "
+    "l_extendedprice * l_quantity + l_tax / 2 + 37 AS m FROM lineitem",
+    "q_rank_window": "SELECT l_orderkey, l_quantity, rank() OVER "
+    "(PARTITION BY l_returnflag ORDER BY l_quantity DESC) r FROM lineitem",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_match = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(sf_match.group(1)) if sf_match else -1.0
+    spark = get_spark("bench")
+    eng = engine_for(spark, sf_dir)
+
+    # warm-up: JVM, parquet footers, code cache (untimed)
+    eng.query("SELECT count(*) FROM lineitem").collect()
+
+    results: dict[str, float] = {}
+    for name, sql in QUERIES.items():
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            eng.query(sql).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 4)
+
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "baseline_query_set_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

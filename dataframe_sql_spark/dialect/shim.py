@@ -336,8 +336,9 @@ def _is_column_chain(item: list[Token]) -> bool:
 
 
 def _has_column_ref(item: list[Token]) -> bool:
-    if any(t.text == "*" for t in item):
-        return True  # count(*) and friends reference rows, not literals
+    for idx, t in enumerate(item):
+        if t.text == "*" and idx > 0 and item[idx - 1].text == "(":
+            return True  # count(*) and friends reference rows, not literals
     prev: Token | None = None
     for idx, t in enumerate(item):
         if t.kind in ("ident", "qident"):
