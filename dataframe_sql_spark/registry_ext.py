@@ -1,0 +1,321 @@
+"""Extension catalog entries: dedup, similarity search, text analysis,
+multimodal plumbing, streaming-semantics windows (north-star operators
+from BASELINE.json — see the operator modules for scale design notes).
+
+Registered into ``registry.CATALOG`` at import. Entries with an
+``oracle`` are hash-checked against DuckDB; entries without one are
+genuinely non-SQL-expressible (LSH internals, mapInPandas stubs) and
+get the driver's rows-only check, with pytest covering semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    annotate_documents,
+    bpe_token_estimate,
+    fingerprint,
+    lang_id,
+    token_count,
+)
+from .multimodal.binary import attach_blob_metadata, decode_image_batch
+from .operators.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from .operators.similarity import cosine_topk, knn_join_bruteforce, lsh_topk
+from .registry import CATALOG, QuerySpec, engine_for
+from .streaming.pipeline import session_counts, sliding_counts, tumbling_counts
+
+__all__: list[str] = []
+
+_QUERY_VEC = [1.0] * 64  # constant ANN query (embeddings are 64-dim)
+_QUERY_VEC_SQL = "[" + ", ".join("1.0" for _ in range(64)) + "]::DOUBLE[]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return engine_for(spark, sf_dir).spark.table("documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return engine_for(spark, sf_dir).spark.table("embeddings")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return engine_for(spark, sf_dir).spark.table("events")
+
+
+def _reg(name: str, fn, oracle: str | None, doc: str) -> None:
+    CATALOG[name] = QuerySpec(engine_sql=None, oracle=oracle, fn=fn, doc=doc)
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+_reg(
+    "dd_exact",
+    lambda spark, sf_dir: exact_dedup(_docs(spark, sf_dir), ["text"], "doc_id"),
+    "SELECT * FROM documents WHERE doc_id IN "
+    "(SELECT min(doc_id) FROM documents GROUP BY text)",
+    "exact dedup: one survivor (min id) per distinct text, hash-keyed shuffle",
+)
+
+_reg(
+    "dd_fingerprint",
+    lambda spark, sf_dir: _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    ),
+    r"SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp "
+    "FROM documents",
+    "md5 fingerprint of normalized text — cross-engine-stable dedup key",
+)
+
+_reg(
+    "dd_minhash",
+    lambda spark, sf_dir: minhash_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.7
+    ).select("doc_id", "lang", "source", "n_chars"),
+    None,  # LSH internals (xxhash band buckets) aren't SQL-expressible
+    "minhash-LSH near-dup removal, greedy min-id survivors; pytest checks semantics",
+)
+
+_reg(
+    "dd_minhash_pairs",
+    lambda spark, sf_dir: ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        minhash_candidate_pairs(_docs(spark, sf_dir), "doc_id", "text"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")),
+    None,
+    "LSH candidate pairs verified by exact shingle Jaccard ≥ 0.5",
+)
+
+_reg(
+    "dd_simhash",
+    lambda spark, sf_dir: simhash_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+    ).select("doc_id", "lang", "source"),
+    None,
+    "simhash near-dup removal (64-bit, pigeonhole-blocked hamming ≤ 3)",
+)
+
+_reg(
+    "dd_embedding",
+    lambda spark, sf_dir: embedding_dedup(
+        _emb(spark, sf_dir), "vec_id", "embedding", block_col="label", threshold=0.99
+    ).select("vec_id", "label"),
+    "SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN ("
+    " SELECT b.vec_id FROM embeddings a JOIN embeddings b"
+    "  ON a.label = b.label AND a.vec_id < b.vec_id"
+    " WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99)",
+    "embedding cosine near-dup (≥0.99) blocked by label, greedy min-id survivors",
+)
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_reg(
+    "sim_topk",
+    lambda spark, sf_dir: cosine_topk(
+        _emb(spark, sf_dir), "embedding", _QUERY_VEC, k=10
+    ).select("vec_id", F.round("score", 8).alias("score")),
+    "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], "
+    f"{_QUERY_VEC_SQL}), 8) AS score "
+    "FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",
+    "exact brute-force cosine top-k (TakeOrderedAndProject, no shuffle)",
+)
+
+_reg(
+    "sim_knn_join",
+    lambda spark, sf_dir: knn_join_bruteforce(
+        _emb(spark, sf_dir).filter(F.col("label") == 0).select(
+            F.col("vec_id").alias("id_a"), "embedding"
+        ),
+        _emb(spark, sf_dir).filter(F.col("label") != 0).select(
+            F.col("vec_id").alias("id_b"), "embedding"
+        ),
+        k=3,
+    ).select("id_a", "id_b", F.round("score", 8).alias("score")),
+    "SELECT id_a, id_b, score FROM ("
+    " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+    "  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 8)"
+    "   AS score,"
+    "  row_number() OVER (PARTITION BY a.vec_id ORDER BY"
+    "   list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,"
+    "   b.vec_id) AS rn"
+    " FROM embeddings a JOIN embeddings b ON b.label != 0"
+    " WHERE a.label = 0) t WHERE rn <= 3",
+    "k-NN join: 3 nearest corpus vectors per query vector (broadcast right side)",
+)
+
+_reg(
+    "sim_ann_lsh",
+    lambda spark, sf_dir: lsh_topk(
+        _emb(spark, sf_dir), "embedding", _QUERY_VEC, k=10, num_bits=16, rerank=100
+    ).select("vec_id", F.round("score", 8).alias("score")),
+    None,  # hyperplane signatures not SQL-expressible; pytest checks recall vs exact
+    "approximate top-k via random-hyperplane LSH + exact rerank",
+)
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+_reg(
+    "txt_stats",
+    lambda spark, sf_dir: _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_estimate(F.col("text")).alias("n_bpe"),
+        F.length(F.trim(F.col("text"))).cast("bigint").alias("n_chars2"),
+    ),
+    r"SELECT doc_id, "
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens, "
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+    r"greatest(length(string_split_regex(trim(text), '\s+')), "
+    r"ceil(length(text) / 4.0)::INT) "
+    r"+ length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) END::BIGINT AS n_bpe, "
+    r"length(trim(text))::BIGINT AS n_chars2 FROM documents",
+    "token counting: whitespace tokens + BPE-ish estimate",
+)
+
+_reg(
+    "txt_langid",
+    lambda spark, sf_dir: _docs(spark, sf_dir).select(
+        "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
+    ),
+    None,  # per-language stopword-hit argmax: expressible but brittle in SQL; pytest checks accuracy
+    "n-gram/stopword-heuristic language ID over {en,de,fr,es}",
+)
+
+_reg(
+    "txt_quality",
+    lambda spark, sf_dir: _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(
+            F.length(F.regexp_replace(F.trim(F.col("text")), r"[A-Za-z0-9\s]", "")).cast(
+                "double"
+            )
+            / F.length(F.trim(F.col("text"))),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            F.length(F.trim(F.col("text"))).cast("double")
+            / F.size(F.split(F.trim(F.col("text")), r"\s+")),
+            6,
+        ).alias("mean_word_len"),
+    ),
+    r"SELECT doc_id, "
+    r"round(length(regexp_replace(trim(text), '[A-Za-z0-9\s]', '', 'g'))::DOUBLE "
+    r"/ length(trim(text)), 6) AS punct_ratio, "
+    r"round(length(trim(text))::DOUBLE "
+    r"/ length(string_split_regex(trim(text), '\s+')), 6) AS mean_word_len "
+    r"FROM documents",
+    "quality signals: punctuation ratio, mean word length",
+)
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def _mm_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text encoded to binary stands in for media blobs."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+
+
+_reg(
+    "mm_blob_meta",
+    lambda spark, sf_dir: attach_blob_metadata(_mm_blobs(spark, sf_dir), "blob").select(
+        "doc_id",
+        F.col("blob_meta.byte_length").alias("byte_length"),
+        F.col("blob_meta.content_hash").alias("content_hash"),
+        F.col("blob_meta.media_type").alias("media_type"),
+    ),
+    "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_length, "
+    "md5(text) AS content_hash, 'application/octet-stream' AS media_type "
+    "FROM documents",
+    "binary-column metadata: length, content hash, magic-byte type sniff",
+)
+
+_reg(
+    "mm_decode_stub",
+    lambda spark, sf_dir: decode_image_batch(
+        _mm_blobs(spark, sf_dir), "blob", fake=True
+    ).select("doc_id", "width", "height", "channels"),
+    None,  # mapInPandas stub; decode is deterministic-fake (no codecs in container)
+    "Arrow-batched mapInPandas decode pipeline (deterministic stub decode)",
+)
+
+# --------------------------------------------------------------------------
+# streaming-semantics windows (batch-checkable; readStream path in tests)
+# --------------------------------------------------------------------------
+
+
+def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tumbling_counts(_events(spark, sf_dir), "1 hour")
+    return out.select(
+        "wstart",
+        "event_type",
+        "n",
+        F.round(F.col("sum_value"), 4).alias("sum_value"),
+    )
+
+
+_reg(
+    "st_tumbling",
+    _tumbling,
+    "SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type, "
+    "count(*) AS n, round(sum(value), 4) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+    "tumbling 1h event-time windows (streaming-identical semantics, batch-checked)",
+)
+
+_reg(
+    "st_sliding",
+    lambda spark, sf_dir: sliding_counts(_events(spark, sf_dir), "1 hour", "30 minutes"),
+    "WITH s AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, event_type "
+    "FROM events), w AS ("
+    "SELECT b AS wstart, event_type FROM s UNION ALL "
+    "SELECT b - INTERVAL '30 minutes' AS wstart, event_type FROM s) "
+    "SELECT wstart, event_type, count(*) AS n FROM w GROUP BY 1, 2",
+    "sliding 1h/30m windows (each event in 2 windows)",
+)
+
+_reg(
+    "st_session",
+    lambda spark, sf_dir: session_counts(_events(spark, sf_dir), "30 minutes"),
+    "WITH o AS (SELECT user_id, ts, lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+    "m AS (SELECT user_id, ts, CASE WHEN prev IS NULL "
+    "OR ts - prev >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s FROM o), "
+    "g AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+    "SELECT min(ts) AS session_start, user_id, count(*) AS n_events "
+    "FROM g GROUP BY user_id, sid",
+    "session windows (30 min gap) — gaps-and-islands oracle",
+)
+
+_reg(
+    "st_dedup",
+    lambda spark, sf_dir: _events(spark, sf_dir)
+    .dropDuplicates(["event_id"])
+    .select("event_id", "user_id", "event_type"),
+    "SELECT event_id, user_id, event_type FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn "
+    "FROM events) t WHERE rn = 1",
+    "exactly-once event dedup (streaming: dropDuplicatesWithinWatermark)",
+)

@@ -1,0 +1,129 @@
+"""Structured Streaming operators over the events stream
+(/root/testdata/sf*/events.parquet: event_id, ts, user_id, event_type,
+value, props).
+
+The reference has no streaming at all (SURVEY.md §2.10); this module
+is the extension surface, built on watermarks + event-time windows so
+the same code handles late data on an unbounded cluster-scale stream.
+
+Every windowed transform below is defined against a plain DataFrame,
+so it works identically in batch mode (for the DuckDB oracle gate) and
+on a ``readStream`` source — that's the Structured Streaming model:
+one declarative query, micro-batched or continuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "dedup_events",
+    "run_stream_to_memory",
+]
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet.
+
+    Streaming file sources require a *directory*; testdata ships a
+    single file, so it is exposed through a symlink in a temp dir
+    (zero copy — in production this is simply the landing directory
+    new files arrive in). Schema comes from a batch read of the same
+    path; the nanosecond ts is normalized exactly like the batch
+    reader."""
+    import os
+    import tempfile
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "dfsql_stream_" + sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window counts per event_type.
+
+    Watermark bounds state: windows older than max(event time) −
+    watermark are finalized and evicted, which is what keeps state
+    finite on an unbounded stream."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, size: str = "1 hour", slide: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Sliding windows: each event lands in size/slide windows."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. State size is bounded by watermark + gap."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon —
+    streaming-safe dedup (state evicted past the watermark)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, spark: SparkSession, output_mode: str = "complete"
+):
+    """Drive a streaming DataFrame into an in-memory table with the
+    availableNow trigger (process-everything-then-stop) and block until
+    done. Returns the materialized batch DataFrame."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
