@@ -297,10 +297,13 @@ _sql(
     "from lineitem",
     doc="W4/W5 partitioned (dense_)rank (:866-967)",
 )
+# (l_orderkey, l_linenumber) is NOT unique in the synthetic testdata;
+# the full 5-key order below is — required for a deterministic frame
+_W_ORD = "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"
 _sql(
     "w_frames",
     "select l_orderkey, l_linenumber, "
-    "sum(l_quantity) over (partition by l_orderkey order by l_linenumber "
+    f"sum(l_quantity) over (partition by l_orderkey order by {_W_ORD} "
     "rows between unbounded preceding and current row) as running_qty "
     "from lineitem",
     doc="W6 frame specs (extension; absent from reference)",
@@ -308,9 +311,9 @@ _sql(
 _sql(
     "w_lag_lead",
     "select l_orderkey, l_linenumber, "
-    "lag(l_quantity) over (partition by l_orderkey order by l_linenumber) as prev_q, "
-    "lead(l_quantity) over (partition by l_orderkey order by l_linenumber) as next_q, "
-    "row_number() over (partition by l_orderkey order by l_linenumber) as rn "
+    f"lag(l_quantity) over (partition by l_orderkey order by {_W_ORD}) as prev_q, "
+    f"lead(l_quantity) over (partition by l_orderkey order by {_W_ORD}) as next_q, "
+    f"row_number() over (partition by l_orderkey order by {_W_ORD}) as rn "
     "from lineitem",
     doc="W6 lag/lead/row_number (extension)",
 )
