@@ -1,0 +1,135 @@
+"""Join operators beyond the reference surface (SURVEY.md §2.4 J8:
+theta/range/as-of/semi/anti — "Spark has them — extension surface").
+
+The as-of join is the one Spark lacks as a built-in; implemented here
+with the scalable union-window pattern: ONE shuffle on the by-key,
+then a per-key ordered window carries the most recent right-side row
+forward — no range explosion, no per-row lookups, works at any skew
+AQE can split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join", "symmetric_difference"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.on <= left.on`` within the same ``by`` group (backward
+    as-of join, pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics).
+
+    Implementation: tag and union both sides, window per ``by`` ordered
+    by (on, side) with ``last(..., ignorenulls=True)`` carrying right
+    values forward onto left rows. Cost: one shuffle + one sort —
+    same as a single sort-merge join, with no range-condition blowup.
+
+    ``tolerance``: optional max staleness (SQL interval string, e.g.
+    ``'10 minutes'``); matches older than that are nulled out.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs = right.select(
+        F.col(by),
+        F.col(on),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("__side", F.lit(0))
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None))
+    for c in right_cols:
+        if c not in lhs.columns:
+            lhs = lhs.withColumn(c, F.lit(None))
+        else:
+            raise ValueError(f"column collision on {c!r}; rename before asof_join")
+    rhs = rhs.select(*lhs.columns)
+    unioned = lhs.unionByName(rhs)
+
+    # right rows sort before left rows at the same timestamp → a left row
+    # can match a right row with the identical 'on' value
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+        .over(w)
+        .alias(f"__r_{c}")
+        for c in right_cols
+    ]
+    match_ts = F.last(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True).over(w)
+    out = unioned.select("*", *carried, match_ts.alias("__match_ts")).filter(
+        F.col("__side") == 1
+    )
+    if tolerance is not None:
+        stale = F.col("__match_ts") < F.col(on) - F.expr(f"INTERVAL {tolerance}")
+        for c in right_cols:
+            out = out.withColumn(f"__r_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"__r_{c}")))
+    keep = [c for c in left.columns] + [
+        F.col(f"__r_{c}").alias(c) for c in right_cols
+    ]
+    return out.select(*keep)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_granularity: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join: left.point ∈ [right.start, right.end).
+
+    A naive range condition forces a broadcast-nested-loop join;
+    passing ``bucket_granularity`` ('minute'/'hour'/'day') rewrites it
+    as an equi-join on coarse time buckets — each right interval is
+    exploded onto every bucket it overlaps, the join keys on the
+    bucket, and the residual range predicate filters inside the
+    bucket. That's the standard scalable rewrite (works when interval
+    width ≲ a few buckets).
+    """
+    range_cond = (F.col(left_point) >= F.col(right_start)) & (
+        F.col(left_point) < F.col(right_end)
+    )
+    if bucket_granularity is None:
+        return left.join(right, range_cond)
+    g = bucket_granularity
+    lb = left.withColumn("__b", F.date_trunc(g, F.col(left_point)))
+    rb = (
+        right.withColumn(
+            "__bs",
+            F.sequence(
+                F.date_trunc(g, F.col(right_start)),
+                F.date_trunc(g, F.col(right_end)),
+                F.expr(f"INTERVAL 1 {g}"),
+            ),
+        )
+        .withColumn("__b", F.explode("__bs"))
+        .drop("__bs")
+    )
+    return lb.join(rb, (lb["__b"] == rb["__b"]) & range_cond).drop("__b")
+
+
+def symmetric_difference(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Rows in exactly one of the two inputs (distinct semantics).
+
+    This is what the *reference's own test oracle* computes for EXCEPT
+    (full-outer merge keeping ``_merge != 'both'`` —
+    pandas_sql_functionality_test.py:602-614), which diverges from
+    ANSI EXCEPT. The engine's ``EXCEPT`` follows ANSI (SURVEY.md §2.8
+    note); this operator preserves reference-compatible behavior for
+    migrating users. A value present on both sides is dropped entirely
+    (distinct semantics, matching the pandas merge-indicator oracle).
+    """
+    return a.subtract(b).union(b.subtract(a))

@@ -29,6 +29,7 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_dedup,
 )
+from .operators.joins import asof_join, symmetric_difference
 from .operators.similarity import cosine_topk, knn_join_bruteforce, lsh_topk
 from .registry import CATALOG, QuerySpec, engine_for
 from .streaming.pipeline import session_counts, sliding_counts, tumbling_counts
@@ -308,6 +309,165 @@ _reg(
     "FROM g GROUP BY user_id, sid",
     "session windows (30 min gap) — gaps-and-islands oracle",
 )
+
+# --------------------------------------------------------------------------
+# joins beyond the reference (SURVEY §2.4 J8) + reference-compat setop
+# --------------------------------------------------------------------------
+
+
+def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(clicks, purchases, on="ts", by="user_id").select(
+        "event_id", "user_id", "purchase_value"
+    )
+
+
+_reg(
+    "j_asof",
+    _asof,
+    "SELECT l.event_id, l.user_id, r.value AS purchase_value "
+    "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l "
+    "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events "
+    "WHERE event_type = 'purchase') r "
+    "ON l.user_id = r.user_id AND l.ts >= r.ts",
+    "J8 as-of join (union-window pattern, one shuffle) vs DuckDB ASOF JOIN",
+)
+
+
+def _reg_sql(name: str, engine_sql: str, oracle: str | None, doc: str) -> None:
+    CATALOG[name] = QuerySpec(engine_sql=engine_sql, oracle=oracle or engine_sql, doc=doc)
+
+
+_reg_sql(
+    "j_semi",
+    "select c_custkey, c_name from customer left semi join orders "
+    "on c_custkey = o_custkey",
+    "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "J8 semi join (extension; absent from reference grammar)",
+)
+_reg_sql(
+    "j_anti",
+    "select c_custkey, c_name from customer left anti join orders "
+    "on c_custkey = o_custkey",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "J8 anti join (extension)",
+)
+
+
+def _symdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = engine_for(spark, sf_dir)
+    a = eng.query("select l_orderkey as k from lineitem where l_quantity > 49")
+    b = eng.query("select o_orderkey as k from orders where o_totalprice > 300000")
+    return symmetric_difference(a, b)
+
+
+_reg(
+    "u_symdiff",
+    _symdiff,
+    "SELECT k FROM ((SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 49 "
+    "EXCEPT SELECT o_orderkey FROM orders WHERE o_totalprice > 300000) "
+    "UNION "
+    "(SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 300000 "
+    "EXCEPT SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)) t",
+    "reference-compat EXCEPT (symmetric difference — the reference oracle's "
+    "actual semantics, tests :602-614); engine EXCEPT stays ANSI",
+)
+
+# --------------------------------------------------------------------------
+# pivot / unpivot
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_reg(
+    "x_pivot",
+    lambda spark, sf_dir: _events(spark, sf_dir)
+    .groupBy("user_id")
+    .pivot("event_type", _EVENT_TYPES)
+    .count()
+    .na.fill(0, _EVENT_TYPES),
+    "SELECT user_id, "
+    + ", ".join(
+        f"count(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+    "pivot: per-user event_type counts (explicit value list → stable schema)",
+)
+
+_reg(
+    "x_unpivot",
+    lambda spark, sf_dir: engine_for(spark, sf_dir)
+    .spark.table("lineitem")
+    .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    .unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice"],
+        "metric",
+        "val",
+    ),
+    "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val "
+    "FROM lineitem UNION ALL "
+    "SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, l_extendedprice "
+    "FROM lineitem",
+    "unpivot/melt to long format",
+)
+
+# --------------------------------------------------------------------------
+# scalar function surface (extension; reference has none, SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+_reg_sql(
+    "f_string_funcs",
+    "select o_orderkey, upper(o_orderpriority) as up, lower(o_orderstatus) as lo, "
+    "substr(o_orderpriority, 1, 3) as sub, length(o_orderpriority) as len, "
+    "concat(o_orderstatus, '-', o_orderpriority) as cat, "
+    "trim(o_orderpriority) as tr, replace(o_orderpriority, '-', '_') as rep "
+    "from orders",
+    None,
+    "string scalar functions (identical semantics in DuckDB)",
+)
+_reg_sql(
+    "f_math_funcs",
+    "select l_orderkey, l_linenumber, abs(l_quantity - 25) as ab, "
+    "floor(l_extendedprice / 1000) as fl, ceil(l_extendedprice / 1000) as ce, "
+    "l_orderkey % 7 as md, sqrt(l_quantity) as sq, "
+    "greatest(l_quantity, l_linenumber) as gr, least(l_tax, l_discount) as le, "
+    "coalesce(nullif(l_tax, 0.0), -1.0) as co "
+    "from lineitem",
+    None,
+    "math/conditional scalar functions",
+)
+_reg_sql(
+    "f_date_funcs",
+    "select o_orderkey, year(o_orderdate) as y, month(o_orderdate) as m, "
+    "day(o_orderdate) as d, hour(o_orderdate) as h, "
+    "date_trunc('month', o_orderdate) as mon, "
+    "o_orderdate + interval 1 day as next_day "
+    "from orders",
+    "SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m, "
+    "day(o_orderdate) AS d, hour(o_orderdate) AS h, "
+    "date_trunc('month', o_orderdate)::TIMESTAMP AS mon, "  # DuckDB month-trunc yields DATE
+    "o_orderdate + INTERVAL 1 DAY AS next_day FROM orders",
+    "date/time scalar functions",
+)
+_reg_sql(
+    "f_regex_funcs",
+    r"select doc_id, regexp_extract(text, '([a-z]+)', 1) as first_word, "
+    r"regexp_replace(text, 'data', 'DATA') as rep from documents",
+    r"SELECT doc_id, regexp_extract(text, '([a-z]+)', 1) AS first_word, "
+    r"regexp_replace(text, 'data', 'DATA', 'g') AS rep FROM documents",
+    "regex scalar functions (Spark replaces all by default; DuckDB needs 'g')",
+)
+
+# --------------------------------------------------------------------------
+# streaming dedup
+# --------------------------------------------------------------------------
 
 _reg(
     "st_dedup",
