@@ -81,6 +81,27 @@ class SparkSqlEngine:
     def _schema_lookup(self, table_name: str) -> list[str]:
         return self.spark.table(table_name).columns
 
+    # -- UDF surface (SURVEY.md §2.11: absent in reference; extension) -----
+    def register_function(self, name: str, fn, return_type, vectorized: bool = True):
+        """Register a Python function for use in ``query()`` SQL.
+
+        ``vectorized=True`` wraps it as an Arrow-batched pandas UDF
+        (fn takes/returns ``pandas.Series``) — the 10-100× faster
+        path; set False only for genuinely scalar logic. The reference
+        has no UDF surface (its __init__.py:2 exports exactly three
+        functions), so this is pure extension.
+        """
+        if vectorized:
+            from pyspark.sql.functions import pandas_udf
+
+            udf = pandas_udf(fn, return_type)
+        else:
+            from pyspark.sql.functions import udf as plain_udf
+
+            udf = plain_udf(fn, return_type)
+        self.spark.udf.register(name, udf)
+        return udf
+
 
 # -- module-level convenience API (drop-in for the reference import style) --
 _DEFAULT: SparkSqlEngine | None = None

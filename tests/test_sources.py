@@ -1,0 +1,63 @@
+"""Sources/sinks (SURVEY.md §2.1 S4/S5) and the UDF extension surface."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+
+from dataframe_sql_spark.sources.io import read_csv, read_table, write_parquet
+
+
+def test_csv_ingestion_roundtrip(spark, engine):
+    # S4: reference loads fixtures via pandas.read_csv (utils.py:15-19)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "fires.csv")
+        pd.DataFrame(
+            {"temp": [20.1, 30.5, 25.0], "wind": [3, 5, 4], "month": ["mar", "aug", "sep"]}
+        ).to_csv(path, index=False)
+        df = read_csv(spark, path)
+        assert dict(df.dtypes)["temp"] == "double"  # inferSchema on
+        engine.register_temp_table(df, "fires_csv")
+        out = engine.query_pandas("select month from fires_csv where wind > 3")
+        assert sorted(out["month"]) == ["aug", "sep"]
+        engine.remove_temp_table("fires_csv")
+
+
+def test_parquet_sink_partitioned(spark, engine):
+    # S5 extension: partitioned parquet sink → partition-pruned scan
+    with tempfile.TemporaryDirectory() as d:
+        src = engine.spark.table("orders").limit(1000)
+        write_parquet(src, f"{d}/orders_out", partition_by=["o_orderpriority"])
+        back = spark.read.parquet(f"{d}/orders_out")
+        assert back.count() == 1000
+        # partition dirs exist → pruning-capable layout
+        assert any(p.startswith("o_orderpriority=") for p in os.listdir(f"{d}/orders_out"))
+
+
+def test_events_nanos_ts_normalized(spark):
+    df = read_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.selectExpr("min(ts)").first()[0].year == 2024
+
+
+def test_register_vectorized_udf(spark, engine):
+    # §2.11 extension: pandas UDF through the SQL surface
+    import pandas as pd
+
+    def double_it(s: pd.Series) -> pd.Series:
+        return s * 2
+
+    engine.register_function("double_it", double_it, "double")
+    out = engine.query_pandas(
+        "select double_it(l_quantity) as dq, l_quantity from lineitem limit 5"
+    )
+    assert (out["dq"] == out["l_quantity"] * 2).all()
+
+
+def test_register_scalar_udf(spark, engine):
+    engine.register_function("shout", lambda s: (s or "") + "!", "string", vectorized=False)
+    out = engine.query_pandas("select shout(n_name) as sn from nation limit 3")
+    assert all(v.endswith("!") for v in out["sn"])
