@@ -19,7 +19,7 @@ All functions return lazy DataFrames; nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -125,31 +125,37 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) from banded minhash.
 
-    Pipeline: signature (map-side) → explode bands → self-join on
-    (band, bucket) → distinct pairs. ``max_bucket`` caps pathological
-    buckets (boilerplate text at web scale produces million-doc
-    buckets whose pair expansion is quadratic — the cap bounds the
-    worst case; capped buckets are near-identical anyway and exact
-    dedup already catches them).
+    Pipeline: materialize shingles → materialize signature → explode
+    bands → groupBy bucket → explode pairs. The two explicit
+    ``select`` stages matter: lambda-bearing expressions are excluded
+    from Catalyst's subexpression elimination, so computing all 64
+    hash lanes directly over ``word_shingles(text)`` re-tokenizes the
+    text 64× — materializing the array column first makes each lane
+    read the same array.
+
+    Pair generation is a single shuffle (groupBy band+bucket →
+    collect_list → quadratic explode within the bucket) instead of a
+    self-join, so the signature lineage is computed exactly once.
+    ``max_bucket`` caps pathological buckets (boilerplate at web scale
+    produces million-doc buckets with quadratic pair expansion; capped
+    buckets are near-identical and exact dedup already catches them).
     """
-    sig = df.select(
-        F.col(id_col), minhash_signature(word_shingles(F.col(text_col), shingle_k), num_hashes).alias("__sig")
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
+    )
+    sig = shingled.select(
+        F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
     )
     banded = _banded(sig, id_col, num_hashes, bands)
-    sized = banded.withColumn(
-        "__n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
     )
-    banded = sized.filter(F.col("__n") <= max_bucket).drop("__n")
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode("__ids").alias("id_a"), F.col("__ids"))
+        .select("id_a", F.explode("__ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -211,50 +217,73 @@ def minhash_dedup(
 # --------------------------------------------------------------------------
 
 
-def simhash_bits(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash as a BIGINT, fully JVM-side.
+def simhash_bits(hashes_col: str, bits: int = 64) -> Column:
+    """64-bit SimHash over a *materialized* array<long> column of
+    feature hashes, fully JVM-side.
 
-    For each token, ``xxhash64(token)`` supplies the bit pattern; the
-    signature bit b is 1 iff more tokens have bit b set than unset.
-    Implemented with aggregate-over-array expressions (one projection,
-    no shuffle): per bit, sum(+1/-1) over tokens, then pack signs.
+    Signature bit b is 1 iff more features have bit b set than unset.
+    Implemented as ONE aggregate with an array<int> accumulator
+    (zip_with per element) + one packing aggregate — a naive version
+    with 64 separate per-bit aggregate expressions is ~64× more
+    expression tree and re-reads the array per bit. SQL-expr form
+    because SQL ``shiftright``/``shiftleft`` accept column shift
+    amounts (the PySpark wrappers only take Python ints).
     """
-    tokens = F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-
-    def bit_sum(b: int) -> Column:
-        # +1 if bit set else -1, summed over tokens (shiftright avoids
-        # Python-side 1<<63 signed-long overflow)
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1),
-        )
-
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig + F.when(
-            bit_sum(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return sig
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              {hashes_col},
+              array_repeat(0, {bits}),
+              (acc, h) -> zip_with(
+                acc,
+                transform(sequence(0, {bits - 1}),
+                          b -> int((shiftright(h, b) & 1L) * 2 - 1)),
+                (a, d) -> a + d)),
+            sequence(0, {bits - 1}),
+            (s, b) -> IF(s > 0, shiftleft(1L, b), 0L)),
+          0L,
+          (a, x) -> a + x)
+        """
+    )
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    feature_k: int = 2,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate pairs with hamming(simhash) ≤ ``max_hamming``.
 
-    Pigeonhole blocking: split the 64-bit signature into ``chunks``
-    16-bit pieces; any pair within distance ``max_hamming < chunks``
-    must agree on ≥1 piece, so join on (chunk_idx, chunk_value) —
+    Features are ``feature_k``-word shingles (k=2 default: unigram
+    sets are too coarse on small-vocabulary corpora). Pigeonhole
+    blocking: split the 64-bit signature into ``chunks`` 16-bit
+    pieces; any pair within distance ``max_hamming < chunks`` must
+    agree on ≥1 piece, so join on (chunk_idx, chunk_value) —
     fixed-width shuffle keys — then verify with ``bit_count(xor)``.
+
+    Bucket note: on low-entropy corpora (shared boilerplate/vocabulary)
+    the bit majorities converge and single (chunk, piece) buckets can
+    hold a large share of the corpus — quadratic candidates.
+    ``max_bucket`` caps those; a pair only needs ONE uncapped shared
+    chunk to surface, so moderate caps cost little recall.
     """
     width = 64 // chunks
     mask = (1 << width) - 1
-    sig = df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("__sim"))
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), feature_k), lambda t: F.xxhash64(t)
+        ).alias("__th"),
+    )
+    sig = hashed.select(F.col(id_col), simhash_bits("__th").alias("__sim"))
     pieces = sig.select(
-        id_col,
-        "__sim",
+        F.struct(F.col(id_col).alias("id"), F.col("__sim").alias("sim")).alias("item"),
         F.explode(
             F.array(
                 *[
@@ -266,19 +295,20 @@ def simhash_candidate_pairs(
                 ]
             )
         ).alias("p"),
-    ).select(id_col, "__sim", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
-    a, b = pieces.alias("a"), pieces.alias("b")
+    ).select("item", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
+    buckets = (
+        pieces.groupBy("chunk", "piece")
+        .agg(F.collect_list("item").alias("__items"))
+        .filter((F.size("__items") >= 2) & (F.size("__items") <= max_bucket))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.piece") == F.col("b.piece"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        buckets.select(F.explode("__items").alias("a"), F.col("__items"))
+        .select("a", F.explode("__items").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))).alias("hamming"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
