@@ -115,6 +115,7 @@ def translate(sql: str, schema_lookup: Callable[[str], list[str]] | None = None)
     """
     tokens = tokenize(sql)
     tokens = _structural_pass(tokens, schema_lookup)
+    tokens = _limit_pass(tokens)
     tokens = _lexical_pass(tokens)
     return detokenize(tokens)
 
@@ -360,6 +361,36 @@ def _has_column_ref(item: list[Token]) -> bool:
 # ---------------------------------------------------------------------------
 # lexical pass: function spellings + cast target types
 # ---------------------------------------------------------------------------
+
+
+def _limit_pass(tokens: list[Token]) -> list[Token]:
+    """``LIMIT offset, count`` (MySQL-style, documented in the
+    reference grammar at sql_select_query.py:78) → ``LIMIT count
+    OFFSET offset`` (Spark syntax)."""
+    out: list[Token] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if (
+            t.is_kw("limit")
+            and i + 3 < len(tokens)
+            and tokens[i + 1].kind == "number"
+            and tokens[i + 2].text == ","
+            and tokens[i + 3].kind == "number"
+        ):
+            out.extend(
+                [
+                    Token("ident", "LIMIT"),
+                    tokens[i + 3],
+                    Token("ident", "OFFSET"),
+                    tokens[i + 1],
+                ]
+            )
+            i += 4
+            continue
+        out.append(t)
+        i += 1
+    return out
 
 
 def _lexical_pass(tokens: list[Token]) -> list[Token]:

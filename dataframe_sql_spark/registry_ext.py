@@ -466,6 +466,84 @@ _reg_sql(
 )
 
 # --------------------------------------------------------------------------
+# grouped aggregates: SQL percentile + applyInPandas grouped-map
+# --------------------------------------------------------------------------
+
+_reg_sql(
+    "a_percentile",
+    "select l_returnflag, round(percentile(l_quantity, 0.5), 4) as med, "
+    "round(percentile(l_quantity, 0.9), 4) as p90 from lineitem "
+    "group by l_returnflag",
+    "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS med, "
+    "round(quantile_cont(l_quantity, 0.9), 4) AS p90 FROM lineitem "
+    "GROUP BY l_returnflag",
+    "exact interpolated percentiles (A11 extension)",
+)
+
+
+def _grouped_map_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (UDTF-like surface, SURVEY §2.11):
+    per-group pandas computation whose result a SQL oracle can verify."""
+    import pandas as pd
+
+    def median_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "med": [round(float(pdf["l_quantity"].median()), 4)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return (
+        engine_for(spark, sf_dir)
+        .spark.table("lineitem")
+        .select("l_returnflag", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(median_of, schema="l_returnflag string, med double, n long")
+    )
+
+
+_reg(
+    "x_grouped_map",
+    _grouped_map_median,
+    "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS med, "
+    "count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    "Arrow grouped-map applyInPandas with SQL-verifiable output",
+)
+
+# --------------------------------------------------------------------------
+# skew-safe aggregation (exactness check vs plain GROUP BY oracle)
+# --------------------------------------------------------------------------
+
+
+def _salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_agg
+
+    li = engine_for(spark, sf_dir).spark.table("lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "cnt": ("l_quantity", "count"),
+            "max_q": ("l_quantity", "max"),
+            "min_q": ("l_quantity", "min"),
+        },
+        buckets=16,
+    )
+
+
+_reg(
+    "a_salted_agg",
+    _salted,
+    "SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(l_quantity) AS cnt, "
+    "max(l_quantity) AS max_q, min(l_quantity) AS min_q "
+    "FROM lineitem GROUP BY l_returnflag",
+    "two-phase salted aggregation == plain GROUP BY (hot-key mitigation)",
+)
+
+# --------------------------------------------------------------------------
 # streaming dedup
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,42 @@
+"""Salted aggregation exactness + MySQL-style LIMIT rewrite."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataframe_sql_spark.dialect.shim import translate
+from dataframe_sql_spark.operators.skew import salted_agg
+
+
+def test_limit_offset_comma_rewrite():
+    out = translate("select * from t order by a limit 5, 10")
+    assert "LIMIT 10 OFFSET 5" in out
+
+
+def test_plain_limit_untouched():
+    assert "limit 5" in translate("select * from t limit 5")
+
+
+def test_salted_agg_equals_plain(spark, engine):
+    li = engine.spark.table("lineitem")
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"s": ("l_quantity", "sum"), "c": ("l_quantity", "count")},
+        buckets=8,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        {"l_quantity": "sum"}
+    )
+    got = {r.l_returnflag: (r.s, r.c) for r in salted.collect()}
+    want_sum = {
+        r.l_returnflag: r["sum(l_quantity)"] for r in plain.collect()
+    }
+    assert set(got) == set(want_sum)
+    for k in got:
+        assert got[k][0] == pytest.approx(want_sum[k])
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_agg(spark.range(5), ["id"], {"m": ("id", "median")})
