@@ -55,6 +55,27 @@ def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed table.
+
+    Bucketing pre-shuffles data by the join/agg key at write time: two
+    tables bucketed the same way join with ZERO exchange, and
+    aggregations on the bucket key skip the shuffle — the single
+    biggest lever for repeated joins at 100 TB. Requires the session
+    catalog (``saveAsTable``); bucket metadata lives in the metastore.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

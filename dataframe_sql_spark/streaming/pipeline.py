@@ -112,6 +112,49 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the escape hatch for semantics no built-in stateful op covers):
+    per-user running event count + value total, emitted per batch,
+    state evicted after ``timeout_minutes`` of processing-time
+    inactivity so state stays bounded on an unbounded stream.
+
+    In batch mode, falls back to the equivalent groupBy aggregate
+    (same output schema) — mirroring how the windowed transforms stay
+    batch/stream dual.
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, spark: SparkSession, output_mode: str = "complete"
 ):

@@ -44,6 +44,23 @@ def test_session_stream_runs(spark, events_stream):
     assert len(rows) > 0 and all(r.n_events >= 1 for r in rows)
 
 
+def test_stateful_running_totals_stream(spark, engine, events_stream):
+    from dataframe_sql_spark.streaming.pipeline import running_user_totals
+
+    streamed = run_stream_to_memory(
+        running_user_totals(events_stream), "t_stateful", spark, output_mode="update"
+    )
+    # single-batch availableNow run → final state equals the batch aggregate
+    batch = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in running_user_totals(engine.spark.table("events")).collect()
+    }
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6)) for r in streamed.collect()
+    }
+    assert got == batch and len(got) > 0
+
+
 def test_stream_dedup_runs(spark, events_stream):
     out = run_stream_to_memory(
         dedup_events(events_stream), "t_dedup", spark, output_mode="append"
