@@ -188,6 +188,54 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def blocked_ngram_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs within a blocking key.
+
+    The non-LSH member of the dedup family (reference has no dedup at
+    all — SURVEY §2.12): candidate pairs come from equality blocking
+    (``block_cols``, e.g. (lang, source) or a cluster id) rather than
+    minhash bands, and similarity is the *exact* shingle-set Jaccard.
+    Returns (id_a, id_b, inter, uni, jaccard) for pairs with
+    ``jaccard >= threshold``; ``inter``/``uni`` are integer set sizes
+    so cross-engine comparisons don't hinge on float rounding.
+
+    Scale notes: the self-join shuffles on the blocking key only; cost
+    is quadratic per block, so block keys must bound group size (at
+    100 TB: block on LSH buckets or cluster ids, not coarse labels).
+    Shingle arrays are materialized before the join so each side
+    tokenizes once.
+    """
+    sh = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        word_shingles(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    uni = F.size(F.array_union(F.col("a.__sh"), F.col("b.__sh")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            inter.alias("inter"),
+            uni.alias("uni"),
+            (inter.cast("double") / uni).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,

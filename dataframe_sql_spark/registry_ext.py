@@ -22,6 +22,7 @@ from .functions.text import (
 )
 from .multimodal.binary import attach_blob_metadata, decode_image_batch
 from .operators.dedup import (
+    blocked_ngram_jaccard,
     embedding_dedup,
     exact_dedup,
     minhash_candidate_pairs,
@@ -98,6 +99,32 @@ _reg(
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")),
     None,
     "LSH candidate pairs verified by exact shingle Jaccard ≥ 0.5",
+)
+
+_reg(
+    "dd_ngram_jaccard",
+    lambda spark, sf_dir: blocked_ngram_jaccard(
+        _docs(spark, sf_dir), "doc_id", "text", ["lang", "source"]
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("uni").cast("bigint").alias("uni"),
+    ),
+    r"WITH w AS ("
+    r" SELECT doc_id, lang, source,"
+    r"  string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents), "
+    r"sh AS ("
+    r" SELECT doc_id, lang, source,"
+    r"  list_transform(range(1, greatest(len(ws) - 2, 1) + 1),"
+    r"   i -> array_to_string(ws[i:i+2], ' ')) AS s FROM w) "
+    r"SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+    r" len(list_intersect(a.s, b.s))::BIGINT AS inter,"
+    r" len(list_distinct(list_cat(a.s, b.s)))::BIGINT AS uni "
+    r"FROM sh a JOIN sh b"
+    r" ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id",
+    "exact blocked n-gram Jaccard (integer set sizes — rounding-proof "
+    "differential check over every in-block pair)",
 )
 
 _reg(

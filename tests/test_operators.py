@@ -51,6 +51,27 @@ def test_minhash_dedup_drops_near_dup(doc_df):
     assert 3 not in ids  # near dup caught
 
 
+def test_blocked_ngram_jaccard(spark):
+    from dataframe_sql_spark.operators.dedup import blocked_ngram_jaccard
+
+    rows = [
+        (1, "a", "the quick brown fox jumps"),
+        (2, "a", "the quick brown fox leaps"),  # shares 2 of its 3 shingles with 1
+        (3, "a", "totally different words here"),
+        (4, "b", "the quick brown fox jumps"),  # other block: never paired with 1-3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "blk", "text"])
+    out = {
+        (r.id_a, r.id_b): (r.inter, r.uni, round(r.jaccard, 4))
+        for r in blocked_ngram_jaccard(df, "doc_id", "text", ["blk"]).collect()
+    }
+    # k=3 over 5 words → 3 shingles each; docs 1,2 share the first 2
+    assert out[(1, 2)] == (2, 4, 0.5)
+    assert out[(1, 3)][0] == 0
+    assert all(a != 4 and b != 4 for a, b in out)  # blocking respected
+    assert len(out) == 3  # all in-block pairs, threshold 0 keeps everything
+
+
 def test_simhash_pairs_find_near_dup(doc_df):
     pairs = simhash_candidate_pairs(doc_df, "doc_id", "text", max_hamming=10)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
