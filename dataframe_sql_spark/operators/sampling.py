@@ -1,0 +1,102 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines.
+
+The reference has no sampling surface (SURVEY §2 — SELECT-only
+grammar); these are north-star extensions. Everything here is
+**hash-based, not RNG-based**: assignment depends only on the row's id
+and an explicit seed, so results are
+
+- reproducible across reruns, partitionings, and cluster sizes
+  (``DataFrame.sample`` is none of these — its output depends on
+  partition layout);
+- map-side only — no shuffle, no driver state, no RNG
+  synchronization, which is the only sane design at 100 TB;
+- cross-engine checkable: the hash is ``md5("{id}:{seed}")`` and the
+  bucket decision compares the first 8 hex chars as *strings*, which
+  DuckDB reproduces bit-for-bit (see the registry oracles).
+
+The 8-hex-char prefix gives 16^8 ≈ 4.3e9 buckets — fraction
+granularity ~2.3e-10, far below any practical split ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket_hex", "hash_split", "hash_sample", "stratified_hash_sample"]
+
+_HEX_SPACE = 16**8
+
+
+def hash_bucket_hex(id_col: str, seed: int) -> Column:
+    """First 8 hex chars of ``md5("{id}:{seed}")`` — a uniform draw in
+    [0, 16^8) encoded as a lexicographically ordered hex string."""
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 8
+    )
+
+
+def hex_threshold(fraction: float) -> str:
+    """Hex-string threshold t such that P[bucket < t] == fraction
+    (up to 1/16^8). Shared by operators and their SQL oracles."""
+    return format(min(max(int(fraction * _HEX_SPACE), 0), _HEX_SPACE - 1), "08x")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (e.g. train/val/test) by id
+    hash. Weights must sum to ~1; the last split absorbs rounding.
+
+    Map-side projection only — the plan is a single whole-stage-codegen
+    scan+project, no exchange.
+    """
+    names = list(weights)
+    bucket = hash_bucket_hex(id_col, seed)
+    expr: Column | None = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < F.lit(hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    out = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    return df.withColumn(split_col, out)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, seed: int = 42) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by id hash."""
+    return df.filter(hash_bucket_hex(id_col, seed) < F.lit(hex_threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones). Strata absent from ``fractions``
+    get ``default_fraction``.
+
+    Still map-side only: the per-stratum threshold is a CASE over
+    literals, not a join against a fractions table.
+    """
+    bucket = hash_bucket_hex(id_col, seed)
+    thr: Column | None = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(value)
+        t = F.lit(hex_threshold(frac))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        thr.otherwise(F.lit(hex_threshold(default_fraction)))
+        if thr is not None
+        else F.lit(hex_threshold(default_fraction))
+    )
+    return df.filter(bucket < thr)

@@ -31,6 +31,12 @@ from .operators.dedup import (
     simhash_dedup,
 )
 from .operators.joins import asof_join, symmetric_difference
+from .operators.sampling import (
+    hash_sample,
+    hash_split,
+    hex_threshold,
+    stratified_hash_sample,
+)
 from .operators.similarity import cosine_topk, knn_join_bruteforce, lsh_topk
 from .registry import CATALOG, QuerySpec, engine_for
 from .streaming.pipeline import session_counts, sliding_counts, tumbling_counts
@@ -568,6 +574,55 @@ _reg(
     "max(l_quantity) AS max_q, min(l_quantity) AS min_q "
     "FROM lineitem GROUP BY l_returnflag",
     "two-phase salted aggregation == plain GROUP BY (hot-key mitigation)",
+)
+
+# --------------------------------------------------------------------------
+# deterministic sampling / splits (training-pipeline surface)
+# --------------------------------------------------------------------------
+
+_BUCKET_SQL = "substr(md5(doc_id || ':42'), 1, 8)"
+
+_reg(
+    "x_hash_split",
+    lambda spark, sf_dir: hash_split(
+        _docs(spark, sf_dir),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=42,
+    ).select("doc_id", "lang", "split"),
+    f"SELECT doc_id, lang, CASE"
+    f" WHEN {_BUCKET_SQL} < '{hex_threshold(0.8)}' THEN 'train'"
+    f" WHEN {_BUCKET_SQL} < '{hex_threshold(0.9)}' THEN 'val'"
+    f" ELSE 'test' END AS split FROM documents",
+    "deterministic hash-based train/val/test split (map-side, RNG-free, "
+    "partitioning-independent)",
+)
+
+_reg(
+    "x_hash_sample",
+    lambda spark, sf_dir: hash_sample(
+        _docs(spark, sf_dir), "doc_id", 0.25, seed=42
+    ).select("doc_id", "lang", "source"),
+    f"SELECT doc_id, lang, source FROM documents"
+    f" WHERE {_BUCKET_SQL} < '{hex_threshold(0.25)}'",
+    "deterministic 25% sample by id hash",
+)
+
+_reg(
+    "x_stratified_sample",
+    lambda spark, sf_dir: stratified_hash_sample(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 1.0},
+        seed=42,
+        default_fraction=0.25,
+    ).select("doc_id", "lang"),
+    f"SELECT doc_id, lang FROM documents WHERE {_BUCKET_SQL} < CASE lang"
+    f" WHEN 'en' THEN '{hex_threshold(0.5)}'"
+    f" WHEN 'de' THEN '{hex_threshold(1.0)}'"
+    f" ELSE '{hex_threshold(0.25)}' END",
+    "per-stratum deterministic sampling (downsample dominant strata)",
 )
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,52 @@
+"""Deterministic sampling/split operators: reproducibility,
+partitioning-independence, disjointness — properties the row-hash
+driver check can't see."""
+
+from __future__ import annotations
+
+from dataframe_sql_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.collect())
+
+
+def test_hash_split_partitions_rows(engine):
+    docs = engine.spark.table("documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    total = docs.count()
+    assert sum(counts.values()) == total  # exhaustive, disjoint by construction
+    assert 0.7 < counts["train"] / total < 0.9  # roughly proportional
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_hash_sample_deterministic_and_partition_independent(engine):
+    docs = engine.spark.table("documents")
+    a = _ids(hash_sample(docs, "doc_id", 0.3))
+    b = _ids(hash_sample(docs.repartition(7), "doc_id", 0.3))
+    assert a == b and 0 < len(a) < docs.count()
+    # different seed → different sample
+    c = _ids(hash_sample(docs, "doc_id", 0.3, seed=7))
+    assert c != a
+
+
+def test_stratified_fractions_respected(engine):
+    docs = engine.spark.table("documents")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", {"de": 1.0}, default_fraction=0.0
+    )
+    # fraction 1.0 keeps every row of the stratum, 0.0 drops all others
+    assert out.count() == docs.filter("lang = 'de'").count()
+    assert out.filter("lang != 'de'").count() == 0
+
+
+def test_split_is_map_side_only(engine):
+    plan = hash_split(
+        engine.spark.table("documents"), "doc_id", {"a": 0.5, "b": 0.5}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: pure scan+project
