@@ -37,7 +37,7 @@ from .operators.sampling import (
     hex_threshold,
     stratified_hash_sample,
 )
-from .operators.similarity import cosine_topk, knn_join_bruteforce, lsh_topk
+from .operators.similarity import cosine_topk, ivf_topk, knn_join_bruteforce, lsh_topk
 from .registry import CATALOG, QuerySpec, engine_for
 from .streaming.pipeline import session_counts, sliding_counts, tumbling_counts
 
@@ -190,6 +190,19 @@ _reg(
     " FROM embeddings a JOIN embeddings b ON b.label != 0"
     " WHERE a.label = 0) t WHERE rn <= 3",
     "k-NN join: 3 nearest corpus vectors per query vector (broadcast right side)",
+)
+
+_reg(
+    "sim_ann_ivf",
+    lambda spark, sf_dir: ivf_topk(
+        _emb(spark, sf_dir), "embedding", _QUERY_VEC, k=10, n_cells=16, n_probe=16
+    ).select("vec_id", F.round("score", 8).alias("score")),
+    # full probe (n_probe == n_cells) is provably exact ⇒ same oracle as sim_topk;
+    # partial-probe recall is pytest-gated (test_operators.py)
+    "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], "
+    f"{_QUERY_VEC_SQL}), 8) AS score "
+    "FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",
+    "IVF coarse-quantized ANN: probe nearest centroid cells, exact rerank inside",
 )
 
 _reg(

@@ -103,6 +103,26 @@ def test_lsh_topk_matches_bruteforce_on_testdata(spark, engine):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_ivf_topk_full_probe_exact_partial_probe_recall(spark, engine):
+    from dataframe_sql_spark.operators.similarity import ivf_topk
+
+    emb = engine.spark.table("embeddings")
+    query = [1.0] * 64
+    exact = [r.vec_id for r in cosine_topk(emb, "embedding", query, k=10).collect()]
+    # probing every cell must reproduce brute force exactly
+    full = [
+        r.vec_id
+        for r in ivf_topk(emb, "embedding", query, k=10, n_cells=16, n_probe=16).collect()
+    ]
+    assert full == exact
+    # probing 4/16 cells: recall@10 ≥ 0.5 on 500 sampled-centroid vectors
+    part = [
+        r.vec_id
+        for r in ivf_topk(emb, "embedding", query, k=10, n_cells=16, n_probe=4).collect()
+    ]
+    assert len(set(exact) & set(part)) >= 5
+
+
 def test_token_count_edges(spark):
     df = spark.createDataFrame([(1, ""), (2, "   "), (3, "one"), (4, "a b  c")], ["i", "t"])
     out = {r.i: r.n for r in df.select("i", token_count(F.col("t")).alias("n")).collect()}
