@@ -39,7 +39,12 @@ from .operators.sampling import (
 )
 from .operators.similarity import cosine_topk, ivf_topk, knn_join_bruteforce, lsh_topk
 from .registry import CATALOG, QuerySpec, engine_for
-from .streaming.pipeline import session_counts, sliding_counts, tumbling_counts
+from .streaming.pipeline import (
+    purchase_attribution,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
 
 __all__: list[str] = []
 
@@ -641,6 +646,33 @@ _reg(
 # --------------------------------------------------------------------------
 # streaming dedup
 # --------------------------------------------------------------------------
+
+_reg(
+    "st_stream_join",
+    lambda spark, sf_dir: purchase_attribution(_events(spark, sf_dir), "2 hours").select(
+        "click_id", "user_id", F.round("purchase_value", 4).alias("purchase_value")
+    ),
+    "SELECT c.event_id AS click_id, c.user_id, round(p.value, 4) AS purchase_value "
+    "FROM events c JOIN events p ON c.event_type = 'click' "
+    "AND p.event_type = 'purchase' AND p.user_id = c.user_id "
+    "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR",
+    "stream-stream interval join (watermark-bounded state in stream mode; "
+    "batch path oracle-checked)",
+)
+
+_reg(
+    "a_approx_agg",
+    lambda spark, sf_dir: engine_for(spark, sf_dir)
+    .spark.table("lineitem")
+    .groupBy("l_returnflag")
+    .agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("apx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("apx_med"),
+    ),
+    None,  # sketch outputs differ across engines; pytest gates relative error
+    "sketch aggregates: HLL++ count-distinct + approximate percentile — "
+    "single-pass, fixed-size state (the 100 TB substitute for exact distinct)",
+)
 
 _reg(
     "st_dedup",

@@ -23,6 +23,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "dedup_events",
+    "purchase_attribution",
     "run_stream_to_memory",
 ]
 
@@ -152,6 +153,42 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
             outputMode="update",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
+    )
+
+
+def purchase_attribution(
+    events: DataFrame, horizon: str = "2 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: every click paired with the same
+    user's purchases within ``horizon`` after the click.
+
+    In streaming mode both sides carry watermarks and the join
+    condition bounds event-time distance, which is exactly what lets
+    Spark discard join state older than watermark+horizon — without
+    the time bound a stream-stream join would buffer forever. In batch
+    mode the identical join runs as a plain range join (DuckDB-oracle
+    checkable).
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (clicks["user_id"] == purchases["p_user"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (purchases["purchase_ts"] <= clicks["click_ts"] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(purchases, cond).select(
+        "click_id", "user_id", "purchase_ts", "purchase_value"
     )
 
 

@@ -123,6 +123,32 @@ def test_ivf_topk_full_probe_exact_partial_probe_recall(spark, engine):
     assert len(set(exact) & set(part)) >= 5
 
 
+def test_approx_agg_relative_error(engine):
+    li = engine.spark.table("lineitem")
+    exact = {
+        r.l_returnflag: (r.d, r.m)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("d"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: (r.apx_orders, r.apx_med)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("apx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("apx_med"),
+        )
+        .collect()
+    }
+    for flag, (d, m) in exact.items():
+        ad, am = approx[flag]
+        assert abs(ad - d) / d < 0.05  # HLL++ default rsd ≈ 2.3%
+        assert abs(am - m) / m < 0.05
+
+
 def test_token_count_edges(spark):
     df = spark.createDataFrame([(1, ""), (2, "   "), (3, "one"), (4, "a b  c")], ["i", "t"])
     out = {r.i: r.n for r in df.select("i", token_count(F.col("t")).alias("n")).collect()}

@@ -61,6 +61,20 @@ def test_stateful_running_totals_stream(spark, engine, events_stream):
     assert got == batch and len(got) > 0
 
 
+def test_stream_stream_join_matches_batch(spark, engine, events_stream):
+    from dataframe_sql_spark.streaming.pipeline import purchase_attribution
+
+    batch = {
+        (r.click_id, round(r.purchase_value, 4))
+        for r in purchase_attribution(engine.spark.table("events")).collect()
+    }
+    streamed = run_stream_to_memory(
+        purchase_attribution(events_stream), "t_ssjoin", spark, output_mode="append"
+    )
+    got = {(r.click_id, round(r.purchase_value, 4)) for r in streamed.collect()}
+    assert got == batch and len(got) > 0
+
+
 def test_stream_dedup_runs(spark, events_stream):
     out = run_stream_to_memory(
         dedup_events(events_stream), "t_dedup", spark, output_mode="append"
