@@ -507,6 +507,21 @@ _reg_sql(
     "o_orderdate + INTERVAL 1 DAY AS next_day FROM orders",
     "date/time scalar functions",
 )
+_reg(
+    "f_json_funcs",
+    lambda spark, sf_dir: _events(spark, sf_dir).select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.from_json("props", "k bigint")["k"].alias("k_struct"),
+    ),
+    "SELECT event_id, json_extract_string(props, '$.k') AS k_str, "
+    "json_extract(props, '$.k')::BIGINT AS k, "
+    "json_extract(props, '$.k')::BIGINT AS k_struct FROM events",
+    "JSON extraction: get_json_object path access + from_json struct parse "
+    "(semi-structured props column)",
+)
+
 _reg_sql(
     "f_regex_funcs",
     r"select doc_id, regexp_extract(text, '([a-z]+)', 1) as first_word, "
