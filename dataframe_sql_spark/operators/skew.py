@@ -9,9 +9,9 @@ helpers cover the two cases AQE doesn't:
   partial-aggregate on (key, salt), then final-aggregate on key. Only
   algebraic aggregates (sum/count/min/max and anything composed from
   them, e.g. avg = sum/count) can split this way.
-- ``salted_broadcast_left``: replicate-broadcast join where the dim
-  side is small but the probe side has hot keys AND the join must
-  shuffle for a later stage anyway.
+- ``salted_join``: replicate-and-salt equi-join — hot probe keys are
+  split across salt buckets while the build side is replicated
+  buckets×, so no single task owns a hot key's entire row set.
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_salt", "salted_agg"]
+__all__ = ["with_salt", "salted_agg", "salted_join"]
 
 
 def with_salt(df: DataFrame, buckets: int = 16, col_name: str = "__salt") -> DataFrame:
@@ -55,3 +55,28 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[merge_fn[fn](out).alias(out) for out, (_, fn) in aggs.items()]
     )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the probe side gets a random salt, the
+    build side is replicated once per salt value (explode of a literal
+    range — build grows buckets×, so keep build the smaller side), and
+    the join runs on (keys + salt). A key owning 30% of the probe rows
+    now spreads over ``buckets`` tasks instead of pinning one.
+
+    Result is exactly the plain join (each probe row matches exactly
+    one replica of each matching build row). Prefer AQE skew-join
+    splitting when it applies; this covers plans AQE can't rewrite
+    (e.g. a shuffle reused by a later stage, or non-sort-merge joins).
+    """
+    p = with_salt(probe, buckets)
+    b = build.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return p.join(b, on=[*on, "__salt"], how=how).drop("__salt")

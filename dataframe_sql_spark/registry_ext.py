@@ -600,6 +600,27 @@ def _salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_join
+
+    eng = engine_for(spark, sf_dir)
+    li = eng.spark.table("lineitem").select("l_orderkey", "l_quantity")
+    orders = eng.spark.table("orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    return salted_join(li, orders, on=["l_orderkey"], buckets=8).select(
+        "l_orderkey", "l_quantity", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+_reg(
+    "j_salted",
+    _salted_join,
+    "SELECT l_orderkey, l_quantity, round(o_totalprice, 4) AS o_totalprice "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+    "replicate-and-salt skew join == plain equi-join (hot-key mitigation)",
+)
+
 _reg(
     "a_salted_agg",
     _salted,

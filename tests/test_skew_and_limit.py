@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dataframe_sql_spark.dialect.shim import translate
 from dataframe_sql_spark.operators.skew import salted_agg
@@ -35,6 +36,28 @@ def test_salted_agg_equals_plain(spark, engine):
     assert set(got) == set(want_sum)
     for k in got:
         assert got[k][0] == pytest.approx(want_sum[k])
+
+
+def test_salted_join_equals_plain_join(spark, engine):
+    from dataframe_sql_spark.operators.skew import salted_join
+
+    li = engine.spark.table("lineitem").select("l_orderkey", "l_linenumber")
+    orders = engine.spark.table("orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    salted = salted_join(li, orders, on=["l_orderkey"], buckets=8)
+    plain = li.join(orders, on="l_orderkey")
+    key = lambda r: (r.l_orderkey, r.l_linenumber, r.o_custkey)  # noqa: E731
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    from dataframe_sql_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "va"])
+    b = spark.createDataFrame([(1, "z")], ["k", "vb"])
+    out = {(r.k, r.va, r.vb) for r in salted_join(a, b, ["k"], buckets=4, how="left").collect()}
+    assert out == {(1, "x", "z"), (2, "y", None)}
 
 
 def test_salted_agg_rejects_non_algebraic(spark):
