@@ -25,6 +25,8 @@ __all__ = [
     "dedup_events",
     "purchase_attribution",
     "run_stream_to_memory",
+    "run_stream_to_parquet",
+    "run_stream_foreach_batch",
 ]
 
 
@@ -207,3 +209,43 @@ def run_stream_to_memory(
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def run_stream_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> None:
+    """Durable file sink with a checkpoint: the write-ahead log in
+    ``checkpoint`` records which source files each committed batch
+    consumed, so a restart with the same checkpoint resumes after the
+    last commit instead of reprocessing — end-to-end exactly-once for
+    file→file pipelines. Blocks until the availableNow run drains."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def run_stream_foreach_batch(
+    df: DataFrame, batch_fn, checkpoint: str
+) -> None:
+    """foreachBatch escape hatch: each micro-batch is handed to
+    ``batch_fn(batch_df, batch_id)`` as a *batch* DataFrame, so any
+    batch-only sink (merge/upsert into a table, JDBC, multi-sink
+    fan-out) works from a stream. batch_fn must be idempotent per
+    batch_id — Spark may re-run a batch after failure; the
+    (checkpoint, batch_id) pair is the dedup key."""
+    q = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

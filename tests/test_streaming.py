@@ -75,6 +75,32 @@ def test_stream_stream_join_matches_batch(spark, engine, events_stream):
     assert got == batch and len(got) > 0
 
 
+def test_parquet_sink_checkpoint_exactly_once(spark, engine, events_stream, tmp_path):
+    from dataframe_sql_spark.streaming.pipeline import run_stream_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_stream_to_parquet(events_stream.select("event_id", "user_id"), out, ckpt)
+    n_events = engine.spark.table("events").count()
+    assert spark.read.parquet(out).count() == n_events
+    # restart with the same checkpoint: source exhausted → no duplicates
+    run_stream_to_parquet(events_stream.select("event_id", "user_id"), out, ckpt)
+    assert spark.read.parquet(out).count() == n_events
+
+
+def test_foreach_batch_sink(spark, events_stream, tmp_path):
+    from dataframe_sql_spark.streaming.pipeline import run_stream_foreach_batch
+
+    seen: list[tuple[int, int]] = []
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    run_stream_foreach_batch(
+        events_stream.select("event_id"), sink, str(tmp_path / "fb_ckpt")
+    )
+    assert seen and sum(n for _, n in seen) > 0
+
+
 def test_stream_dedup_runs(spark, events_stream):
     out = run_stream_to_memory(
         dedup_events(events_stream), "t_dedup", spark, output_mode="append"
