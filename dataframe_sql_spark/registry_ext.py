@@ -394,6 +394,17 @@ def _reg_sql(name: str, engine_sql: str, oracle: str | None, doc: str) -> None:
 
 
 _reg_sql(
+    "q_recursive_cte",
+    "WITH RECURSIVE m(n) AS ("
+    " SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 12) "
+    "SELECT n, count(o_orderkey) AS n_orders "
+    "FROM m LEFT JOIN orders ON month(o_orderdate) = n GROUP BY n",
+    None,  # identical SQL runs on DuckDB
+    "recursive CTE (iterative expansion joined against a table; "
+    "Q3 extension beyond the reference grammar)",
+)
+
+_reg_sql(
     "j_semi",
     "select c_custkey, c_name from customer left semi join orders "
     "on c_custkey = o_custkey",

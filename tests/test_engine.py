@@ -31,6 +31,22 @@ def test_remove_unregistered_raises(engine):
         engine.remove_temp_table("no_such_table_xyz")
 
 
+def test_query_unknown_table_raises_analysis_error(engine):
+    # SURVEY §5: the reference's historical error-path tests covered
+    # unknown-table queries (performance_tests.py DONT_TEST names)
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
+        engine.query("select * from table_that_never_was").collect()
+
+
+def test_query_invalid_syntax_raises_parse_error(engine):
+    from pyspark.errors import ParseException
+
+    with pytest.raises(ParseException):
+        engine.query("select select group from from").collect()
+
+
 def test_table_name_case_insensitive(engine):
     # ref :43-50 test_case_insensitivity
     pdf = pd.DataFrame({"v": [1]})
