@@ -428,6 +428,53 @@ _sql(
     doc="TPC-H Q1 shape: scan-filter-agg-sort integration",
 )
 _sql(
+    "tpch_q3_shipping",
+    "select l_orderkey, "
+    "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) "
+    "as revenue, o_orderdate "
+    "from customer join orders on c_custkey = o_custkey "
+    "join lineitem on l_orderkey = o_orderkey "
+    "where c_mktsegment = 'BUILDING' "
+    "and o_orderdate < cast('1998-03-15' as datetime64) "
+    "and l_shipdate > cast('1998-03-15' as datetime64) "
+    "group by l_orderkey, o_orderdate "
+    "order by revenue desc, l_orderkey limit 10",
+    oracle="SELECT l_orderkey, "
+    "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) "
+    "AS revenue, o_orderdate "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < CAST('1998-03-15' AS TIMESTAMP) "
+    "AND l_shipdate > CAST('1998-03-15' AS TIMESTAMP) "
+    "GROUP BY l_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    doc="TPC-H Q3 shape: selective 3-way join + top-k revenue "
+    "(TakeOrderedAndProject over grouped join)",
+)
+_sql(
+    "tpch_q10_returns",
+    "select c_custkey, c_name, "
+    "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) "
+    "as revenue, n_name "
+    "from customer join orders on c_custkey = o_custkey "
+    "join lineitem on l_orderkey = o_orderkey "
+    "join nation on c_nationkey = n_nationkey "
+    "where l_returnflag = 'R' "
+    "group by c_custkey, c_name, n_name "
+    "order by revenue desc, c_custkey limit 20",
+    oracle="SELECT c_custkey, c_name, "
+    "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) "
+    "AS revenue, n_name "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    doc="TPC-H Q10 shape: returned-item ranking, fact join + broadcast dims",
+)
+_sql(
     "tpch_q5_revenue",
     "select n_name, "
     "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) "

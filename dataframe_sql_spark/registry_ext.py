@@ -10,6 +10,7 @@ get the driver's rows-only check, with pytest covering semantics.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -580,6 +581,35 @@ def _grouped_map_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(median_of, schema="l_returnflag string, med double, n long")
     )
 
+
+def _grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF surface, SURVEY §2.11): a
+    quantity-weighted mean price per returnflag, computed as one Arrow
+    batch per group — partial aggregation doesn't apply to opaque
+    UDAFs, so at 100 TB prefer expressing algebraic aggregates as
+    built-ins; this is the escape hatch for genuinely custom math."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return (
+        engine_for(spark, sf_dir)
+        .spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(wmean("l_extendedprice", "l_quantity"), 4).alias("wmean_price"))
+    )
+
+
+_reg(
+    "x_grouped_agg_udaf",
+    _grouped_agg_udaf,
+    "SELECT l_returnflag, "
+    "round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean_price "
+    "FROM lineitem GROUP BY l_returnflag",
+    "grouped-agg pandas UDF (Arrow-batched UDAF) with SQL-verifiable output",
+)
 
 _reg(
     "x_grouped_map",
