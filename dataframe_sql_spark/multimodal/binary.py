@@ -28,6 +28,7 @@ __all__ = [
     "attach_blob_metadata",
     "decode_image_batch",
     "extract_image_features",
+    "chunk_audio",
     "sample_video_frames",
 ]
 
@@ -149,6 +150,54 @@ def extract_image_features(
                 return [h / total for h in hist]
 
             yield pdf.assign(features=pdf[blob_col].map(feat))
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def chunk_audio(
+    df: DataFrame,
+    blob_col: str,
+    chunk_seconds: float = 10.0,
+    bytes_per_second: int = 32000,
+    fake: bool = False,
+) -> DataFrame:
+    """Chunk audio blobs → exploded (chunk_idx, chunk_start_s,
+    chunk_blob) rows, the standard pre-ASR/pre-training segmentation.
+    Stub treats blobs as 16 kHz 16-bit mono PCM (``bytes_per_second``)
+    and slices fixed byte windows when ``fake=True``; the real path
+    (soundfile/ffmpeg resample + silence-aware splitting) is not in
+    this container.
+
+    Same fan-out caveat as frame sampling: one row becomes
+    ceil(duration/chunk_seconds) rows before any shuffle.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("chunk_start_s", T.DoubleType()),
+            T.StructField("chunk_blob", T.BinaryType()),
+        ]
+    )
+    step = int(chunk_seconds * bytes_per_second)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio chunking needs soundfile/ffmpeg; pass fake=True"
+                )
+            rows = []
+            for _, row in pdf.iterrows():
+                blob = row[blob_col] or b""
+                n = max(1, -(-len(blob) // step))  # ceil, ≥1 so empty rows survive
+                for i in range(n):
+                    r = dict(row)
+                    r["chunk_idx"] = i
+                    r["chunk_start_s"] = i * chunk_seconds
+                    r["chunk_blob"] = blob[i * step : (i + 1) * step]
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(batches, schema=out_schema)
 

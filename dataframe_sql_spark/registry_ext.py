@@ -21,7 +21,7 @@ from .functions.text import (
     lang_id,
     token_count,
 )
-from .multimodal.binary import attach_blob_metadata, decode_image_batch
+from .multimodal.binary import attach_blob_metadata, chunk_audio, decode_image_batch
 from .operators.dedup import (
     blocked_ngram_jaccard,
     embedding_dedup,
@@ -302,6 +302,20 @@ _reg(
     "md5(text) AS content_hash, 'application/octet-stream' AS media_type "
     "FROM documents",
     "binary-column metadata: length, content hash, magic-byte type sniff",
+)
+
+_reg(
+    "mm_audio_chunks",
+    lambda spark, sf_dir: chunk_audio(
+        _mm_blobs(spark, sf_dir), "blob", chunk_seconds=1.0, bytes_per_second=256, fake=True
+    ).select("doc_id", "chunk_idx", "chunk_start_s", F.length("chunk_blob").alias("n_bytes")),
+    "WITH c AS (SELECT doc_id, octet_length(encode(text)) AS n, "
+    " greatest((octet_length(encode(text)) + 255) // 256, 1) AS nchunks FROM documents), "
+    "u AS (SELECT doc_id, n, unnest(generate_series(1, nchunks)) AS i FROM c) "
+    "SELECT doc_id, (i - 1)::INT AS chunk_idx, ((i - 1) * 1.0)::DOUBLE AS chunk_start_s, "
+    " least(256, n - (i - 1) * 256)::INT AS n_bytes FROM u",
+    "audio chunking fan-out (mapInPandas explode; stub PCM slicing) — "
+    "chunk boundaries oracle-checked",
 )
 
 _reg(

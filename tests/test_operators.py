@@ -203,6 +203,28 @@ def test_feature_extract_stub(spark):
     assert len(row.features) == 8 and abs(sum(row.features) - 1.0) < 1e-6
 
 
+def test_audio_chunking_stub(spark):
+    from dataframe_sql_spark.multimodal.binary import chunk_audio
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 70000), (2, b"y" * 10), (3, None)], ["i", "blob"]
+    )
+    out = chunk_audio(df, "blob", chunk_seconds=1.0, bytes_per_second=32000, fake=True)
+    rows = sorted((r.i, r.chunk_idx, r.chunk_start_s, len(r.chunk_blob)) for r in out.collect())
+    # 70000 bytes @32k/s → 3 chunks (32000, 32000, 6000); short/null rows keep 1 chunk
+    assert rows == [
+        (1, 0, 0.0, 32000),
+        (1, 1, 1.0, 32000),
+        (1, 2, 2.0, 6000),
+        (2, 0, 0.0, 10),
+        (3, 0, 0.0, 0),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="soundfile|NotImplemented"):
+        chunk_audio(df, "blob").collect()
+
+
 def test_video_frame_sampling_stub(spark):
     df = spark.createDataFrame([(1, bytes(range(256)) * 20)], ["i", "blob"])
     out = sample_video_frames(df, "blob", every_n_bytes=1024, max_frames=4, fake=True).collect()
