@@ -317,6 +317,19 @@ _sql(
     "from lineitem",
     doc="W6 lag/lead/row_number (extension)",
 )
+_sql(
+    "w_analytics",
+    "select l_orderkey, l_linenumber, "
+    f"ntile(4) over (partition by l_returnflag order by {_W_ORD}, l_orderkey) as quartile, "
+    f"round(percent_rank() over (partition by l_returnflag order by {_W_ORD}, l_orderkey), 8) as pr, "
+    f"round(cume_dist() over (partition by l_returnflag order by {_W_ORD}, l_orderkey), 8) as cd, "
+    f"first_value(l_quantity) over (partition by l_orderkey order by {_W_ORD}) as first_q, "
+    f"last_value(l_quantity) over (partition by l_orderkey order by {_W_ORD} "
+    "rows between unbounded preceding and unbounded following) as last_q "
+    "from lineitem",
+    doc="W6 analytic functions: ntile / percent_rank / cume_dist / "
+    "first_value / last_value with explicit full frame (extension)",
+)
 
 # --- §2.7 sort / limit ----------------------------------------------------
 
