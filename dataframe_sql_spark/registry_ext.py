@@ -735,6 +735,55 @@ _reg(
 )
 
 # --------------------------------------------------------------------------
+# end-to-end curation pipeline (the whole training-data story, one query)
+# --------------------------------------------------------------------------
+
+
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pipeline: quality gate → exact dedup (min-id per
+    normalized-text fingerprint) → deterministic train/val/test split.
+    Every stage is individually oracle-checked elsewhere; this entry
+    checks their composition — the shape an actual 100 TB corpus run
+    takes (filter pushes to scan; dedup is the only shuffle; split is
+    map-side).
+    """
+    docs = _docs(spark, sf_dir)
+    quality = docs.filter(
+        (token_count(F.col("text")) >= 30)
+        & (
+            F.length(F.regexp_replace(F.trim(F.col("text")), r"[A-Za-z0-9\s]", ""))
+            / F.length(F.trim(F.col("text")))
+            < 0.2
+        )
+    )
+    keyed = quality.withColumn("__fp", fingerprint(F.col("text")))
+    winners = keyed.groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    deduped = keyed.join(winners, "doc_id", "inner").drop("__fp")
+    return hash_split(
+        deduped, "doc_id", {"train": 0.9, "val": 0.1}, seed=42
+    ).select("doc_id", "lang", "split")
+
+
+_reg(
+    "pipe_curation",
+    _curation_pipeline,
+    r"WITH q AS ("
+    r" SELECT doc_id, lang, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp"
+    r" FROM documents"
+    r" WHERE CASE WHEN length(trim(text)) = 0 THEN 0"
+    r"  ELSE length(string_split_regex(trim(text), '\s+')) END >= 30"
+    r" AND length(regexp_replace(trim(text), '[A-Za-z0-9\s]', '', 'g'))::DOUBLE"
+    r"  / length(trim(text)) < 0.2), "
+    r"w AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY fp) "
+    r"SELECT q.doc_id, q.lang, CASE"
+    f" WHEN {_BUCKET_SQL.replace('doc_id', 'q.doc_id')} < '{hex_threshold(0.9)}'"
+    r" THEN 'train' ELSE 'val' END AS split "
+    r"FROM q JOIN w ON q.doc_id = w.doc_id",
+    "end-to-end curation: quality gate → fingerprint dedup → hash split, "
+    "composed stages oracle-checked as one query",
+)
+
+# --------------------------------------------------------------------------
 # streaming dedup
 # --------------------------------------------------------------------------
 
