@@ -86,3 +86,49 @@ def test_dedup_groups_on_hash_not_text(engine):
 def test_constant_folding(engine):
     plan = _formatted(engine.query("select 1 + 2 * 3 as x from nation"))
     assert "7 AS x" in plan  # Catalyst folded the literal math
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join splitting — the runtime half of the skew story
+    (salted_join covers what AQE can't). Thresholds forced low so the
+    local data qualifies; the final adaptive plan must show the skewed
+    partition was split."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        skewed = (
+            spark.range(200000)
+            .withColumn(
+                "k", F.when(F.col("id") % 10 == 0, 0).otherwise(F.col("id") % 1000)
+            )
+            .withColumn("pad", F.lpad(F.lit("x"), 64, "y"))
+        )
+        dim = spark.range(1000).withColumnRenamed("id", "k").withColumn("v", F.col("k") * 2)
+        j = skewed.join(dim, "k")
+        # collect() drives THIS dataframe's query execution to its final
+        # adaptive plan (count() would plan a separate query)
+        assert len(j.collect()) == 200000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:800]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
