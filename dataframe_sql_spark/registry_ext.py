@@ -32,6 +32,7 @@ from .operators.dedup import (
     simhash_dedup,
 )
 from .operators.joins import asof_join, symmetric_difference
+from .operators.packing import pack_sequences
 from .operators.sampling import (
     hash_sample,
     hash_split,
@@ -732,6 +733,33 @@ _reg(
     f" WHEN 'de' THEN '{hex_threshold(1.0)}'"
     f" ELSE '{hex_threshold(0.25)}' END",
     "per-stratum deterministic sampling (downsample dominant strata)",
+)
+
+# --------------------------------------------------------------------------
+# sequence packing (token-budget bin assignment for training batches)
+# --------------------------------------------------------------------------
+
+_reg(
+    "x_pack_sequences",
+    lambda spark, sf_dir: pack_sequences(
+        _docs(spark, sf_dir).select(
+            "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+        ),
+        group_col="lang",
+        order_col="doc_id",
+        tokens_col="n_tokens",
+        capacity=512,
+    ).select("doc_id", "lang", "n_tokens", "bin", "bin_offset"),
+    r"WITH t AS (SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0 THEN 0"
+    r" ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens"
+    r" FROM documents), "
+    r"c AS (SELECT doc_id, lang, n_tokens,"
+    r" coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id"
+    r"  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) "
+    r"SELECT doc_id, lang, n_tokens, floor(cb / 512)::INT AS bin,"
+    r" (cb % 512)::BIGINT AS bin_offset FROM c",
+    "sequence packing: contiguous-fill token-budget bins per lang "
+    "(one window cumsum, engine-portable determinism)",
 )
 
 # --------------------------------------------------------------------------

@@ -45,6 +45,27 @@ def test_stratified_fractions_respected(engine):
     assert out.filter("lang != 'de'").count() == 0
 
 
+def test_pack_sequences_semantics(spark):
+    from dataframe_sql_spark.operators.packing import pack_sequences
+
+    rows = [(i, "g", t) for i, t in enumerate([100, 100, 100, 100, 150, 600, 50])]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n"])
+    out = {
+        r.doc_id: (r.bin, r.bin_offset)
+        for r in pack_sequences(df, "grp", "doc_id", "n", capacity=256).collect()
+    }
+    # cum_before: 0,100,200,300,400,550,1150 → bins 0,0,0,1,1,2,4
+    assert out == {
+        0: (0, 0),
+        1: (0, 100),
+        2: (0, 200),   # straddles the 256 boundary, stays in bin 0
+        3: (1, 44),
+        4: (1, 144),
+        5: (2, 38),    # 600-token doc overflows bins 2-4
+        6: (4, 126),
+    }
+
+
 def test_split_is_map_side_only(engine):
     plan = hash_split(
         engine.spark.table("documents"), "doc_id", {"a": 0.5, "b": 0.5}
