@@ -78,6 +78,16 @@ class SparkSqlEngine:
         behavior (sql_select_query.py:96). Arrow-accelerated."""
         return self.query(sql).toPandas()
 
+    def explain(self, sql: str, mode: str = "formatted") -> str:
+        """The physical plan Catalyst chose for ``sql`` (after the
+        dialect shim), as a string — the scale-debugging entry point:
+        check PushedFilters / ReadSchema / join strategy / Exchanges
+        before a query ships to a large cluster."""
+        df = self.query(sql)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
     def _schema_lookup(self, table_name: str) -> list[str]:
         return self.spark.table(table_name).columns
 

@@ -815,6 +815,21 @@ _reg(
 # streaming dedup
 # --------------------------------------------------------------------------
 
+_reg_sql(
+    "st_rollup_multires",
+    "select date_trunc('hour', ts) as b_hour, date_trunc('day', ts) as b_day, "
+    "event_type, count(*) as n, round(sum(value), 4) as sum_value "
+    "from events group by grouping sets "
+    "((date_trunc('hour', ts), event_type), (date_trunc('day', ts), event_type))",
+    "SELECT date_trunc('hour', ts)::TIMESTAMP AS b_hour, "  # DuckDB day-trunc yields DATE
+    "date_trunc('day', ts)::TIMESTAMP AS b_day, "
+    "event_type, count(*) AS n, round(sum(value), 4) AS sum_value "
+    "FROM events GROUP BY GROUPING SETS "
+    "((date_trunc('hour', ts), event_type), (date_trunc('day', ts), event_type))",
+    "hypertable-style multi-resolution rollup: hourly + daily aggregates in "
+    "ONE pass / one shuffle via GROUPING SETS (vs two scans at 100 TB)",
+)
+
 _reg(
     "st_stream_join",
     lambda spark, sf_dir: purchase_attribution(_events(spark, sf_dir), "2 hours").select(

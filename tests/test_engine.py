@@ -31,6 +31,11 @@ def test_remove_unregistered_raises(engine):
         engine.remove_temp_table("no_such_table_xyz")
 
 
+def test_explain_returns_physical_plan(engine):
+    plan = engine.explain("select l_orderkey from lineitem where l_quantity > 45")
+    assert "Physical Plan" in plan and "PushedFilters" in plan
+
+
 def test_query_unknown_table_raises_analysis_error(engine):
     # SURVEY §5: the reference's historical error-path tests covered
     # unknown-table queries (performance_tests.py DONT_TEST names)
