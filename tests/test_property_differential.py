@@ -110,10 +110,50 @@ def _assert_same(engine, ddb, sql):
             assert (a.astype(str) == b.astype(str)).all(), f"{sql}: column {c}"
 
 
+# reference-dialect casts: (pandas type name for the engine, DuckDB
+# rendering). Spark/pandas TRUNCATE float→int; DuckDB rounds — the
+# oracle wraps in trunc() to pin the pandas semantics we follow.
+CASTS = [
+    ("o_totalprice", "int64", "trunc(o_totalprice)::BIGINT"),
+    ("o_totalprice", "int32", "trunc(o_totalprice)::INT"),
+    ("o_totalprice", "float64", "o_totalprice::DOUBLE"),
+    ("o_orderkey", "float64", "o_orderkey::DOUBLE"),
+    ("o_orderkey", "object", "o_orderkey::VARCHAR"),
+    ("o_orderkey", "smallint", "trunc(o_orderkey)::SMALLINT"),
+]
+
+
+@st.composite
+def ref_cast_query(draw):
+    col, ref_t, duck_e = draw(st.sampled_from(CASTS))
+    where = draw(where_clause())
+    ref = f"select cast({col} as {ref_t}) as c0, o_orderkey from orders where {where}"
+    duck = f"SELECT {duck_e} AS c0, o_orderkey FROM orders WHERE {where}"
+    return ref, duck
+
+
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(sql=row_query())
 def test_random_projection_filter_matches_duckdb(engine, ddb, sql):
     _assert_same(engine, ddb, sql)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pair=ref_cast_query())
+def test_random_reference_dialect_cast_matches_duckdb(engine, ddb, pair):
+    ref_sql, duck_sql = pair
+    got = _normalize(engine.query(ref_sql).toPandas())
+    want = _normalize(ddb.execute(duck_sql).fetchdf())
+    assert len(got) == len(want), ref_sql
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind in "fi" and b.dtype.kind in "fi":
+            assert np.allclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-6), (
+                ref_sql,
+                c,
+            )
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), (ref_sql, c)
 
 
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
