@@ -736,6 +736,38 @@ _reg(
 )
 
 # --------------------------------------------------------------------------
+# modern-dialect aggregation surface (GROUP BY ALL, ordered string/array agg)
+# --------------------------------------------------------------------------
+
+_reg_sql(
+    "a_groupby_all",
+    "select l_returnflag, l_linestatus, sum(l_quantity) as s from lineitem "
+    "group by all",
+    None,  # identical SQL runs on DuckDB
+    "GROUP BY ALL (infer grouping keys from the select list)",
+)
+
+_reg_sql(
+    "f_array_agg",
+    "select l_orderkey, array_join(sort_array(collect_list(l_linenumber)), ',') "
+    "as lines from lineitem group by l_orderkey",
+    "SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') "
+    "AS lines FROM lineitem GROUP BY l_orderkey",
+    "array aggregation (collect_list + sort for deterministic cross-engine "
+    "comparison; ArrayType is free headroom over the reference, SURVEY §1)",
+)
+
+_reg_sql(
+    "a_listagg",
+    "select l_returnflag, listagg(l_linestatus, ',') "
+    "within group (order by l_linestatus) as statuses "
+    "from lineitem group by l_returnflag",
+    "SELECT l_returnflag, string_agg(l_linestatus, ',' ORDER BY l_linestatus) "
+    "AS statuses FROM lineitem GROUP BY l_returnflag",
+    "ordered string aggregation (listagg WITHIN GROUP ≡ DuckDB string_agg)",
+)
+
+# --------------------------------------------------------------------------
 # sequence packing (token-budget bin assignment for training batches)
 # --------------------------------------------------------------------------
 
