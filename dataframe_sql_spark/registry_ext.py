@@ -740,6 +740,26 @@ _reg(
 # --------------------------------------------------------------------------
 
 _reg_sql(
+    "f_explode",
+    r"select doc_id, word from documents "
+    r"lateral view explode(split(trim(lower(text)), '\\s+')) t as word "
+    r"where length(word) > 0",
+    r"WITH u AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))"
+    r" AS word FROM documents) SELECT doc_id, word FROM u WHERE length(word) > 0",
+    "explode/lateral view: one row per token (the tokenize-then-aggregate "
+    "fan-out; generator runs inside codegen, no Python)",
+)
+
+_reg_sql(
+    "j_hint_broadcast",
+    "select /*+ BROADCAST(nation) */ n_name, count(*) as n "
+    "from customer join nation on c_nationkey = n_nationkey group by n_name",
+    "SELECT n_name, count(*) AS n FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+    "explicit BROADCAST hint (pin the strategy when stats would mislead)",
+)
+
+_reg_sql(
     "a_groupby_all",
     "select l_returnflag, l_linestatus, sum(l_quantity) as s from lineitem "
     "group by all",
