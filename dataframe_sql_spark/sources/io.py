@@ -26,7 +26,14 @@ TESTDATA_TABLES = [
     "embeddings",
 ]
 
-__all__ = ["TESTDATA_TABLES", "read_table", "read_csv", "read_json", "write_parquet"]
+__all__ = [
+    "TESTDATA_TABLES",
+    "read_table",
+    "read_csv",
+    "read_json",
+    "write_parquet",
+    "merge_upsert",
+]
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -88,3 +95,37 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Key-based upsert into a parquet directory: rows whose keys
+    appear in ``updates`` are replaced, everything else is kept.
+
+    Spark cannot safely overwrite a path it is still reading, so the
+    merge writes to a staging directory and atomically swaps it in —
+    the plain-parquet stand-in for what a table format (Delta/Iceberg
+    MERGE) does with metadata at 100 TB. The merge itself is one
+    left-anti join (current minus updated keys) + union — the anti
+    join broadcasts when the update batch is small, which is the
+    common CDC shape.
+    """
+    import os
+    import shutil
+
+    if os.path.exists(target_path):
+        current = spark.read.parquet(target_path)
+        merged = current.join(
+            updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        ).unionByName(updates)
+    else:
+        merged = updates
+    staging = target_path.rstrip("/") + ".__staging__"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.rename(staging, target_path)

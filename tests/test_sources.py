@@ -61,3 +61,18 @@ def test_register_scalar_udf(spark, engine):
     engine.register_function("shout", lambda s: (s or "") + "!", "string", vectorized=False)
     out = engine.query_pandas("select shout(n_name) as sn from nation limit 3")
     assert all(v.endswith("!") for v in out["sn"])
+
+
+def test_merge_upsert_latest_wins(spark, tmp_path):
+    from dataframe_sql_spark.sources.io import merge_upsert
+
+    path = str(tmp_path / "target")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], ["k", "v", "ver"]
+    )
+    merge_upsert(spark, path, base, ["k"])
+    updates = spark.createDataFrame([(2, "B", 2), (4, "d", 2)], ["k", "v", "ver"])
+    merge_upsert(spark, path, updates, ["k"])
+    got = {(r.k, r.v, r.ver) for r in spark.read.parquet(path).collect()}
+    # key 2 replaced, keys 1/3 kept, key 4 inserted
+    assert got == {(1, "a", 1), (2, "B", 2), (3, "c", 1), (4, "d", 2)}
