@@ -488,6 +488,25 @@ _sql(
     doc="TPC-H Q10 shape: returned-item ranking, fact join + broadcast dims",
 )
 _sql(
+    "tpch_q18_big_orders",
+    "select c_custkey, o_orderkey, o_totalprice, sum(l_quantity) as total_qty "
+    "from customer join orders on c_custkey = o_custkey "
+    "join lineitem on o_orderkey = l_orderkey "
+    "where o_orderkey in (select l_orderkey from lineitem "
+    "group by l_orderkey having sum(l_quantity) > 150) "
+    "group by c_custkey, o_orderkey, o_totalprice "
+    "order by o_totalprice desc, o_orderkey limit 20",
+    oracle="SELECT c_custkey, o_orderkey, o_totalprice, sum(l_quantity) AS total_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "GROUP BY l_orderkey HAVING sum(l_quantity) > 150) "
+    "GROUP BY c_custkey, o_orderkey, o_totalprice "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    doc="TPC-H Q18 shape: IN-subquery with HAVING feeding a 3-way join "
+    "(semi-join pushdown + top-k)",
+)
+_sql(
     "tpch_q5_revenue",
     "select n_name, "
     "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) "
