@@ -39,8 +39,16 @@ def hash_bucket_hex(id_col: str, seed: int) -> Column:
 
 def hex_threshold(fraction: float) -> str:
     """Hex-string threshold t such that P[bucket < t] == fraction
-    (up to 1/16^8). Shared by operators and their SQL oracles."""
-    return format(min(max(int(fraction * _HEX_SPACE), 0), _HEX_SPACE - 1), "08x")
+    (up to 1/16^8). Shared by operators and their SQL oracles.
+
+    fraction ≥ 1.0 returns "g" — lexicographically above every hex
+    string — so "keep everything" keeps the rows whose bucket is
+    exactly ffffffff too (clamping to ffffffff would silently drop
+    ~1 row per 4.3e9 at 100 TB scale).
+    """
+    if fraction >= 1.0:
+        return "g"
+    return format(max(int(fraction * _HEX_SPACE), 0), "08x")
 
 
 def hash_split(

@@ -35,6 +35,16 @@ def test_hash_sample_deterministic_and_partition_independent(engine):
     assert c != a
 
 
+def test_hex_threshold_boundaries():
+    from dataframe_sql_spark.operators.sampling import hex_threshold
+
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(0.5) == "80000000"
+    # fraction 1.0 must exceed every hex bucket, including "ffffffff"
+    assert hex_threshold(1.0) > "ffffffff"
+    assert hex_threshold(2.0) > "ffffffff"
+
+
 def test_stratified_fractions_respected(engine):
     docs = engine.spark.table("documents")
     out = stratified_hash_sample(
