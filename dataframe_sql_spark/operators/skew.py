@@ -74,7 +74,15 @@ def salted_join(
     one replica of each matching build row). Prefer AQE skew-join
     splitting when it applies; this covers plans AQE can't rewrite
     (e.g. a shuffle reused by a later stage, or non-sort-merge joins).
+
+    Only probe-preserving join types are allowed: right/full outer
+    would emit every unmatched *build* row once per replica.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports probe-preserving joins only, not {how!r} "
+            "(build-side replication would duplicate unmatched build rows)"
+        )
     p = with_salt(probe, buckets)
     b = build.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

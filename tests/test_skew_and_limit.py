@@ -60,6 +60,15 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     assert out == {(1, "x", "z"), (2, "y", None)}
 
 
+def test_salted_join_rejects_build_preserving_types(spark):
+    from dataframe_sql_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], ["k", "va"])
+    b = spark.createDataFrame([(1, "z")], ["k", "vb"])
+    with pytest.raises(ValueError, match="probe-preserving"):
+        salted_join(a, b, ["k"], how="full")
+
+
 def test_salted_agg_rejects_non_algebraic(spark):
     with pytest.raises(ValueError, match="non-algebraic"):
         salted_agg(spark.range(5), ["id"], {"m": ("id", "median")})
