@@ -48,6 +48,10 @@ def pack_sequences(
     streaming-friendly convention; callers wanting hard caps truncate
     or pre-chunk long docs). This is the window-expressible packing:
     exact greedy "reset when full" needs sequential state per group.
+
+    ``order_col`` must be unique within each group (e.g. a doc id) —
+    ties would make the cumsum, and therefore bin assignment,
+    nondeterministic.
     """
     w = (
         Window.partitionBy(group_col)

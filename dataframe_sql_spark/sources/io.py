@@ -113,6 +113,10 @@ def merge_upsert(
     left-anti join (current minus updated keys) + union — the anti
     join broadcasts when the update batch is small, which is the
     common CDC shape.
+
+    ``updates`` must hold one row per key (dedup upstream — e.g. keep
+    max-version per key — before calling); duplicate update keys are
+    written as-is.
     """
     import os
     import shutil
