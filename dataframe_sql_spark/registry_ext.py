@@ -140,6 +140,30 @@ _reg(
     "differential check over every in-block pair)",
 )
 
+def _dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import cluster_representatives
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs,
+        minhash_candidate_pairs(docs, "doc_id", "text"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    return cluster_representatives(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+_reg(
+    "dd_clusters",
+    _dd_clusters,
+    None,  # iterative connected components — not SQL-expressible; pytest-gated
+    "transitive near-dup clustering: minhash pairs → connected components → "
+    "min-id survivor per cluster (closes A~B~C chains pairwise dedup misses)",
+)
+
 _reg(
     "dd_simhash",
     lambda spark, sf_dir: simhash_dedup(

@@ -1,0 +1,49 @@
+"""Connected components / cluster dedup: transitive closure semantics
+a pairwise filter can't provide."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataframe_sql_spark.operators.graph import (
+    cluster_representatives,
+    connected_components,
+)
+
+
+def test_connected_components_chains_and_singletons(spark):
+    # two components: {1,2,3,4} (a chain) and {10,11}; 2-4 never paired directly
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    comps = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    n = 8  # diameter >> 1: propagation takes one hop per round
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    comps = {r.id: r.comp for r in connected_components(edges, max_iter=12).collect()}
+    assert set(comps.values()) == {0} and len(comps) == n + 1
+
+
+def test_connected_components_raises_without_convergence(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_cluster_representatives_transitive_closure(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (1, 2, 3, 4, 10, 11, 99)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    kept = sorted(
+        r.doc_id for r in cluster_representatives(df, pairs, "doc_id").collect()
+    )
+    # one survivor per cluster (min id), untouched row 99 kept
+    assert kept == [1, 10, 99]
