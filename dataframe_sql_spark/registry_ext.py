@@ -764,6 +764,46 @@ _reg(
 # --------------------------------------------------------------------------
 
 _reg_sql(
+    "w_time_range",
+    "select event_id, user_id, "
+    "round(sum(value) over (partition by user_id order by ts "
+    "range between interval 1 hour preceding and current row), 4) as rolling_1h "
+    "from events",
+    "SELECT event_id, user_id, "
+    "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS rolling_1h "
+    "FROM events",
+    "event-time RANGE frame: per-user rolling 1h sum (the batch twin of a "
+    "sliding stream window)",
+)
+
+_reg_sql(
+    "a_stats_agg",
+    "select l_returnflag, round(stddev_samp(l_quantity), 6) as sd, "
+    "round(var_samp(l_quantity), 6) as vr, "
+    "round(corr(l_quantity, l_extendedprice), 6) as cor, "
+    "round(covar_samp(l_quantity, l_extendedprice), 4) as cov "
+    "from lineitem group by l_returnflag",
+    "SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd, "
+    "round(var_samp(l_quantity), 6) AS vr, "
+    "round(corr(l_quantity, l_extendedprice), 6) AS cor, "
+    "round(covar_samp(l_quantity, l_extendedprice), 4) AS cov "
+    "FROM lineitem GROUP BY l_returnflag",
+    "statistical aggregates: stddev / variance / correlation / covariance",
+)
+
+_reg_sql(
+    "f_bitwise",
+    "select l_orderkey, l_orderkey & 255 as lo, l_orderkey | 15 as orr, "
+    "l_orderkey ^ l_linenumber as xr, shiftleft(l_linenumber, 3) as shl, "
+    "shiftright(l_orderkey, 2) as shr from lineitem",
+    "SELECT l_orderkey, l_orderkey & 255 AS lo, l_orderkey | 15 AS orr, "
+    "xor(l_orderkey, l_linenumber) AS xr, l_linenumber << 3 AS shl, "
+    "l_orderkey >> 2 AS shr FROM lineitem",
+    "bitwise operators (the primitives under simhash/zorder, exposed in SQL)",
+)
+
+_reg_sql(
     "f_explode",
     r"select doc_id, word from documents "
     r"lateral view explode(split(trim(lower(text)), '\\s+')) t as word "
