@@ -764,6 +764,22 @@ _reg(
 # --------------------------------------------------------------------------
 
 _reg_sql(
+    "p_null_semantics",
+    "select l_orderkey, l_linenumber, nullif(l_tax, 0.0) as t, "
+    "coalesce(nullif(l_tax, 0.0), -1.0) as t_filled, "
+    "(nullif(l_tax, 0.0) is distinct from nullif(l_discount, 0.0)) as dist "
+    "from lineitem "
+    "order by t nulls first, l_orderkey, l_linenumber limit 100",
+    "SELECT l_orderkey, l_linenumber, nullif(l_tax, 0.0) AS t, "
+    "coalesce(nullif(l_tax, 0.0), -1.0) AS t_filled, "
+    "(nullif(l_tax, 0.0) IS DISTINCT FROM nullif(l_discount, 0.0)) AS dist "
+    "FROM lineitem "
+    "ORDER BY t NULLS FIRST, l_orderkey, l_linenumber LIMIT 100",
+    "NULL semantics: nullif/coalesce, IS DISTINCT FROM (null-safe compare), "
+    "NULLS FIRST ordering",
+)
+
+_reg_sql(
     "w_time_range",
     "select event_id, user_id, "
     "round(sum(value) over (partition by user_id order by ts "
