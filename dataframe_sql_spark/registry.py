@@ -535,12 +535,12 @@ def _make_runner(spec: QuerySpec) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import registry_ext  # noqa: F401  (extends CATALOG on import)
+    from . import registry_ext, registry_tpch  # noqa: F401  (extend CATALOG on import)
 
     return {name: _make_runner(spec) for name, spec in CATALOG.items()}
 
 
 def oracle_sqls() -> dict[str, str]:
-    from . import registry_ext  # noqa: F401  (extends CATALOG on import)
+    from . import registry_ext, registry_tpch  # noqa: F401  (extend CATALOG on import)
 
     return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle is not None}

@@ -170,3 +170,47 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _tpch(engine, name: str):
+    from dataframe_sql_spark.registry import CATALOG
+    from dataframe_sql_spark import registry_tpch  # noqa: F401
+
+    return engine.query(CATALOG[name].engine_sql)
+
+
+def test_exists_decorrelates_to_semi_join(engine):
+    """tpch_q4: correlated EXISTS must plan as one LeftSemi join, never a
+    per-row subquery or nested loop — at 100 TB the semi-join is a single
+    (broadcastable) pass over orders."""
+    plan = _formatted(_tpch(engine, "tpch_q4_priority"))
+    assert "LeftSemi" in plan, plan
+    assert "NestedLoop" not in plan
+
+
+def test_not_exists_decorrelates_to_anti_join(engine):
+    """tpch_q22: NOT EXISTS -> LeftAnti, and the uncorrelated scalar
+    threshold is pushed all the way into the parquet scan as a filter."""
+    plan = _formatted(_tpch(engine, "tpch_q22_idle_custs"))
+    assert "LeftAnti" in plan, plan
+    assert "GreaterThan(c_acctbal,ScalarSubquery" in plan, plan
+
+
+def test_correlated_agg_subquery_decorrelates(engine):
+    """tpch_q17: the per-part AVG threshold must decorrelate to one
+    aggregate over lineitem joined back on l_partkey (two scans total),
+    not a subquery per outer row."""
+    plan = _formatted(_tpch(engine, "tpch_q17_small_qty"))
+    assert "NestedLoop" not in plan, plan
+    # the decorrelated aggregate computes sum/count of l_quantity
+    assert "sum(l_quantity" in plan, plan
+
+
+def test_disjunctive_predicate_splits_and_pushes(engine):
+    """tpch_q19: from the OR-of-ANDs, Catalyst must derive per-side
+    residuals and push them into BOTH parquet scans — the lineitem scan
+    skips row groups on l_quantity, the part scan on brand/size."""
+    plan = _formatted(_tpch(engine, "tpch_q19_disjunctive"))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), plan
+    assert any("p_brand" in l and "Or(" in l for l in pushed), plan
