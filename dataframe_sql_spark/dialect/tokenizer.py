@@ -15,7 +15,7 @@ __all__ = ["Token", "tokenize", "detokenize"]
 
 _PUNCT = set("(),.;")
 # multi-char operators first so `<=` doesn't split into `<` `=`
-_OPERATORS = ["<>", "!=", ">=", "<=", "||", "=", ">", "<", "+", "-", "*", "/", "%"]
+_OPERATORS = ["->", "<>", "!=", ">=", "<=", "||", "=", ">", "<", "+", "-", "*", "/", "%"]
 
 
 @dataclass

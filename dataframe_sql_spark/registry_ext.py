@@ -999,3 +999,104 @@ _reg(
     "FROM events) t WHERE rn = 1",
     "exactly-once event dedup (streaming: dropDuplicatesWithinWatermark)",
 )
+
+
+# --------------------------------------------------------------------------
+# higher-order / collection / safe-cast scalar surface (extension —
+# reference has no scalar functions beyond dates, SURVEY.md §2.3)
+# --------------------------------------------------------------------------
+
+_reg_sql(
+    "f_higher_order",
+    "select vec_id, "
+    "size(filter(embedding, x -> x > 0)) as n_pos, "
+    "round(aggregate(embedding, cast(0.0 as double), "
+    "(acc, x) -> acc + cast(x as double) * cast(x as double)), 3) as norm2, "
+    "round(aggregate(embedding, cast(0.0 as double), "
+    "(acc, x) -> acc + greatest(cast(x as double), 0.0)), 3) as pos_mass, "
+    "round(cast(array_max(embedding) as double), 3) as max_c "
+    "from embeddings",
+    "SELECT vec_id, "
+    "len(list_filter(embedding, x -> x > 0)) AS n_pos, "
+    "round(list_aggregate(list_transform(embedding, "
+    "x -> cast(x as double) * cast(x as double)), 'sum'), 3) AS norm2, "
+    "round(list_aggregate(list_transform(embedding, "
+    "x -> greatest(cast(x as double), 0.0)), 'sum'), 3) AS pos_mass, "
+    "round(cast(list_max(embedding) as double), 3) AS max_c "
+    "FROM embeddings",
+    "higher-order array functions (filter/aggregate-fold/array_max) over "
+    "array<float> — JVM-side lambdas, no Python; the fold runs in list "
+    "order so both engines produce identical bits (rounded to absorb "
+    "last-ulp formatting)",
+)
+_reg_sql(
+    "f_map_funcs",
+    "select event_id, event_type, "
+    "element_at(map('click', 1, 'view', 2, 'purchase', 3, "
+    "'signup', 4, 'error', 5), event_type) as type_code, "
+    "size(map_concat(map('a', 1), map('b', 2))) as m_size, "
+    "array_join(map_keys(map('a', 1, 'b', 2)), ',') as keys_csv "
+    "from events where event_id < 100",
+    "SELECT event_id, event_type, "
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 "
+    "WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'error' THEN 5 END "
+    "AS type_code, 2 AS m_size, 'a,b' AS keys_csv "
+    "FROM events WHERE event_id < 100",
+    "map construction / lookup / concat / keys (MapType is extension "
+    "surface — reference has no nested types, SURVEY.md §1)",
+)
+_reg_sql(
+    "f_try_cast",
+    "select doc_id, "
+    "try_cast(lang as int) as bad_int, "
+    "try_cast(cast(n_chars as string) as int) as roundtrip_int, "
+    "try_cast('not a date' as timestamp) as bad_ts "
+    "from documents",
+    "SELECT doc_id, "
+    "TRY_CAST(lang AS INT) AS bad_int, "
+    "TRY_CAST(CAST(n_chars AS VARCHAR) AS INT) AS roundtrip_int, "
+    "TRY_CAST('not a date' AS TIMESTAMP) AS bad_ts "
+    "FROM documents",
+    "TRY_CAST: malformed input yields NULL instead of failing the job — "
+    "at 100 TB one bad row must not kill a 1000-executor stage",
+)
+_reg_sql(
+    "a_maxby_minby",
+    "select event_type, "
+    "max_by(user_id, event_id) as last_user, "
+    "min_by(user_id, event_id) as first_user, "
+    "any_value(event_type) as sample_type "
+    "from events group by event_type order by event_type",
+    "SELECT event_type, "
+    "max_by(user_id, event_id) AS last_user, "
+    "min_by(user_id, event_id) AS first_user, "
+    "any_value(event_type) AS sample_type "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+    "argmax/argmin aggregates keyed on the unique event_id (single-pass "
+    "substitutes for self-join-on-max); any_value is deterministic here "
+    "because it equals the group key",
+)
+
+
+def _union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-independent union: columns align by NAME, so upstream
+    schema reordering (common across 100 TB of heterogeneous parquet
+    batches) cannot silently mis-zip columns like positional UNION."""
+    eng = engine_for(spark, sf_dir)
+    a = eng.spark.table("nation").select("n_nationkey", "n_name")
+    b = (
+        eng.spark.table("nation")
+        .filter("n_regionkey = 0")
+        .select("n_name", "n_nationkey")  # deliberately reversed order
+    )
+    return a.unionByName(b)
+
+
+_reg(
+    "u_union_byname",
+    _union_byname,
+    "SELECT n_nationkey, n_name FROM nation "
+    "UNION ALL SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0",
+    "unionByName (by-name column alignment; U1-U6 extension — Spark "
+    "DataFrame API, no ANSI SQL spelling)",
+)

@@ -119,3 +119,9 @@ def test_comments_stripped():
 def test_string_literal_with_quotes():
     out = translate("select 'it''s' as s from f")
     assert "'it''s'" in out
+
+
+def test_lambda_arrow_survives_translation():
+    # higher-order lambdas: `->` must stay one token, not split to `- >`
+    out = translate("select size(filter(e, x -> x > 0)) as n from t")
+    assert "->" in out and "- >" not in out
