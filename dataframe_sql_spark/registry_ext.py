@@ -1100,3 +1100,73 @@ _reg(
     "unionByName (by-name column alignment; U1-U6 extension — Spark "
     "DataFrame API, no ANSI SQL spelling)",
 )
+
+
+# --------------------------------------------------------------------------
+# analytics patterns: grouping-id, per-group top-k, gap-fill, PII scrub
+# --------------------------------------------------------------------------
+
+_reg_sql(
+    "a_grouping_fn",
+    "select l_returnflag, l_linestatus, "
+    "grouping(l_returnflag) as g_rf, grouping(l_linestatus) as g_ls, "
+    "sum(l_quantity) as sum_qty "
+    "from lineitem group by rollup(l_returnflag, l_linestatus)",
+    "SELECT l_returnflag, l_linestatus, "
+    "GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls, "
+    "sum(l_quantity) AS sum_qty "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+    "GROUPING() disambiguates rollup-generated NULLs from data NULLs "
+    "(A11 extension; without it subtotal rows are unidentifiable)",
+)
+_reg_sql(
+    "x_topk_per_group",
+    "select o_orderpriority, o_orderkey, o_totalprice from ("
+    "select o_orderpriority, o_orderkey, o_totalprice, "
+    "row_number() over (partition by o_orderpriority "
+    "order by o_totalprice desc, o_orderkey) as rn "
+    "from orders) ranked where rn <= 3",
+    None,  # identical SQL runs on DuckDB
+    "per-group top-k via ranked window + filter: one shuffle on the "
+    "group key, each partition keeps k rows — the scalable form of "
+    "'N largest per category' (vs a self-join on max)",
+)
+_reg_sql(
+    "ts_gapfill",
+    "with days as (select explode(sequence(cast('2024-01-01' as timestamp), "
+    "cast('2024-02-10' as timestamp), interval 1 day)) as day), "
+    "counts as (select date_trunc('day', ts) as day, count(*) as n_events "
+    "from events group by date_trunc('day', ts)) "
+    "select d.day, coalesce(c.n_events, 0) as n_events "
+    "from days d left join counts c on d.day = c.day",
+    "WITH days AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', "
+    "TIMESTAMP '2024-02-10', INTERVAL 1 DAY)) AS day), "
+    "counts AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+    "count(*) AS n_events FROM events GROUP BY 1) "
+    "SELECT d.day, coalesce(c.n_events, 0) AS n_events "
+    "FROM days d LEFT JOIN counts c ON d.day = c.day",
+    "time-series gap filling: generated calendar spine LEFT JOIN "
+    "aggregated facts, missing buckets -> 0. The spine is tiny so "
+    "Catalyst broadcasts it; the fact agg is the only shuffle",
+)
+_reg_sql(
+    "txt_pii_scrub",
+    "select doc_id, "
+    "regexp_replace(regexp_replace("
+    "concat(text, ' contact user', cast(doc_id as string), "
+    "'@example.com or 555-123-4567'), "
+    "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[a-zA-Z]', '<EMAIL>'), "
+    "'[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>') as clean "
+    "from documents",
+    "SELECT doc_id, "
+    "regexp_replace(regexp_replace("
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+    "'@example.com or 555-123-4567'), "
+    "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[a-zA-Z]', '<EMAIL>', 'g'), "
+    "'[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean "
+    "FROM documents",
+    "PII redaction (emails/phones) for training-data curation; pure "
+    "JVM regexp_replace, no Python in the hot path. Synthetic PII is "
+    "appended first because the corpus contains none (portable "
+    "[0-9]-class patterns — no \\d/\\b dialect divergence)",
+)
