@@ -1170,3 +1170,48 @@ _reg_sql(
     "appended first because the corpus contains none (portable "
     "[0-9]-class patterns — no \\d/\\b dialect divergence)",
 )
+
+
+# --------------------------------------------------------------------------
+# forward fill + file-metadata lineage
+# --------------------------------------------------------------------------
+
+_reg_sql(
+    "w_ffill",
+    "select event_id, user_id, ts, "
+    "last_value(case when event_type <> 'error' then value end) ignore nulls "
+    "over (partition by user_id order by ts, event_id "
+    "rows between unbounded preceding and current row) as v_ffill "
+    "from events",
+    "SELECT event_id, user_id, ts, "
+    "last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill "
+    "FROM events",
+    "forward fill (last observation carried forward) per user: error "
+    "events' values are nulled then filled from the last good reading — "
+    "the standard sensor/time-series repair; one shuffle on user_id "
+    "(note the engines spell IGNORE NULLS differently)",
+)
+
+
+def _file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance via the hidden _metadata struct: at 100 TB,
+    tracing a corrupt row back to its source file is the difference
+    between reprocessing one file and reprocessing a day."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select(
+        "doc_id",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("fname"),
+    )
+
+
+_reg(
+    "x_file_metadata",
+    _file_metadata,
+    "SELECT doc_id, 'documents.parquet' AS fname FROM documents",
+    "hidden _metadata.file_path column exposed as row-level lineage "
+    "(constant oracle works because each table is a single parquet file)",
+)

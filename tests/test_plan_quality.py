@@ -214,3 +214,54 @@ def test_disjunctive_predicate_splits_and_pushes(engine):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("l_quantity" in l and "Or(" in l for l in pushed), plan
     assert any("p_brand" in l and "Or(" in l for l in pushed), plan
+
+
+def test_persist_reuses_inmemory_scan(engine):
+    """An explicitly cached intermediate must be served from
+    InMemoryTableScan on reuse — the mechanism that keeps a reused CTE
+    from re-reading 100 TB twice."""
+    df = engine.query(
+        "select l_returnflag, sum(l_quantity) as s from lineitem group by l_returnflag"
+    )
+    df.persist()
+    try:
+        df.count()  # materialize the cache
+        plan = _formatted(df.filter("s > 0"))
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        df.unpersist()
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """With broadcast off (the 100 TB big-dim case), a selective dim
+    filter must inject a runtime bloom filter (might_contain) on the
+    fact side so the shuffle carries only plausible join keys."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            "o_totalprice > 400000"
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
