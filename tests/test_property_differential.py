@@ -31,9 +31,10 @@ AGG_FNS = ["count", "sum", "min", "max"]
 @pytest.fixture(scope="module")
 def ddb():
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
-    )
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
     return con
 
 
@@ -51,12 +52,31 @@ str_predicate = st.builds(
     st.sampled_from(STR_VALS["o_orderstatus"] + STR_VALS["o_orderpriority"]),
     st.booleans(),
 ).filter(lambda p: True)
+between_predicate = st.builds(
+    lambda c, a, b: f"{c} BETWEEN {min(a, b)} AND {max(a, b)}",
+    st.sampled_from(NUM_COLS),
+    st.integers(0, 300000),
+    st.integers(0, 300000),
+)
+in_predicate = st.builds(
+    lambda c, vs, neg: f"{c} {'NOT IN' if neg else 'IN'} ({', '.join(repr(v) for v in sorted(vs))})",
+    st.sampled_from(STR_COLS),
+    st.sets(
+        st.sampled_from(STR_VALS["o_orderstatus"] + STR_VALS["o_orderpriority"]),
+        min_size=1,
+        max_size=3,
+    ),
+    st.booleans(),
+)
 
 
 @st.composite
 def where_clause(draw):
     n = draw(st.integers(1, 3))
-    preds = [draw(st.one_of(num_predicate, str_predicate)) for _ in range(n)]
+    preds = [
+        draw(st.one_of(num_predicate, str_predicate, between_predicate, in_predicate))
+        for _ in range(n)
+    ]
     out = preds[0]
     for p in preds[1:]:
         out = f"({out}) {draw(st.sampled_from(['AND', 'OR']))} ({p})"
@@ -159,4 +179,36 @@ def test_random_reference_dialect_cast_matches_duckdb(engine, ddb, pair):
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(sql=agg_query())
 def test_random_groupby_agg_matches_duckdb(engine, ddb, sql):
+    _assert_same(engine, ddb, sql)
+
+
+# ---- random outer joins --------------------------------------------------
+# Join type × predicate placement is where engines classically diverge
+# on NULL handling (a WHERE on the nullable side silently turns an
+# outer join inner — both engines must agree on exactly which rows).
+
+JOIN_TYPES = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+
+
+@st.composite
+def join_query(draw):
+    jt = draw(st.sampled_from(JOIN_TYPES))
+    pred = draw(st.one_of(num_predicate, str_predicate, in_predicate))
+    agg = draw(st.booleans())
+    if agg:
+        return (
+            f"SELECT c_mktsegment, count(o_orderkey) AS n_ord, count(*) AS n "
+            f"FROM customer {jt} orders ON c_custkey = o_custkey "
+            f"WHERE ({pred}) OR o_orderkey IS NULL GROUP BY c_mktsegment"
+        )
+    return (
+        f"SELECT c_custkey, c_mktsegment, o_orderkey, o_orderstatus "
+        f"FROM customer {jt} orders ON c_custkey = o_custkey "
+        f"WHERE ({pred}) OR c_custkey IS NULL"
+    )
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sql=join_query())
+def test_random_outer_join_matches_duckdb(engine, ddb, sql):
     _assert_same(engine, ddb, sql)
