@@ -171,8 +171,11 @@ def _rewrite_select_unit(
     schema_lookup: Callable[[str], list[str]] | None,
 ) -> list[Token]:
     depths = _depths(tokens)
-    # locate select list bounds
+    # locate select list bounds (optimizer hints sit between SELECT and
+    # the list; they are not select-list items)
     list_start = s + 1
+    while list_start < len(tokens) and tokens[list_start].kind == "hint":
+        list_start += 1
     if list_start < len(tokens) and tokens[list_start].is_kw("distinct", "all"):
         list_start += 1
     from_idx = None

@@ -20,7 +20,7 @@ _OPERATORS = ["->", "<>", "!=", ">=", "<=", "||", "=", ">", "<", "+", "-", "*", 
 
 @dataclass
 class Token:
-    kind: str  # 'ident' | 'number' | 'string' | 'qident' | 'op' | 'punct'
+    kind: str  # 'ident' | 'number' | 'string' | 'qident' | 'op' | 'punct' | 'hint'
     text: str
 
     def lower(self) -> str:
@@ -44,7 +44,11 @@ def tokenize(sql: str) -> list[Token]:
             continue
         if c == "/" and i + 1 < n and sql[i + 1] == "*":  # block comment
             j = sql.find("*/", i + 2)
-            i = n if j < 0 else j + 2
+            end = n if j < 0 else j + 2
+            if i + 2 < n and sql[i + 2] == "+":
+                # optimizer hint /*+ ... */ — semantic, must survive
+                tokens.append(Token("hint", sql[i:end]))
+            i = end
             continue
         if c == "'":  # string literal, '' escape
             j = i + 1

@@ -1215,3 +1215,28 @@ _reg(
     "hidden _metadata.file_path column exposed as row-level lineage "
     "(constant oracle works because each table is a single parquet file)",
 )
+
+
+_reg_sql(
+    "f_array_setops",
+    "select l_orderkey, l_linenumber, "
+    "sort_array(array_intersect(array(l_partkey % 7, l_suppkey % 7, 3), "
+    "array(l_suppkey % 7, 5))) as inter, "
+    "sort_array(array_union(array(l_partkey % 7), array(l_suppkey % 7, 5))) as uni, "
+    "sort_array(array_except(array(l_partkey % 7, l_suppkey % 7), array(3, 5))) as exc, "
+    "array_contains(array(l_partkey % 7), 3) as has3 "
+    "from lineitem",
+    "SELECT l_orderkey, l_linenumber, "
+    "list_sort(list_intersect([l_partkey % 7, l_suppkey % 7, 3], "
+    "[l_suppkey % 7, 5])) AS inter, "
+    "list_sort(list_distinct(list_concat([l_partkey % 7], "
+    "[l_suppkey % 7, 5]))) AS uni, "
+    "list_sort(list_distinct(list_filter([l_partkey % 7, l_suppkey % 7], "
+    "x -> NOT list_contains([3, 5], x)))) AS exc, "
+    "list_contains([l_partkey % 7], 3) AS has3 "
+    "FROM lineitem",
+    "array set algebra (intersect/union/except/contains) — JVM-side, "
+    "sorted to a canonical order because the engines differ on "
+    "first-occurrence order (DuckDB 1.0 lacks list_union; emulated "
+    "with distinct+concat)",
+)

@@ -125,3 +125,11 @@ def test_lambda_arrow_survives_translation():
     # higher-order lambdas: `->` must stay one token, not split to `- >`
     out = translate("select size(filter(e, x -> x > 0)) as n from t")
     assert "->" in out and "- >" not in out
+
+
+def test_hint_comment_survives_translation():
+    # /*+ ... */ is semantic (join strategy / repartition control) and
+    # must reach Catalyst; plain comments are still stripped
+    out = translate("select /*+ BROADCAST(n) */ a -- trailing\nfrom t /* note */")
+    assert "/*+ BROADCAST(n) */" in out
+    assert "trailing" not in out and "note" not in out

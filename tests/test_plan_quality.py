@@ -265,3 +265,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rebalance_hint_plumbs_through(engine):
+    """The REBALANCE hint must survive the dialect shim and reach
+    Catalyst — it's the explicit knob for writing evenly-sized output
+    files after a skewed transform (AQE splits/merges to target size)."""
+    df = engine.query(
+        "select /*+ REBALANCE(l_returnflag) */ l_returnflag, l_quantity from lineitem"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in plan, plan[:800]

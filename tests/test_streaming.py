@@ -107,3 +107,60 @@ def test_stream_dedup_runs(spark, events_stream):
     )
     n = out.count()
     assert n > 0
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Late-data semantics: an event older than (max event time seen -
+    watermark) arriving in a LATER micro-batch must be dropped from an
+    append-mode windowed aggregation — this eviction is what bounds
+    state at 100 TB/day stream volume. Two availableNow runs over one
+    checkpoint give deterministic batch order AND prove the watermark
+    itself is restored from the checkpoint across restarts."""
+    import datetime as dt
+
+    from pyspark.sql import Row, functions as F
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def mk(*rows):
+        return spark.createDataFrame(
+            [Row(ts=t, k=k) for t, k in rows], "ts timestamp, k string"
+        )
+
+    out = str(tmp_path / "late_out")
+
+    def run_once():
+        agg = (
+            spark.readStream.schema("ts timestamp, k string")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "k")
+            .count()
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+    # run 1: events up to 12:00 → checkpointed watermark 11:50
+    mk((t0, "a"), (t0 + dt.timedelta(hours=2), "a")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    # run 2 (restart from checkpoint): a 10:05 event, window end 11:00
+    # is far behind the restored 11:50 watermark → dropped
+    mk((t0 + dt.timedelta(minutes=5), "late")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    keys = {r.k for r in spark.read.parquet(out).collect()}
+    assert "late" not in keys, keys
+    assert "a" in keys
