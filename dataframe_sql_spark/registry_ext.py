@@ -1240,3 +1240,51 @@ _reg_sql(
     "first-occurrence order (DuckDB 1.0 lacks list_union; emulated "
     "with distinct+concat)",
 )
+
+
+_reg_sql(
+    "a_percentile_within",
+    "select l_returnflag, "
+    "percentile_cont(0.25) within group (order by l_quantity) as q1, "
+    "percentile_cont(0.75) within group (order by l_quantity) as q3, "
+    "percentile_disc(0.5) within group (order by l_quantity) as med_disc "
+    "from lineitem group by l_returnflag",
+    None,  # identical ordered-set aggregate syntax runs on DuckDB
+    "ANSI ordered-set aggregates (percentile_cont interpolates, "
+    "percentile_disc picks an actual row value) — exact but "
+    "sort-per-group; at 100 TB prefer approx_percentile sketches "
+    "(a_approx_agg) unless exactness is contractual",
+)
+_reg_sql(
+    "f_url_funcs",
+    "select doc_id, "
+    "parse_url(concat('https://', source, '.example.com/docs/', "
+    "cast(doc_id as string), '?lang=', lang), 'HOST') as host, "
+    "parse_url(concat('https://', source, '.example.com/docs/', "
+    "cast(doc_id as string), '?lang=', lang), 'PATH') as path, "
+    "parse_url(concat('https://', source, '.example.com/docs/', "
+    "cast(doc_id as string), '?lang=', lang), 'QUERY', 'lang') as qlang "
+    "from documents",
+    "SELECT doc_id, "
+    "source || '.example.com' AS host, "
+    "'/docs/' || CAST(doc_id AS VARCHAR) AS path, "
+    "lang AS qlang "
+    "FROM documents",
+    "URL parsing (host/path/query-param) — crawl-data normalization for "
+    "dedup-by-URL; JVM-side parse_url, oracle reconstructs "
+    "componentwise from the synthesized URL",
+)
+_reg_sql(
+    "x_scd2_intervals",
+    "select user_id, event_type, event_id, ts as valid_from, "
+    "lead(ts) over (partition by user_id order by ts, event_id) as valid_to, "
+    "lead(ts) over (partition by user_id order by ts, event_id) is null as is_current "
+    "from events",
+    "SELECT user_id, event_type, event_id, ts AS valid_from, "
+    "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, "
+    "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current "
+    "FROM events",
+    "SCD2 validity intervals from an event log (lead() closes each "
+    "row's interval; NULL valid_to marks the current version) — one "
+    "shuffle on user_id, the standard dimension-history build",
+)
