@@ -76,3 +76,32 @@ def test_merge_upsert_latest_wins(spark, tmp_path):
     got = {(r.k, r.v, r.ver) for r in spark.read.parquet(path).collect()}
     # key 2 replaced, keys 1/3 kept, key 4 inserted
     assert got == {(1, "a", 1), (2, "B", 2), (3, "c", 1), (4, "d", 2)}
+
+
+def test_synthetic_source_partition_parallel_and_deterministic(spark):
+    """Custom Python DataSource (Spark 4 API): generated partitions are
+    executor-side (no driver materialization), count is exact, and the
+    same (seed, partition) always yields identical data."""
+    from dataframe_sql_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+
+    def load():
+        return (
+            spark.read.format("synthetic_events")
+            .option("rows", 10_000)
+            .option("partitions", 8)
+            .option("seed", 7)
+            .load()
+        )
+
+    df = load()
+    assert df.columns == ["event_id", "ts", "user_id", "event_type", "value"]
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 10_000
+    # determinism: a second independent read is row-identical
+    a = sorted(map(tuple, load().collect()))
+    b = sorted(map(tuple, load().collect()))
+    assert a == b
+    # event_ids are globally unique across partitions (disjoint ranges)
+    assert df.select("event_id").distinct().count() == 10_000
