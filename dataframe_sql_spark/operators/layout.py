@@ -75,3 +75,44 @@ def write_clustered(
             *cluster_cols
         )
     out.write.mode("overwrite").parquet(path)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    The small-files problem is the classic slow killer of streaming
+    sinks and over-parallel writers: a 100 TB table written as 10 M
+    tiny files spends more time opening footers than reading data.
+    Compaction = read → repartition to ceil(bytes/target) →
+    (optionally re-cluster) → atomic swap via a staging directory.
+
+    Returns the number of output files. Uses filesystem size as the
+    pre-compression estimate, so output files land under the target
+    (parquet re-compression only shrinks them further).
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    src = Path(path)
+    total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if cluster_by:
+        out = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        out = df.repartition(n_files)
+    staging = str(src.with_name(src.name + "__compacting"))
+    out.write.mode("overwrite").parquet(staging)
+    backup = src.with_name(src.name + "__precompact")
+    src.rename(backup)
+    Path(staging).rename(src)
+    shutil.rmtree(backup)
+    return len(list(src.glob("*.parquet")))

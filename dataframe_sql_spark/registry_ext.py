@@ -1288,3 +1288,19 @@ _reg_sql(
     "row's interval; NULL valid_to marks the current version) — one "
     "shuffle on user_id, the standard dimension-history build",
 )
+
+
+_reg_sql(
+    "f_variant_json",
+    "select event_id, "
+    "variant_get(parse_json(props), '$.k', 'int') as k_val, "
+    "is_variant_null(try_parse_json(props)) as bad_json "
+    "from events where event_id < 200",
+    "SELECT event_id, "
+    "json_extract(props, '$.k')::INT AS k_val, "
+    "FALSE AS bad_json "
+    "FROM events WHERE event_id < 200",
+    "semi-structured VARIANT path (Spark 4): parse once into the binary "
+    "variant encoding, then typed path extraction — at scale this beats "
+    "per-access JSON string re-parsing (f_json_funcs is the string path)",
+)

@@ -73,3 +73,45 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
         ranges = _file_ranges(path, col)
         avg_span = sum(hi - lo for lo, hi in ranges) / len(ranges)
         assert avg_span < 63 * 0.6, (col, ranges)
+
+
+def test_compact_small_files_preserves_rows(spark, tmp_path):
+    from dataframe_sql_spark.operators.layout import compact_small_files
+
+    path = str(tmp_path / "frag")
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    # simulate a fragmented streaming sink: 64 tiny files
+    src.repartition(64).write.parquet(path)
+    import pathlib
+
+    assert len(list(pathlib.Path(path).glob("*.parquet"))) >= 64
+    before = src.count()
+    n_files = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert n_files == 1  # everything fits one target-sized file
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    # no column lost, values intact on a sample aggregate
+    assert after.groupBy().sum("l_quantity").collect() == src.groupBy().sum(
+        "l_quantity"
+    ).collect()
+
+
+def test_observe_metrics_single_pass(spark):
+    """df.observe(): pipeline data-quality metrics (row count, null
+    count, mean) accumulated DURING the normal action — no second scan.
+    At 100 TB a separate metrics pass doubles the read bill."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    obs = Observation("quality")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.avg("l_quantity").alias("avg_qty"),
+    )
+    out = observed.filter("l_quantity > 25").count()  # the real work
+    m = obs.get
+    assert m["n_rows"] == df.count() and m["null_qty"] == 0
+    assert 20 < m["avg_qty"] < 30 and out > 0
