@@ -109,3 +109,59 @@ class SyntheticEventsDataSource(DataSource):
 
 def register_synthetic_source(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# --------------------------------------------------------------------------
+# streaming half: the same deterministic generator as an unbounded
+# micro-batch source (offset = absolute row position)
+# --------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class _SyntheticEventsStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+        self.n_partitions = int(options.get("partitions", 4))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("users", 100))
+        self.batch_rows = int(options.get("batch_rows", 100_000))
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def latestOffset(self):
+        # one fixed-size batch per trigger; unbounded like a queue that
+        # always has rows_per_batch more available
+        self._latest = getattr(self, "_latest", 0) + self.rows_per_batch
+        return {"row": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        total = hi - lo
+        base, rem = divmod(total, self.n_partitions)
+        parts, cursor = [], lo
+        for i in range(self.n_partitions):
+            n = base + (1 if i < rem else 0)
+            if n:
+                # partition index derives from the absolute row range so
+                # re-reading the same offset range regenerates identical
+                # data (replay after failure = exactly the same batch)
+                parts.append(
+                    _GenPartition(cursor, cursor, n, self.seed, self.batch_rows)
+                )
+                cursor += n
+        return parts
+
+    def read(self, partition: _GenPartition):
+        yield from _SyntheticEventsReader.read(self, partition)  # type: ignore[arg-type]
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def _stream_reader(self, schema):
+    return _SyntheticEventsStreamReader(self.options)
+
+
+SyntheticEventsDataSource.streamReader = _stream_reader

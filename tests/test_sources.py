@@ -105,3 +105,43 @@ def test_synthetic_source_partition_parallel_and_deterministic(spark):
     assert a == b
     # event_ids are globally unique across partitions (disjoint ranges)
     assert df.select("event_id").distinct().count() == 10_000
+
+
+def test_synthetic_source_streams_deterministic_batches(spark, tmp_path):
+    """The same generator as an unbounded streaming source: offsets are
+    row positions, so replaying an offset range after failure yields
+    bit-identical data (exactly-once without a durable log)."""
+    from dataframe_sql_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 500)
+        .option("partitions", 4)
+        .option("seed", 11)
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_syn_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.table("t_syn_stream").count()
+            if n >= 1000:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()  # freeze the sink before asserting (no append race)
+    rows = spark.table("t_syn_stream")
+    assert rows.count() >= 1000  # ≥2 micro-batches landed
+    # event_ids unique across batches: offset ranges are disjoint
+    assert rows.select("event_id").distinct().count() == rows.count()
