@@ -1304,3 +1304,16 @@ _reg_sql(
     "variant encoding, then typed path extraction — at scale this beats "
     "per-access JSON string re-parsing (f_json_funcs is the string path)",
 )
+
+
+_reg_sql(
+    "a_bool_aggs",
+    "select l_returnflag, "
+    "count_if(l_quantity > 25) as n_big, "
+    "bool_and(l_quantity > 0) as all_pos, "
+    "bool_or(l_discount > 0.09) as any_deep_disc "
+    "from lineitem group by l_returnflag",
+    None,  # identical SQL runs on DuckDB
+    "boolean/conditional aggregates (count_if, bool_and, bool_or) — "
+    "single-pass data-quality assertions over a group",
+)
