@@ -1317,3 +1317,54 @@ _reg_sql(
     "boolean/conditional aggregates (count_if, bool_and, bool_or) — "
     "single-pass data-quality assertions over a group",
 )
+
+
+_reg_sql(
+    "f_timezone",
+    "select event_id, "
+    "from_utc_timestamp(ts, 'America/New_York') as ny, "
+    "from_utc_timestamp(ts, 'Asia/Tokyo') as tokyo, "
+    "hour(from_utc_timestamp(ts, 'America/New_York')) as ny_hour "
+    "from events where event_id < 300",
+    "SELECT event_id, "
+    "timezone('America/New_York', timezone('UTC', ts)) AS ny, "
+    "timezone('Asia/Tokyo', timezone('UTC', ts)) AS tokyo, "
+    "hour(timezone('America/New_York', timezone('UTC', ts))) AS ny_hour "
+    "FROM events WHERE event_id < 300",
+    "timezone conversion (DST-aware, via the tz database) — the DuckDB "
+    "side pins the instant with an inner timezone('UTC', ...) so the "
+    "oracle is independent of the session timezone",
+)
+
+
+def _pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic pivot: the column set is discovered from the data (a
+    bounded dimension — the distinct() collect is ≤ cardinality rows,
+    never fact-sized), then one shuffle pivots. Passing the explicit
+    value list lets Spark skip its own discovery pass."""
+    from pyspark.sql import functions as F
+
+    ev = engine_for(spark, sf_dir).spark.table("events")
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        )
+    )
+
+
+_reg(
+    "x_pivot_dynamic",
+    _pivot_dynamic,
+    "SELECT user_id, "
+    + ", ".join(
+        f"cast(sum(cast(CASE WHEN event_type = '{t}' THEN value END "
+        f"as decimal(18,2))) as double) AS {t}"
+        for t in ["click", "error", "purchase", "signup", "view"]
+    )
+    + " FROM events GROUP BY user_id",
+    "dynamic pivot (column set discovered from data, then explicit-list "
+    "pivot; x_pivot is the static-list form)",
+)
