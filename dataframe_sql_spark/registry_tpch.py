@@ -264,3 +264,19 @@ _sql(
     "subquery, sum/count avg) + NOT EXISTS anti-join; mktsegment stands "
     "in for phone country code",
 )
+_sql(
+    "tpch_q20_share_suppliers",
+    "select s_suppkey, s_name from supplier "
+    "where s_suppkey in ("
+    "select l_suppkey from lineitem "
+    "group by l_partkey, l_suppkey "
+    "having sum(l_quantity) > 2 * "
+    "(select sum(l2.l_quantity) / count(distinct l2.l_suppkey) "
+    " from lineitem l2 where l2.l_partkey = lineitem.l_partkey)) "
+    "order by s_suppkey",
+    doc="TPC-H Q20 shape: IN-subquery whose HAVING compares a group "
+    "aggregate to a correlated scalar aggregate (supplier ships >2x "
+    "the per-supplier average of a part — scale-free threshold; "
+    "lineitem stands in for partsupp availability); decorrelates to "
+    "two aggregates joined on l_partkey",
+)
