@@ -1368,3 +1368,21 @@ _reg(
     "dynamic pivot (column set discovered from data, then explicit-list "
     "pivot; x_pivot is the static-list form)",
 )
+
+
+_reg_sql(
+    "txt_chunks",
+    "select doc_id, chunk_idx, substr(text, chunk_idx * 80 + 1, 100) as chunk "
+    "from (select doc_id, text, "
+    "posexplode(sequence(0, greatest(0, "
+    "cast(ceil((n_chars - 100) / 80.0) as int)))) as (pos, chunk_idx) "
+    "from documents) t where doc_id < 100",
+    "SELECT doc_id, chunk_idx, substr(text, chunk_idx * 80 + 1, 100) AS chunk "
+    "FROM (SELECT doc_id, text, "
+    "unnest(generate_series(0, greatest(0, "
+    "cast(ceil((n_chars - 100) / 80.0) as int)))) AS chunk_idx "
+    "FROM documents) t WHERE doc_id < 100",
+    "overlapping document chunking (window 100 chars, stride 80) — the "
+    "RAG / context-window prep op; fan-out is explode over a generated "
+    "index, fully JVM-side, parallelism follows the documents scan",
+)
