@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -187,17 +188,25 @@ def chunk_audio(
                 raise NotImplementedError(
                     "real audio chunking needs soundfile/ffmpeg; pass fake=True"
                 )
-            rows = []
-            for _, row in pdf.iterrows():
-                blob = row[blob_col] or b""
-                n = max(1, -(-len(blob) // step))  # ceil, ≥1 so empty rows survive
-                for i in range(n):
-                    r = dict(row)
-                    r["chunk_idx"] = i
-                    r["chunk_start_s"] = i * chunk_seconds
-                    r["chunk_blob"] = blob[i * step : (i + 1) * step]
-                    rows.append(r)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+                continue
+            # Vectorized fan-out: repeat each row by its chunk count,
+            # then derive per-chunk index/offset with array arithmetic.
+            # Only the byte-slice itself stays Python (blobs are opaque
+            # objects); no iterrows / per-row dict building.
+            blobs = pdf[blob_col].map(lambda b: b or b"")
+            counts = blobs.map(len).floordiv(-1 * step).mul(-1).clip(lower=1)  # ceil, ≥1
+            out = pdf.loc[pdf.index.repeat(counts)].reset_index(drop=True)
+            idx = np.concatenate([np.arange(c) for c in counts.to_numpy()])
+            out["chunk_idx"] = idx.astype("int32")
+            out["chunk_start_s"] = idx * chunk_seconds
+            out["chunk_blob"] = [
+                b[i * step : (i + 1) * step]
+                for b, c in zip(blobs, counts.to_numpy())
+                for i in range(c)
+            ]
+            yield out[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(batches, schema=out_schema)
 
@@ -222,14 +231,19 @@ def sample_video_frames(
         for pdf in it:
             if not fake:
                 raise NotImplementedError("real frame sampling needs ffmpeg; pass fake=True")
-            rows = []
-            for _, row in pdf.iterrows():
-                blob = row[blob_col] or b""
-                for i in range(min(max_frames, max(1, len(blob) // every_n_bytes))):
-                    r = dict(row)
-                    r["frame_idx"] = i
-                    r["frame_blob"] = blob[i * every_n_bytes : (i + 1) * every_n_bytes]
-                    rows.append(r)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+                continue
+            blobs = pdf[blob_col].map(lambda b: b or b"")
+            counts = blobs.map(len).floordiv(every_n_bytes).clip(lower=1, upper=max_frames)
+            out = pdf.loc[pdf.index.repeat(counts)].reset_index(drop=True)
+            idx = np.concatenate([np.arange(c) for c in counts.to_numpy()])
+            out["frame_idx"] = idx.astype("int32")
+            out["frame_blob"] = [
+                b[i * every_n_bytes : (i + 1) * every_n_bytes]
+                for b, c in zip(blobs, counts.to_numpy())
+                for i in range(c)
+            ]
+            yield out[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(batches, schema=out_schema)

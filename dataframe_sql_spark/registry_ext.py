@@ -1337,15 +1337,30 @@ _reg_sql(
 )
 
 
-def _pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pivot_dynamic(
+    spark: SparkSession, sf_dir: str, max_columns: int = 10_000
+) -> DataFrame:
     """Dynamic pivot: the column set is discovered from the data (a
     bounded dimension — the distinct() collect is ≤ cardinality rows,
     never fact-sized), then one shuffle pivots. Passing the explicit
-    value list lets Spark skip its own discovery pass."""
+    value list lets Spark skip its own discovery pass.
+
+    ``max_columns`` guards the driver: pivoting on an unbounded-
+    cardinality column would both OOM the collect and produce an
+    unusable million-column frame, so fail fast instead. The limit+1
+    fetch means the driver never holds more than max_columns+1 rows
+    regardless of the true cardinality.
+    """
     from pyspark.sql import functions as F
 
     ev = engine_for(spark, sf_dir).spark.table("events")
-    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    distinct_types = ev.select("event_type").distinct().limit(max_columns + 1).collect()
+    if len(distinct_types) > max_columns:
+        raise ValueError(
+            f"pivot column cardinality exceeds max_columns={max_columns}; "
+            "pivot on a bounded dimension or raise the limit explicitly"
+        )
+    types = sorted(r[0] for r in distinct_types)
     return (
         ev.groupBy("user_id")
         .pivot("event_type", types)

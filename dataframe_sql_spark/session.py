@@ -19,7 +19,56 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "tune_for_scale"]
+__all__ = ["get_spark", "tune_session", "tune_for_scale"]
+
+# Runtime-settable confs the engine depends on for CORRECTNESS (not just
+# speed) on *any* session, including one built elsewhere and passed in
+# (the driver's contract: entry(spark) / queries()[name](spark, sf_dir)).
+# Every key here is settable via spark.conf.set after session start —
+# verified against pyspark 4.1 (none is marked static/spark.core).
+_RUNTIME_CONFS = {
+    # events.parquet stores TIMESTAMP(NANOS); without this the parquet
+    # reader throws PARQUET_TYPE_ILLEGAL at registration. read_table
+    # converts the resulting long to a microsecond timestamp JVM-side.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Timestamp semantics must match the DuckDB oracle (UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # Reference dialect is case-insensitive (SURVEY.md §1).
+    "spark.sql.caseSensitive": "false",
+    # Arrow for any toPandas/Pandas-UDF boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime coalescing / skew splitting / broadcast conversion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dims like region/nation/supplier stay broadcast at fact scale.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+}
+
+
+def tune_session(spark: SparkSession) -> None:
+    """Apply the engine's required runtime-settable confs to an
+    externally-built session (idempotent, best-effort per key).
+
+    This is the guard against the works-locally/dies-in-driver class of
+    bug: get_spark() bakes these into the builder, but a session handed
+    to entry()/engine_for() has whatever confs its owner chose.
+    """
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf missing in a future Spark
+            pass
+    # Local-mode sessions default to 200 shuffle partitions — a 6×
+    # slowdown on a 32-core box. Match the core count; real clusters
+    # are handled by tune_for_scale/AQE coalescing instead.
+    try:
+        if spark.conf.get("spark.master", "").startswith("local"):
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+            spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    except Exception:  # pragma: no cover
+        pass
 
 
 def get_spark(app_name: str = "dataframe_sql_spark") -> SparkSession:

@@ -107,11 +107,14 @@ def merge_upsert(
     appear in ``updates`` are replaced, everything else is kept.
 
     Spark cannot safely overwrite a path it is still reading, so the
-    merge writes to a staging directory and atomically swaps it in —
-    the plain-parquet stand-in for what a table format (Delta/Iceberg
-    MERGE) does with metadata at 100 TB. The merge itself is one
-    left-anti join (current minus updated keys) + union — the anti
-    join broadcasts when the update batch is small, which is the
+    merge writes to a staging directory and swaps it in with two
+    renames (target→old, staging→target, delete old) so the target
+    path never ceases to exist mid-swap; a crash between the renames
+    leaves the previous data recoverable at ``.__old__``. This is the
+    plain-parquet stand-in for what a table format (Delta/Iceberg
+    MERGE) does atomically with metadata at 100 TB. The merge itself
+    is one left-anti join (current minus updated keys) + union — the
+    anti join broadcasts when the update batch is small, which is the
     common CDC shape.
 
     ``updates`` must hold one row per key (dedup upstream — e.g. keep
@@ -129,7 +132,13 @@ def merge_upsert(
     else:
         merged = updates
     staging = target_path.rstrip("/") + ".__staging__"
+    old = target_path.rstrip("/") + ".__old__"
     merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    had_target = os.path.exists(target_path)
+    if had_target:
+        os.rename(target_path, old)
     os.rename(staging, target_path)
+    if had_target:
+        shutil.rmtree(old)

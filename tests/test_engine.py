@@ -141,3 +141,46 @@ def test_lazy_dataframe_returned(engine):
     df = engine.query("select * from lineitem")
     # no job should have run; plan must be analyzable
     assert df.schema.fieldNames()[0] == "l_orderkey"
+
+
+def test_engine_cache_is_per_session_and_weak(spark):
+    # VERDICT r1 #4: id(spark) cache could alias a new session onto a
+    # dead engine. WeakKeyDictionary keyed on the session object gives
+    # one engine per live session and drops entries on collection.
+    from dataframe_sql_spark.registry import _ENGINES, engine_for
+
+    sf = "/root/testdata/sf0.001"
+    e1 = engine_for(spark, sf)
+    assert engine_for(spark, sf) is e1  # cached
+    other = spark.newSession()  # distinct session object, same JVM
+    e2 = engine_for(other, sf)
+    assert e2 is not e1
+    assert e2.spark is other
+    import gc
+
+    del other, e2
+    gc.collect()
+    assert all(s is not None for s in _ENGINES)  # no dead keys retained
+
+
+def test_engine_confs_applied_to_foreign_session(spark):
+    # The driver hands in its own session; engine_for must make it able
+    # to read events.parquet (nanos) and use UTC semantics.
+    fresh = spark.newSession()
+    fresh.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    fresh.conf.set("spark.sql.session.timeZone", "America/New_York")
+    from dataframe_sql_spark.registry import engine_for
+
+    eng = engine_for(fresh, "/root/testdata/sf0.001")
+    assert fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert fresh.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert eng.spark.table("events").count() > 0
+
+
+def test_pivot_dynamic_cardinality_guard(spark):
+    # A pivot column with unbounded cardinality must fail fast instead
+    # of collecting the world onto the driver.
+    from dataframe_sql_spark.registry_ext import _pivot_dynamic
+
+    with pytest.raises(ValueError, match="cardinality"):
+        _pivot_dynamic(spark, "/root/testdata/sf0.001", max_columns=2)

@@ -6,7 +6,13 @@ an order-insensitive value multiset (strings, with float rounding to
 absorb last-ulp formatting differences — stricter than needed, the
 driver hashes; any mismatch here is a real risk there).
 
-Usage: python tools/check_oracle.py [sf_dir] [name_filter ...]
+Usage: python tools/check_oracle.py [--vanilla] [sf_dir] [name_filter ...]
+
+``--vanilla`` builds a plain ``SparkSession.builder`` session (no
+engine confs) instead of the tuned ``get_spark()`` — the same session
+shape the driver passes in. Round 1 shipped a driver-only failure
+(nanosAsLong missing) precisely because this gate always used the
+tuned session; run the vanilla mode before calling a round done.
 """
 
 from __future__ import annotations
@@ -42,9 +48,23 @@ def multiset(rows: list[tuple], col_order: list[int]) -> Counter:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    name_filter = sys.argv[2:]
-    spark = get_spark("check_oracle")
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    name_filter = args[1:]
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .appName("check_oracle_vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
