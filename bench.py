@@ -59,6 +59,34 @@ QUERIES = {
 }
 
 
+# Join/agg/subquery-heavy shapes tracked round-over-round (separate
+# from the BASELINE.md set so "value" stays comparable to BASELINE.md;
+# these exercise the plans that matter at 100 TB: multi-way broadcast
+# joins, semi-join pushdown, decorrelated subqueries, top-k).
+TPCH_SHAPES = [
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_revenue",
+    "tpch_q9_profit",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty",
+    "tpch_q18_big_orders",
+    "tpch_q21_waiting",
+]
+
+
+def _bench_callables(fns: dict, spark, sf_dir: str) -> dict[str, float]:
+    results: dict[str, float] = {}
+    for name, fn in fns.items():
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 4)
+    return results
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_match = re.search(r"sf([\d.]+)", sf_dir)
@@ -77,8 +105,13 @@ def main() -> None:
             eng.query(sql).toPandas()
             best = min(best, time.perf_counter() - t0)
         results[name] = round(best, 4)
-
     total = round(sum(results.values()), 4)
+
+    from dataframe_sql_spark.registry import spark_queries
+
+    qs = spark_queries()
+    tpch = _bench_callables({n: qs[n] for n in TPCH_SHAPES if n in qs}, spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -87,6 +120,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
+                "tpch_shapes_total": round(sum(tpch.values()), 4),
+                "tpch_shapes": tpch,
             }
         )
     )
