@@ -536,8 +536,11 @@ _reg_sql(
 )
 _reg_sql(
     "f_math_funcs",
+    # floor/ceil: BIGINT in Spark but DOUBLE in DuckDB — explicit cast
+    # makes the value bits identical under the driver's exact hash.
     "select l_orderkey, l_linenumber, abs(l_quantity - 25) as ab, "
-    "floor(l_extendedprice / 1000) as fl, ceil(l_extendedprice / 1000) as ce, "
+    "cast(floor(l_extendedprice / 1000) as bigint) as fl, "
+    "cast(ceil(l_extendedprice / 1000) as bigint) as ce, "
     "l_orderkey % 7 as md, sqrt(l_quantity) as sq, "
     "greatest(l_quantity, l_linenumber) as gr, least(l_tax, l_discount) as le, "
     "coalesce(nullif(l_tax, 0.0), -1.0) as co "

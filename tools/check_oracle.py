@@ -31,13 +31,17 @@ from dataframe_sql_spark.session import get_spark  # noqa: E402
 from dataframe_sql_spark.sources.io import TESTDATA_TABLES  # noqa: E402
 
 
+STRICT = False  # --strict: exact float bits (the driver hashes values;
+# last-ulp differences that .10g absorbs WOULD mismatch there)
+
+
 def norm_cell(v) -> str:
     if v is None:
         return "<null>"
     if isinstance(v, float):
         if math.isnan(v):
             return "<nan>"
-        return f"{v:.10g}"
+        return repr(v) if STRICT else f"{v:.10g}"
     if isinstance(v, bool):
         return str(bool(v)).lower()
     return str(v)
@@ -48,10 +52,14 @@ def multiset(rows: list[tuple], col_order: list[int]) -> Counter:
 
 
 def main() -> int:
+    global STRICT
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    if "--strict" in args:
+        STRICT = True
+        args.remove("--strict")
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     name_filter = args[1:]
     if vanilla:
