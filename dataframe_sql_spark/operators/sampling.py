@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket_hex", "hash_split", "hash_sample", "stratified_hash_sample"]
+__all__ = [
+    "hash_bucket_hex",
+    "hash_split",
+    "hash_sample",
+    "stratified_hash_sample",
+    "dataset_mix",
+]
 
 _HEX_SPACE = 16**8
 
@@ -108,3 +114,45 @@ def stratified_hash_sample(
         else F.lit(hex_threshold(default_fraction))
     )
     return df.filter(bucket < thr)
+
+
+def dataset_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_weights: dict[str, float],
+    seed: int = 42,
+    max_sources: int = 100_000,
+) -> DataFrame:
+    """Downsample each source so the output matches a target mixture
+    (e.g. ``{"web": 0.5, "code": 0.3, "books": 0.2}``) at the maximum
+    feasible volume — the "data mixing" step of a training pipeline.
+
+    The feasible total is ``T = min_s(count_s / w_s)`` (the binding
+    source is kept whole); every other source gets acceptance fraction
+    ``T * w_s / count_s``. Selection is the same hash-based, map-side
+    mechanism as :func:`stratified_hash_sample`, so the result is
+    deterministic across reruns and partitionings, and sources NOT in
+    ``target_weights`` are dropped (a mixture is a whitelist).
+
+    The only non-map-side step is one groupBy(source).count() whose
+    result is collected — bounded by source cardinality, guarded by
+    ``max_sources`` (same driver-OOM guard as the dynamic pivot).
+    """
+    rows = (
+        df.groupBy(source_col).count().limit(max_sources + 1).collect()
+    )
+    if len(rows) > max_sources:
+        raise ValueError(
+            f"source cardinality exceeds max_sources={max_sources}; "
+            "mixing needs a bounded source dimension"
+        )
+    counts = {r[0]: r[1] for r in rows}
+    present = {s: w for s, w in target_weights.items() if s in counts and w > 0}
+    if not present:
+        raise ValueError("no target_weights source present in the data")
+    t = min(counts[s] / w for s, w in present.items())
+    fractions = {s: min(1.0, t * w / counts[s]) for s, w in present.items()}
+    return stratified_hash_sample(
+        df, id_col, source_col, fractions, seed=seed, default_fraction=0.0
+    )

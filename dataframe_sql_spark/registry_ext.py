@@ -34,6 +34,7 @@ from .operators.dedup import (
 from .operators.joins import asof_join, symmetric_difference
 from .operators.packing import pack_sequences
 from .operators.sampling import (
+    dataset_mix,
     hash_sample,
     hash_split,
     hex_threshold,
@@ -1403,4 +1404,103 @@ _reg_sql(
     "overlapping document chunking (window 100 chars, stride 80) — the "
     "RAG / context-window prep op; fan-out is explode over a generated "
     "index, fully JVM-side, parallelism follows the documents scan",
+)
+
+
+_reg_sql(
+    "txt_winnow_fingerprint",
+    # Winnowing (MOSS-style) document fingerprinting — the rolling-hash
+    # fingerprint op: hash every k-gram (k=8; md5-hex prefix so both
+    # engines agree bit-for-bit), then keep the minimum hash of each
+    # sliding window of w=16 consecutive k-grams; the distinct minima
+    # are the document's fingerprints. Guarantees any shared substring
+    # of length >= w+k-1 between two documents yields a shared
+    # fingerprint, robust to position shifts (unlike fixed chunking).
+    # All JVM-side: explode over a generated position index (fan-out is
+    # n_chars rows/doc, partition-local), one window shuffle on doc_id.
+    # At 100 TB run it over word shingles instead of chars to cut the
+    # fan-out ~5x; the plan shape is identical.
+    "select distinct doc_id, fp from ("
+    "select doc_id, pos, m, "
+    "min(kh) over (partition by doc_id order by pos "
+    "rows between 15 preceding and current row) as fp "
+    "from (select doc_id, pos, m, "
+    "substr(md5(substr(text, pos, 8)), 1, 8) as kh "
+    "from (select doc_id, text, greatest(1, n_chars - 7) as m, "
+    "posexplode(sequence(1, greatest(1, n_chars - 7))) as (i, pos) "
+    "from documents) g) h) w "
+    "where pos >= least(16, m)",
+    "SELECT DISTINCT doc_id, fp FROM ("
+    "SELECT doc_id, pos, m, "
+    "min(kh) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS fp "
+    "FROM (SELECT doc_id, pos, m, "
+    "substr(md5(substr(text, pos, 8)), 1, 8) AS kh "
+    "FROM (SELECT doc_id, text, greatest(1, n_chars - 7) AS m, "
+    "unnest(generate_series(1, greatest(1, n_chars - 7))) AS pos "
+    "FROM documents) g) h) w "
+    "WHERE pos >= least(16, m)",
+    "winnowing fingerprint (k-gram rolling hash + sliding-window min): "
+    "shared substrings of length >= 23 chars always share a "
+    "fingerprint; the plagiarism/near-dup detection primitive "
+    "complementing MinHash (set-overlap) and SimHash (vector distance)",
+)
+
+
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+_reg(
+    "x_dataset_mix",
+    lambda spark, sf_dir: dataset_mix(
+        _docs(spark, sf_dir), "doc_id", "lang", _MIX_WEIGHTS, seed=42
+    ).select("doc_id", "lang", "source"),
+    # Oracle recomputes the feasible total T = min(count/weight), the
+    # per-source acceptance fractions, and the same md5 hex-threshold
+    # decision — every float op written in the same order as the Python
+    # driver code so the doubles (and hence the thresholds) are
+    # bit-identical. printf('%08x', floor(frac * 16^8)) reproduces
+    # hex_threshold for frac < 1; the binding source gets 'g' (above
+    # all hex) exactly like hex_threshold(1.0).
+    "WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang), "
+    "w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), "
+    "('fr', 0.15), ('zh', 0.15)), "
+    "f AS (SELECT c.lang, least(1.0, "
+    "(SELECT min(c2.cnt / w2.wt) FROM c c2 JOIN w w2 ON c2.lang = w2.lang) "
+    "* w.wt / c.cnt) AS frac FROM c JOIN w ON c.lang = w.lang), "
+    "t AS (SELECT lang, CASE WHEN frac >= 1.0 THEN 'g' "
+    "ELSE printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT)) END AS thr "
+    "FROM f) "
+    "SELECT d.doc_id, d.lang, d.source FROM documents d JOIN t ON d.lang = t.lang "
+    "WHERE substr(md5(d.doc_id || ':42'), 1, 8) < t.thr",
+    "dataset mixing: downsample each source to hit a target mixture at "
+    "max feasible volume (binding source kept whole); hash-based and "
+    "map-side after one bounded source-count aggregate",
+)
+
+
+_reg_sql(
+    "emb_quantize_int8",
+    # Symmetric per-vector int8 quantization: scale = max |x| (double),
+    # q_i = floor(x_i / scale * 127). 4x storage reduction for ANN
+    # indexes; dequantize as q * scale / 127. floor (not round) keeps
+    # the op bit-identical across engines (no rounding-mode edge), and
+    # float32 -> double casts are exact so the arithmetic matches.
+    # Everything is a higher-order JVM expression over the array column
+    # - one map-side projection, no shuffle, no UDF.
+    "select vec_id, label, scale, "
+    "transform(emb_d, x -> cast(floor(x / scale * 127.0) as int)) as q "
+    "from (select vec_id, label, "
+    "transform(embedding, x -> cast(x as double)) as emb_d, "
+    "aggregate(embedding, cast(0.0 as double), "
+    "(a, x) -> greatest(a, abs(cast(x as double)))) as scale "
+    "from embeddings) t where scale > 0",
+    "SELECT vec_id, label, scale, "
+    "list_transform(emb_d, x -> CAST(floor(x / scale * 127.0) AS INT)) AS q "
+    "FROM (SELECT vec_id, label, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d, "
+    "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale "
+    "FROM embeddings) t WHERE scale > 0",
+    "per-vector symmetric int8 embedding quantization (scale = max "
+    "abs); the storage-compression step before building a 100 TB ANN "
+    "index - map-side higher-order expressions, no UDF",
 )

@@ -81,3 +81,36 @@ def test_split_is_map_side_only(engine):
         engine.spark.table("documents"), "doc_id", {"a": 0.5, "b": 0.5}
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle: pure scan+project
+
+
+def test_dataset_mix_hits_target_proportions(engine):
+    from dataframe_sql_spark.operators.sampling import dataset_mix
+
+    docs = engine.spark.table("documents")
+    weights = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    out = dataset_mix(docs, "doc_id", "lang", weights, seed=42)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    total = sum(counts.values())
+    assert total > 0
+    # Hash granularity + small-N noise: proportions within 6 points.
+    for lang, w in weights.items():
+        assert abs(counts.get(lang, 0) / total - w) < 0.06, (lang, counts, total)
+    # The binding source (max count/weight ratio deficit) is kept whole.
+    src_counts = {
+        r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()
+    }
+    t = min(src_counts[s] / w for s, w in weights.items())
+    binding = min(weights, key=lambda s: src_counts[s] / weights[s])
+    assert counts[binding] == src_counts[binding]
+
+
+def test_dataset_mix_guards(engine):
+    import pytest as _pytest
+
+    from dataframe_sql_spark.operators.sampling import dataset_mix
+
+    docs = engine.spark.table("documents")
+    with _pytest.raises(ValueError, match="cardinality"):
+        dataset_mix(docs, "doc_id", "doc_id", {"1": 1.0}, max_sources=3)
+    with _pytest.raises(ValueError, match="no target_weights"):
+        dataset_mix(docs, "doc_id", "lang", {"xx": 1.0})
