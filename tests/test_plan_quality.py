@@ -276,3 +276,55 @@ def test_rebalance_hint_plumbs_through(engine):
     )
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "RebalancePartitions" in plan, plan[:800]
+
+
+def test_dataset_mix_filter_is_map_side(engine):
+    # The mixture selection itself must be a scan+filter projection —
+    # one bounded count aggregate builds the thresholds driver-side,
+    # after which the returned plan contains no exchange at all.
+    from dataframe_sql_spark.operators.sampling import dataset_mix
+
+    docs = engine.spark.table("documents")
+    out = dataset_mix(
+        docs, "doc_id", "lang",
+        {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    # '* Filter' = codegen'd filter directly over the columnar scan
+    assert "* Filter" in plan, plan
+
+
+def test_winnow_fingerprint_single_exchange(engine):
+    # Explode fan-out stays partition-local; the only shuffle is the
+    # window partition on doc_id (distinct folds into the same keys).
+    df = engine.query(
+        "select distinct doc_id, fp from ("
+        "select doc_id, pos, m, "
+        "min(kh) over (partition by doc_id order by pos "
+        "rows between 15 preceding and current row) as fp "
+        "from (select doc_id, pos, m, "
+        "substr(md5(substr(text, pos, 8)), 1, 8) as kh "
+        "from (select doc_id, text, greatest(1, n_chars - 7) as m, "
+        "posexplode(sequence(1, greatest(1, n_chars - 7))) as (i, pos) "
+        "from documents) g) h) w "
+        "where pos >= least(16, m)"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Generate" in plan  # explode is a Generate, not a join
+
+
+def test_quantize_is_single_projection(engine):
+    from dataframe_sql_spark import registry_ext  # noqa: F401 (extends CATALOG)
+    from dataframe_sql_spark.registry import CATALOG
+
+    df = engine.query(CATALOG["emb_quantize_int8"].engine_sql)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan

@@ -164,3 +164,39 @@ def test_watermark_drops_late_event(spark, tmp_path):
     keys = {r.k for r in spark.read.parquet(out).collect()}
     assert "late" not in keys, keys
     assert "a" in keys
+
+
+def test_stream_cdc_upsert_into_parquet(spark, events_stream, tmp_path):
+    # CDC shape: stream batches merge-upserted into a parquet "table"
+    # keyed by event_id; re-delivered keys replace, new keys append.
+    # Exercises foreachBatch + merge_upsert's rename-swap under
+    # repeated batches (target must exist and stay readable between).
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.sources.io import merge_upsert
+    from dataframe_sql_spark.streaming.pipeline import run_stream_foreach_batch
+
+    target = str(tmp_path / "cdc_target")
+
+    def apply_batch(batch_df, batch_id):
+        updates = (
+            batch_df.select("event_id", "user_id", "value")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        merge_upsert(spark, target, updates, ["event_id"])
+
+    run_stream_foreach_batch(
+        events_stream, apply_batch, str(tmp_path / "ckpt")
+    )
+    result = spark.read.parquet(target)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # one row per key, all keys present
+    assert result.count() == n_events
+    assert result.select("event_id").distinct().count() == n_events
+
+    # re-upsert a slice with changed values: count stable, values swap
+    sample = result.limit(10).withColumn("value", F.lit(-1.0))
+    merge_upsert(spark, target, sample, ["event_id"])
+    after = spark.read.parquet(target)
+    assert after.count() == n_events
+    assert after.filter(F.col("value") == -1.0).count() == 10
