@@ -75,6 +75,17 @@ TPCH_SHAPES = [
 ]
 
 
+# LLM-data-pipeline north-star ops, tracked round-over-round.
+PIPELINE_OPS = [
+    "dd_minhash_pairs",
+    "dd_simhash",
+    "sim_topk",
+    "sim_ann_ivf",
+    "txt_winnow_fingerprint",
+    "x_dataset_mix",
+]
+
+
 def _bench_callables(fns: dict, spark, sf_dir: str) -> dict[str, float]:
     results: dict[str, float] = {}
     for name, fn in fns.items():
@@ -111,6 +122,9 @@ def main() -> None:
 
     qs = spark_queries()
     tpch = _bench_callables({n: qs[n] for n in TPCH_SHAPES if n in qs}, spark, sf_dir)
+    pipeline = _bench_callables(
+        {n: qs[n] for n in PIPELINE_OPS if n in qs}, spark, sf_dir
+    )
 
     print(
         json.dumps(
@@ -122,6 +136,8 @@ def main() -> None:
                 "sf": sf,
                 "tpch_shapes_total": round(sum(tpch.values()), 4),
                 "tpch_shapes": tpch,
+                "pipeline_ops_total": round(sum(pipeline.values()), 4),
+                "pipeline_ops": pipeline,
             }
         )
     )

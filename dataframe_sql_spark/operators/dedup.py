@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "exact_dedup",
     "word_shingles",
+    "shingle_frame",
     "minhash_signature",
     "minhash_candidate_pairs",
     "minhash_dedup",
@@ -66,19 +67,73 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _shingles_of_words(words: Column, k: int) -> Column:
+    """Shingle array from an already-materialized words array.
+
+    ``words`` must be an attribute reference (a column produced by a
+    previous projection) or a lambda variable — NOT the raw
+    ``split(...)`` expression. Lambda-bearing expressions are excluded
+    from Catalyst's common-subexpression elimination, so referencing a
+    split expression inside the transform lambda re-tokenizes the text
+    once per shingle position — O(words²) per document (measured 6×
+    on sf0.1 documents).
+    """
+    n = F.size(words)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    )
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles as an array<string>, JVM-side.
 
     Short documents (< k words) get their whole text as one shingle so
     they still participate.
+
+    The split result is bound to a lambda variable via a one-element
+    ``transform`` so it is evaluated once per row even inside this
+    single expression (see :func:`_shingles_of_words`). Callers doing
+    heavy work should still prefer :func:`shingle_frame`, which puts
+    the regex tokenization in its own codegen'd projection.
     """
-    words = F.split(F.trim(F.lower(text)), r"\s+")
-    n = F.size(words)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    return F.element_at(
+        F.transform(
+            F.array(F.split(F.trim(F.lower(text)), r"\s+")),
+            lambda words: _shingles_of_words(words, k),
+        ),
+        1,
     )
-    return F.array_distinct(shingles)
+
+
+def shingle_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    extra_cols: tuple[str, ...] = (),
+    out_col: str = "__sh",
+) -> DataFrame:
+    """(id, *extra_cols, shingle-array) frame via two projections.
+
+    The two-step shape matters for throughput: tokenization (regex
+    split) runs in a codegen'd projection, and the interpreted shingle
+    transform references the words array as a per-row attribute —
+    measured 6× faster than shingling straight off the text column
+    at sf0.1.
+    """
+    words = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__words"),
+    )
+    return words.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        _shingles_of_words(F.col("__words"), k).alias(out_col),
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
@@ -140,9 +195,7 @@ def minhash_candidate_pairs(
     produces million-doc buckets with quadratic pair expansion; capped
     buckets are near-identical and exact dedup already catches them).
     """
-    shingled = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
-    )
+    shingled = shingle_frame(df, id_col, text_col, shingle_k)
     sig = shingled.select(
         F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
     )
@@ -174,7 +227,7 @@ def ngram_jaccard_pairs(
     and computes |∩|/|∪| with built-in array functions. Returns pairs
     with ``jaccard >= threshold``.
     """
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh"))
+    sh = shingle_frame(df, id_col, text_col, shingle_k)
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
@@ -212,11 +265,7 @@ def blocked_ngram_jaccard(
     Shingle arrays are materialized before the join so each side
     tokenizes once.
     """
-    sh = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        word_shingles(F.col(text_col), shingle_k).alias("__sh"),
-    )
+    sh = shingle_frame(df, id_col, text_col, shingle_k, extra_cols=tuple(block_cols))
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
@@ -323,11 +372,9 @@ def simhash_candidate_pairs(
     """
     width = 64 // chunks
     mask = (1 << width) - 1
-    hashed = df.select(
+    hashed = shingle_frame(df, id_col, text_col, feature_k).select(
         F.col(id_col),
-        F.transform(
-            word_shingles(F.col(text_col), feature_k), lambda t: F.xxhash64(t)
-        ).alias("__th"),
+        F.transform(F.col("__sh"), lambda t: F.xxhash64(t)).alias("__th"),
     )
     sig = hashed.select(F.col(id_col), simhash_bits("__th").alias("__sim"))
     pieces = sig.select(

@@ -230,3 +230,42 @@ def test_video_frame_sampling_stub(spark):
     out = sample_video_frames(df, "blob", every_n_bytes=1024, max_frames=4, fake=True).collect()
     assert len(out) == 4
     assert out[0].frame_blob == bytes(range(256)) * 4
+
+
+def test_winnowing_guarantee_shared_substring(engine):
+    # Winnowing guarantee: two documents sharing a substring of length
+    # >= w + k - 1 (= 16 + 8 - 1 = 23 chars) must share at least one
+    # fingerprint; disjoint random-ish strings should not.
+    import pandas as pd
+
+    shared = "the quick brown fox jumps over it"  # 33 chars shared block
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "AAAA " + shared + " tail one",
+                "completely different prefix " + shared,
+                "zzzz entirely unrelated content qqqq xyzw",
+            ],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    engine.register_temp_table(docs, "winnow_docs")
+    out = engine.query_pandas(
+        "select distinct doc_id, fp from ("
+        "select doc_id, pos, m, "
+        "min(kh) over (partition by doc_id order by pos "
+        "rows between 15 preceding and current row) as fp "
+        "from (select doc_id, pos, m, "
+        "substr(text, pos, 8) as kg, "
+        "substr(md5(substr(text, pos, 8)), 1, 8) as kh "
+        "from (select doc_id, text, greatest(1, n_chars - 7) as m, "
+        "posexplode(sequence(1, greatest(1, n_chars - 7))) as (i, pos) "
+        "from winnow_docs) g) h) w "
+        "where pos >= least(16, m)"
+    )
+    fps = {d: set(out[out.doc_id == d].fp) for d in (1, 2, 3)}
+    assert fps[1] & fps[2], "docs sharing a 33-char block must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+    engine.remove_temp_table("winnow_docs")
