@@ -29,6 +29,8 @@ __all__ = [
     "minhash_signature",
     "minhash_candidate_pairs",
     "minhash_dedup",
+    "minhash_band_index",
+    "incremental_minhash_dedup",
     "simhash_bits",
     "simhash_candidate_pairs",
     "simhash_dedup",
@@ -478,3 +480,71 @@ def embedding_dedup(
     pairs = embedding_cosine_pairs(df, id_col, vec_col, block_col, threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) MinHash band index for a corpus — the
+    persistable artifact incremental dedup joins new batches against.
+
+    Write it partitioned/bucketed by (band, bucket) so the incremental
+    join is a pruned scan, not a full-index shuffle:
+    ``write_bucketed(index, "minhash_index", ["band", "bucket"])``.
+    """
+    shingled = shingle_frame(df, id_col, text_col, shingle_k)
+    sig = shingled.select(
+        F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    )
+    return _banded(sig, id_col, num_hashes, bands)
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an existing corpus band index, without
+    re-signaturing the corpus — the production shape at 100 TB, where
+    the historical index is written once (see
+    :func:`minhash_band_index`) and each ingest batch only signatures
+    its own documents.
+
+    Returns ``(kept, index_delta)``: ``kept`` is the new rows that
+    collide with neither the historical index nor an earlier
+    (smaller-id) row of their own batch; ``index_delta`` is the band
+    rows of the kept docs, to be appended to the index for the next
+    batch.
+
+    Plan shape: one signature projection over the batch, one
+    (band, bucket) semi-join against the index (AQE broadcasts the
+    batch side when small — the common case), one within-batch LSH
+    pass. No corpus-sized shuffle anywhere.
+    """
+    new_banded = minhash_band_index(
+        new_df, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    # Collide against history on fixed-width (band, bucket) keys.
+    hit_ids = (
+        new_banded.join(index, on=["band", "bucket"], how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    survivors = new_df.join(hit_ids, on=id_col, how="left_anti")
+    # Batch-internal near-dups among the remaining rows.
+    kept = minhash_dedup(
+        survivors, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+    delta = minhash_band_index(kept, id_col, text_col, num_hashes, bands, shingle_k)
+    return kept, delta

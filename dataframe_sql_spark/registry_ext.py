@@ -1504,3 +1504,26 @@ _reg_sql(
     "abs); the storage-compression step before building a 100 TB ANN "
     "index - map-side higher-order expressions, no UDF",
 )
+
+
+def _dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: docs < 250 are the already-indexed corpus;
+    the 250+ batch is deduped against their band index + itself."""
+    from .operators.dedup import incremental_minhash_dedup, minhash_band_index
+
+    docs = engine_for(spark, sf_dir).spark.table("documents")
+    hist = docs.filter("doc_id < 250")
+    new = docs.filter("doc_id >= 250")
+    index = minhash_band_index(hist, "doc_id", "text")
+    kept, _delta = incremental_minhash_dedup(new, index, "doc_id", "text")
+    return kept.select("doc_id", "lang", "source")
+
+
+_reg(
+    "dd_incremental",
+    _dd_incremental,
+    None,  # rows-only: LSH banding is not SQL-expressible; semantics
+    # gated by tests/test_dedup.py::test_incremental_dedup_against_index
+    "incremental near-dup: new batch vs persisted MinHash band index "
+    "(the 100 TB ingest shape - history is never re-signatured)",
+)

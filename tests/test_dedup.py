@@ -1,0 +1,37 @@
+
+
+def test_incremental_dedup_against_index(spark, engine):
+    # History: docs 1-2. New batch: 10 (dup of 1), 11 (dup of itself
+    # and 12), 12, 13 (novel). Expect kept = {11 or 12 min-id -> 11, 13},
+    # 10 dropped via the index, 12 dropped within-batch.
+    import pandas as pd
+
+    from dataframe_sql_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about distributed query engines at scale"
+    third = "a third topic entirely concerning maritime navigation and tides"
+    hist = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [base, other]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [base + " ok", third, third + " yes", "unrelated short novel text here entirely"],
+            }
+        )
+    )
+    index = minhash_band_index(hist, "doc_id", "text")
+    kept, delta = incremental_minhash_dedup(new, index, "doc_id", "text")
+    kept_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert 10 not in kept_ids  # caught by the historical index
+    assert 11 in kept_ids and 12 not in kept_ids  # within-batch min-id survives
+    assert 13 in kept_ids
+    # delta covers exactly the kept ids
+    assert sorted(
+        r["doc_id"] for r in delta.select("doc_id").distinct().collect()
+    ) == kept_ids
