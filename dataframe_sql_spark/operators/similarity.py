@@ -151,8 +151,28 @@ def ivf_assign_cells(
     """Assign each vector to its nearest centroid (max cosine), as a
     pure codegen expression over the literal centroid matrix — no UDF,
     no shuffle. At scale the result is persisted partitioned by cell so
-    probes prune partitions."""
-    sims = F.array(*[cosine_col(F.col(vec_col), c) for c in centroids])
+    probes prune partitions.
+
+    argmax_c cos(v, c) == argmax_c dot(v, c / |c|): the row norm is a
+    positive constant across cells, so centroids are normalized
+    driver-side and each cell costs one dot product — no per-row norm
+    or sqrt at all (~2× less arithmetic than cosine per cell)."""
+
+    def _normed(c: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        return [x / n for x in c]
+
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in _normed(c)]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
     return df.withColumn(cell_col, (F.array_position(sims, F.array_max(sims)) - 1).cast("int"))
 
 
