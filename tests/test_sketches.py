@@ -1,0 +1,57 @@
+"""Gates for the mergeable HLL sketch surface (functions/sketches.py):
+estimate accuracy vs exact, and the mergeability property the 100 TB
+design depends on — union of per-segment partials must agree with a
+single direct sketch over the whole data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataframe_sql_spark.functions.sketches import (
+    hll_estimate_exactish,
+    hll_partials,
+    hll_rollup,
+)
+
+
+def _synth(spark, n_groups=4, n_ids=2000, n_days=7):
+    return (
+        spark.range(n_groups * n_ids * n_days)
+        .select(
+            (F.col("id") % n_groups).cast("string").alias("grp"),
+            ((F.col("id") % (n_ids * 7)) / 7).cast("long").alias("uid"),  # overlapping ids
+            (F.col("id") % n_days).alias("day"),
+        )
+    )
+
+
+def test_hll_estimate_within_tolerance(spark):
+    df = _synth(spark)
+    out = hll_estimate_exactish(df, ["grp"], "day", "uid", lgk=14, rel_tol=0.03)
+    rows = out.collect()
+    assert len(rows) == 4
+    assert all(r.within_tol for r in rows)
+
+
+def test_hll_partials_merge_matches_direct(spark):
+    """Rollup of daily partials == direct sketch of all rows (same lgk)
+    — the invariant that lets partials be persisted and re-aggregated
+    without rescanning raw data."""
+    df = _synth(spark)
+    merged = hll_rollup(hll_partials(df, ["grp"], "day", "uid", lgk=12), ["grp"])
+    direct = df.groupBy("grp").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("uid", F.lit(12))).alias("direct_est")
+    )
+    joined = merged.join(direct, "grp").collect()
+    for r in joined:
+        assert abs(r.distinct_est - r.direct_est) <= max(1, 0.01 * r.direct_est), r
+
+
+def test_hll_partials_are_bounded_binary(spark):
+    """Partial sketches are fixed-size binary payloads (not value
+    lists): the merge shuffle is O(groups·segments·sketch_size)."""
+    df = _synth(spark)
+    p = hll_partials(df, ["grp"], "day", "uid", lgk=12)
+    assert dict(p.dtypes)["hll"] == "binary"
+    sizes = p.select(F.max(F.length("hll")).alias("m")).collect()[0].m
+    assert sizes <= (1 << 12) * 8  # well under lgk bound
