@@ -36,6 +36,8 @@ __all__ = [
     "simhash_bits",
     "simhash_candidate_pairs",
     "simhash_dedup",
+    "kgram_positions",
+    "substring_span_stats",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
     "embedding_dedup",
@@ -394,6 +396,116 @@ def minhash_dedup(
     dups = ngram_jaccard_pairs(df, pairs, id_col, text_col, shingle_k, threshold)
     losers = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# exact substring-span dedup (Lee et al. 2022-style measurement)
+# --------------------------------------------------------------------------
+
+
+def kgram_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Positional k-word-gram hashes: one row per (id, pos, gram hash).
+
+    Unlike :func:`hashed_shingle_frame` this keeps *positions* and
+    duplicates — the raw material for exact substring analysis. Grams
+    are ``xxhash64`` of the k word hashes starting at ``pos`` (trailing
+    positions clamp to the last word). The explode fans out to
+    ~n_words rows per doc but stays partition-local (no shuffle until
+    the caller aggregates).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__words"),
+    )
+    hashed = words.select(
+        F.col(id_col),
+        F.transform(F.col("__words"), lambda w: F.xxhash64(w)).alias("__hw"),
+    )
+    hw = F.col("__hw")
+    n = F.size(hw)
+    grams = hashed.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+                lambda i: F.xxhash64(
+                    *[F.element_at(hw, F.least(i + off, n)) for off in range(k)]
+                ),
+            )
+        ).alias("__p0", "gh"),
+    )
+    return grams.select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "gh")
+
+
+def substring_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document duplicated-substring coverage — the measurement
+    behind exact substring dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): any word k-gram that
+    occurs more than once in the corpus marks its k-token span as
+    duplicated; a document's ``dup_ratio`` is the fraction of its
+    tokens covered by the union of those spans. Curation then drops or
+    trims docs above a threshold.
+
+    Plan shape (all fixed-width keys, no strings past tokenization):
+    explode to (id, pos, gram-hash) → groupBy gram-hash (8-byte
+    shuffle, map-side partial counts) → semi-join duplicated grams
+    back onto positions → per-doc interval-union length via one window
+    over (id, pos). At 100 TB the gram-count aggregate is the only
+    corpus-wide shuffle and it carries 16 bytes/row.
+
+    Returns (id, n_tokens, dup_grams, covered_tokens, dup_ratio),
+    one row per input document (zero-filled when nothing repeats).
+    """
+    from pyspark.sql import Window
+
+    grams = kgram_positions(df, id_col, text_col, k)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("gh")
+    )
+    dup_pos = grams.join(dup, on="gh", how="left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # union length of fixed-length-k intervals sorted by start:
+    # every gap to the next start contributes min(k, gap); the last
+    # interval contributes k.
+    covered = (
+        dup_pos.withColumn("__next", F.lead("pos").over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dup_grams"),
+            F.sum(
+                F.when(F.col("__next").isNull(), F.lit(k)).otherwise(
+                    F.least(F.lit(k), F.col("__next") - F.col("pos"))
+                )
+            ).alias("covered_tokens"),
+        )
+    )
+    n_tok = df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("n_tokens"),
+    )
+    return n_tok.join(covered, on=id_col, how="left").select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("dup_grams", F.lit(0)).cast("bigint").alias("dup_grams"),
+        # clamp: a shorter-than-k doc's single degenerate gram spans k
+        # tokens on paper but the doc only has n_tokens
+        F.least(F.coalesce("covered_tokens", F.lit(0)), F.col("n_tokens"))
+        .cast("bigint")
+        .alias("covered_tokens"),
+        (
+            F.least(F.coalesce("covered_tokens", F.lit(0)), F.col("n_tokens")).cast(
+                "double"
+            )
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("dup_ratio"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1532,6 +1532,50 @@ _reg_sql(
 )
 
 
+def _dd_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span duplication measurement (Lee et al. 2022
+    shape): corpus-duplicated word 5-grams mark spans; per-doc coverage
+    ratio of the span union. Spark grams are hashes of word-hash
+    windows; the oracle re-derives the same equivalence classes from
+    the literal word strings (whitespace-split words make the ' '
+    join unambiguous)."""
+    from .operators.dedup import substring_span_stats
+
+    docs = engine_for(spark, sf_dir).spark.table("documents")
+    return substring_span_stats(docs, "doc_id", "text", k=5)
+
+
+_reg(
+    "dd_substring_spans",
+    _dd_substring,
+    r"WITH words AS (SELECT doc_id, "
+    r"string_split_regex(trim(lower(text)), '\s+') AS w FROM documents), "
+    r"pos AS (SELECT doc_id, w, "
+    r"unnest(generate_series(1, greatest(len(w) - 4, 1))) AS pos FROM words), "
+    r"grams AS (SELECT doc_id, pos, "
+    r"w[pos] || ' ' || w[least(pos+1, len(w))] || ' ' || "
+    r"w[least(pos+2, len(w))] || ' ' || w[least(pos+3, len(w))] || ' ' || "
+    r"w[least(pos+4, len(w))] AS g FROM pos), "
+    r"dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2), "
+    r"dpos AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)), "
+    r"cov AS (SELECT doc_id, count(*) AS dup_grams, "
+    r"sum(CASE WHEN nxt IS NULL THEN 5 ELSE least(5, nxt - pos) END) AS covered "
+    r"FROM (SELECT doc_id, pos, lead(pos) OVER "
+    r"(PARTITION BY doc_id ORDER BY pos) AS nxt FROM dpos) t GROUP BY doc_id), "
+    r"nt AS (SELECT doc_id, "
+    r"len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens "
+    r"FROM documents) "
+    r"SELECT nt.doc_id, n_tokens, "
+    r"coalesce(dup_grams, 0)::BIGINT AS dup_grams, "
+    r"least(coalesce(covered, 0), n_tokens)::BIGINT AS covered_tokens, "
+    r"least(coalesce(covered, 0), n_tokens)::DOUBLE / greatest(n_tokens, 1) "
+    r"AS dup_ratio FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id",
+    "exact substring-span dedup measurement: corpus-duplicated 5-grams "
+    "-> per-doc covered-span ratio (interval union via one window); "
+    "the only corpus-wide shuffle is a 16-byte/row gram count",
+)
+
+
 def _dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: docs < 250 are the already-indexed corpus;
     the 250+ batch is deduped against their band index + itself."""

@@ -35,3 +35,36 @@ def test_incremental_dedup_against_index(spark, engine):
     assert sorted(
         r["doc_id"] for r in delta.select("doc_id").distinct().collect()
     ) == kept_ids
+
+
+def test_substring_span_stats_planted_duplicates(spark):
+    import pandas as pd
+
+    from dataframe_sql_spark.operators.dedup import substring_span_stats
+
+    boiler = "subscribe to our newsletter for updates every single day thanks"  # 10 words
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta " + boiler,
+                "one two three four five six seven eight nine " + boiler,
+                "totally unique words without any repeated gram content at all",
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_span_stats(
+            spark.createDataFrame(rows), "doc_id", "text", k=5
+        ).collect()
+    }
+    # the 10-word boilerplate is shared: 6 duplicated 5-grams covering
+    # its 10 tokens in docs 1 and 2
+    assert out[1]["dup_grams"] == 6 and out[2]["dup_grams"] == 6
+    assert out[1]["covered_tokens"] == 10 and out[2]["covered_tokens"] == 10
+    assert abs(out[1]["dup_ratio"] - 10 / 18) < 1e-9
+    # doc 3 shares nothing
+    assert out[3]["dup_grams"] == 0 and out[3]["dup_ratio"] == 0.0
+    # every doc gets a row
+    assert set(out) == {1, 2, 3}
