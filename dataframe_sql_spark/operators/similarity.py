@@ -32,6 +32,9 @@ __all__ = [
     "ivf_assign_cells",
     "ivf_topk",
     "knn_join_bruteforce",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -250,3 +253,140 @@ def knn_join_bruteforce(
     )
     w = Window.partitionBy(left_id).orderBy(F.desc("score"), F.asc(right_id))
     return pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ)
+# --------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: ``n_sub`` subspaces × ``n_codes`` centroids
+    each, k-means on a deterministic bounded sample.
+
+    This is the index-BUILD step: only ``sample``·dim floats reach the
+    driver (seedless md5-ordered sample, reproducible across runs and
+    engines), and the k-means runs on that sample in numpy. At 100 TB
+    the build stays exactly this shape — training on a few thousand
+    vectors is standard PQ practice (codebooks converge long before
+    the corpus is exhausted); encode/scan never collect anything.
+
+    Returns ``codebooks[s][c] = centroid vector`` (len dim/n_sub).
+    """
+    import numpy as np
+
+    assert dim % n_sub == 0, "dim must divide evenly into n_sub subspaces"
+    sub = dim // n_sub
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r.v for r in rows])  # (n, dim)
+    books: list[list[list[float]]] = []
+    for s in range(n_sub):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        # deterministic init: first n_codes sample rows (md5 order)
+        C = Xs[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    code_col: str = "__pq",
+) -> DataFrame:
+    """Attach the PQ code (array<int>, one code per subspace) as a pure
+    codegen expression over the literal codebooks — no UDF, no shuffle.
+
+    The encoded column is what gets persisted at scale: n_sub bytes a
+    row instead of dim·4, a 64× compression at (64-dim float32,
+    4×16 PQ), and every later query scans codes, not vectors.
+    """
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for s in range(n_sub):
+        vs = F.slice(v, s * sub + 1, sub)
+        # argmin over squared L2: ||x-c||² = ||x||² - 2<x,c> + ||c||²;
+        # ||x||² is constant across codes, so rank by ||c||² - 2<x,c>
+        scores = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vs,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(float(sum(x * x for x in c)) / -2.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in codebooks[s]
+            ]
+        )
+        codes.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_sub: int = 4,
+    n_codes: int = 16,
+    rerank: int = 100,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance computation (ADC)
+    and exact rerank.
+
+    The query is never quantized: the driver precomputes a lookup
+    table LUT[s][c] = <query_s, centroid_{s,c}> (n_sub·n_codes floats)
+    and the scan scores each row as Σ_s LUT[s][code_s] — n_sub
+    element_at calls per row against literal arrays, the cheapest
+    possible scan over a compressed index. The ``rerank`` best
+    candidates then pay the exact cosine.
+    """
+    if codebooks is None:
+        codebooks = pq_train(df, vec_col, id_col, dim=len(query), n_sub=n_sub, n_codes=n_codes)
+    sub = len(codebooks[0][0])
+    encoded = pq_encode(df, vec_col, codebooks)
+    approx = F.lit(0.0)
+    for s in range(len(codebooks)):
+        qs = query[s * sub : (s + 1) * sub]
+        lut = F.array(
+            *[F.lit(float(sum(a * b for a, b in zip(qs, c)))) for c in codebooks[s]]
+        )
+        approx = approx + F.element_at(lut, F.element_at(F.col("__pq"), s + 1) + 1)
+    candidates = (
+        encoded.withColumn("__adc", approx)
+        .orderBy(F.desc("__adc"), F.asc(id_col))
+        .limit(rerank)
+    )
+    return (
+        candidates.select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

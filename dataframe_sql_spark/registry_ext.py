@@ -246,6 +246,25 @@ _reg(
     "approximate top-k via random-hyperplane LSH + exact rerank",
 )
 
+
+def _sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_topk
+
+    return pq_topk(
+        _emb(spark, sf_dir), "embedding", _QUERY_VEC, k=10, n_sub=8, n_codes=16,
+        rerank=100,
+    ).select("vec_id", F.round("score", 8).alias("score"))
+
+
+_reg(
+    "sim_ann_pq",
+    _sim_pq,
+    None,  # codebook training is not SQL-expressible; pytest gates recall
+    "product-quantization ANN: 8x16 codebooks (k-means on a bounded "
+    "deterministic sample), ADC scan over literal lookup tables, exact "
+    "rerank - the compressed-index scale path (n_sub bytes/vector)",
+)
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------

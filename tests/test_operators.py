@@ -269,3 +269,24 @@ def test_winnowing_guarantee_shared_substring(engine):
     assert not (fps[1] & fps[3])
     assert not (fps[2] & fps[3])
     engine.remove_temp_table("winnow_docs")
+
+
+def test_pq_topk_recall_and_code_shape(spark, engine):
+    from dataframe_sql_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = engine.spark.table("embeddings")
+    query = [1.0] * 64
+    exact = [r.vec_id for r in cosine_topk(emb, "embedding", query, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in pq_topk(emb, "embedding", query, k=10, n_sub=8, n_codes=16, rerank=100).collect()
+    ]
+    # ADC + 100-candidate rerank: recall@10 >= 0.7 on 500 vectors
+    assert len(set(exact) & set(approx)) >= 7
+    # codes are n_sub small ints in [0, n_codes)
+    books = pq_train(emb, "embedding", "vec_id", dim=64, n_sub=8, n_codes=16)
+    codes = pq_encode(emb, "embedding", books).select("__pq").limit(50).collect()
+    for r in codes:
+        assert len(r["__pq"]) == 8 and all(0 <= c < 16 for c in r["__pq"])
+    # determinism: retrain gives identical codebooks (bounded md5 sample)
+    assert books == pq_train(emb, "embedding", "vec_id", dim=64, n_sub=8, n_codes=16)
