@@ -590,6 +590,8 @@ PRIORITY: list[str] = [
     "dd_simhash",
     "dd_clusters",
     "dd_embedding",
+    "dd_substring_spans",
+    "a_hll_sketch_rollup",
     # similarity search
     "sim_topk",
     "sim_ann_ivf",
@@ -605,11 +607,11 @@ PRIORITY: list[str] = [
     "mm_blob_meta",
     "mm_audio_chunks",
     "pipe_curation",
-    # representative reference-grammar slice (§2.2-§2.9)
+    # representative reference-grammar slice (§2.2-§2.9); inner join +
+    # grouped HAVING are exercised by every TPC-H shape above, so their
+    # slots go to the two new oracle-checked pipeline ops
     "p_select_star",
     "p_case",
-    "j_inner",
-    "a_groupby_having",
     "w_rank_partition",
     "u_union",
     "q_cte",
