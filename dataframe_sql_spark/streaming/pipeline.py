@@ -249,3 +249,64 @@ def run_stream_foreach_batch(
         .start()
     )
     q.awaitTermination(120)
+
+
+def streaming_near_dedup(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Streaming corpus curation: near-dup dedup of an unbounded
+    document stream against a persisted MinHash band index.
+
+    Each micro-batch (a) signatures only its own documents, (b)
+    semi-joins the on-disk band index to drop docs near-duplicating
+    *history*, (c) LSH-dedups within itself, then (d) appends kept
+    docs to ``out_path`` and their band rows to ``index_path`` — so
+    state grows by exactly the kept docs and no historical text is
+    ever re-shingled. This is the streaming face of
+    :func:`...operators.dedup.incremental_minhash_dedup`; watermark
+    state stays empty because the "state" lives in the index files,
+    which survive restarts with the checkpoint.
+
+    Retry caveat: the two appends are not atomic per batch — a crash
+    between them can re-append on the batch replay. At scale both
+    sinks should be a transactional table format (the foreachBatch
+    shape is exactly the MERGE pattern those formats support);
+    duplicate index rows only cost extra candidates, never wrong
+    results.
+    """
+    import os
+
+    from ..operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+        minhash_dedup,
+    )
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if os.path.exists(index_path):
+            index = batch.sparkSession.read.parquet(index_path)
+            kept, _ = incremental_minhash_dedup(
+                batch, index, id_col, text_col,
+                num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            )
+        else:
+            kept = minhash_dedup(
+                batch, id_col, text_col,
+                num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            )
+        kept = kept.localCheckpoint()  # compute once; two sinks below
+        kept.write.mode("append").parquet(out_path)
+        minhash_band_index(kept, id_col, text_col, num_hashes, bands, shingle_k) \
+            .write.mode("append").parquet(index_path)
+
+    run_stream_foreach_batch(docs_stream, batch_fn, checkpoint)

@@ -200,3 +200,44 @@ def test_stream_cdc_upsert_into_parquet(spark, events_stream, tmp_path):
     after = spark.read.parquet(target)
     assert after.count() == n_events
     assert after.filter(F.col("value") == -1.0).count() == 10
+
+
+def test_streaming_near_dedup_across_batches(spark, tmp_path):
+    """Batch 2 arrives after batch 1 was indexed: its cross-batch
+    near-dups are dropped via the persisted band index, novel docs
+    survive, and the index grows by exactly the kept docs."""
+    import pandas as pd
+
+    from dataframe_sql_spark.streaming.pipeline import streaming_near_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about distributed query engines at scale"
+    third = "a third topic entirely concerning maritime navigation and tides"
+
+    schema = "doc_id LONG, text STRING"
+
+    def run_batch(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        streaming_near_dedup(stream, index_path, out_path, ckpt)
+
+    run_batch([(1, base), (2, base + " ok"), (3, other)])  # 2 near-dups 1
+    kept1 = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert kept1 == [1, 3]
+
+    run_batch([(10, base + " yes"), (11, third)])  # 10 dups history, 11 novel
+    kept2 = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert kept2 == [1, 3, 11]
+
+    # index covers exactly the kept docs
+    idx_ids = sorted(
+        r.doc_id for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()
+    )
+    assert idx_ids == [1, 3, 11]
