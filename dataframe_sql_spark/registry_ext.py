@@ -1595,6 +1595,81 @@ _reg(
 )
 
 
+def _dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: drop training docs sharing any exact
+    word 8-gram with the benchmark set (docs < 50 stand in for the
+    eval suite). The overlap check is a semi-join on fixed-width gram
+    hashes; the benchmark gram set is tiny so AQE broadcasts it — at
+    100 TB the scan side streams, nothing corpus-sized shuffles."""
+    from .operators.dedup import kgram_positions
+
+    docs = engine_for(spark, sf_dir).spark.table("documents")
+    bench = docs.filter("doc_id < 50")
+    train = docs.filter("doc_id >= 50")
+    bench_grams = kgram_positions(bench, "doc_id", "text", k=8).select("gh").distinct()
+    hit = (
+        kgram_positions(train, "doc_id", "text", k=8)
+        .join(bench_grams, on="gh", how="left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(hit, on="doc_id", how="left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+_reg(
+    "dd_decontaminate",
+    _dd_decontaminate,
+    r"WITH words AS (SELECT doc_id, "
+    r"string_split_regex(trim(lower(text)), '\s+') AS w FROM documents), "
+    r"grams AS (SELECT doc_id, "
+    r"w[pos] || ' ' || w[least(pos+1, len(w))] || ' ' || "
+    r"w[least(pos+2, len(w))] || ' ' || w[least(pos+3, len(w))] || ' ' || "
+    r"w[least(pos+4, len(w))] || ' ' || w[least(pos+5, len(w))] || ' ' || "
+    r"w[least(pos+6, len(w))] || ' ' || w[least(pos+7, len(w))] AS g "
+    r"FROM (SELECT doc_id, w, "
+    r"unnest(generate_series(1, greatest(len(w) - 7, 1))) AS pos FROM words) p), "
+    r"bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50), "
+    r"hit AS (SELECT DISTINCT doc_id FROM grams "
+    r"WHERE doc_id >= 50 AND g IN (SELECT g FROM bench)) "
+    r"SELECT doc_id, lang, source FROM documents "
+    r"WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM hit)",
+    "test-set decontamination: drop training docs sharing any exact "
+    "8-gram with the benchmark table (GPT-3-style n-gram overlap); "
+    "gram-hash semi-join, benchmark side broadcast",
+)
+
+
+_reg_sql(
+    "txt_word_rarity",
+    # corpus-statistics quality scoring (CCNet-style, integer-exact):
+    # per-doc mean corpus frequency of its words + share of rare
+    # (freq<=2) words. Both outputs are ratios of exact integer
+    # aggregates, so the cross-engine hash matches bit-for-bit without
+    # any float-sum ordering concerns.
+    "with words as (select doc_id, "
+    "explode(split(trim(lower(text)), '\\\\s+')) as w from documents), "
+    "freq as (select w, count(*) as c from words group by w) "
+    "select doc_id, count(*) as n_words, sum(c) as freq_sum, "
+    "cast(sum(c) as double) / count(*) as avg_word_freq, "
+    "cast(sum(case when c <= 2 then 1 else 0 end) as double) / count(*) "
+    "as rare_ratio "
+    "from words join freq using (w) group by doc_id",
+    r"WITH words AS (SELECT doc_id, "
+    r"unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents), "
+    r"freq AS (SELECT w, count(*) AS c FROM words GROUP BY w) "
+    r"SELECT doc_id, count(*) AS n_words, sum(c) AS freq_sum, "
+    r"sum(c)::DOUBLE / count(*) AS avg_word_freq, "
+    r"sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*) "
+    r"AS rare_ratio "
+    r"FROM words JOIN freq USING (w) GROUP BY doc_id",
+    "corpus-statistics quality score: per-doc mean word frequency and "
+    "rare-word share; the freq table is vocab-sized so the join "
+    "broadcasts - the unigram half of a CCNet-style quality filter",
+)
+
+
 def _dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: docs < 250 are the already-indexed corpus;
     the 250+ batch is deduped against their band index + itself."""

@@ -68,3 +68,36 @@ def test_substring_span_stats_planted_duplicates(spark):
     assert out[3]["dup_grams"] == 0 and out[3]["dup_ratio"] == 0.0
     # every doc gets a row
     assert set(out) == {1, 2, 3}
+
+
+def test_decontamination_semi_join_shape(spark):
+    """Planted case: a train doc embedding an exact benchmark 8-gram is
+    dropped; paraphrases survive."""
+    import pandas as pd
+
+    from dataframe_sql_spark.operators.dedup import kgram_positions
+
+    bench_text = "which ocean is the largest body of water on the planet earth"
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 100, 101],
+            "text": [
+                bench_text,
+                "quiz answer: which ocean is the largest body of water on the planet earth today",
+                "the biggest sea on earth is discussed in many geography classes",
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    bench_grams = (
+        kgram_positions(df.filter("doc_id < 50"), "doc_id", "text", k=8)
+        .select("gh")
+        .distinct()
+    )
+    hit = (
+        kgram_positions(df.filter("doc_id >= 50"), "doc_id", "text", k=8)
+        .join(bench_grams, "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    assert [r.doc_id for r in hit.collect()] == [100]
