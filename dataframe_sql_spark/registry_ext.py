@@ -21,7 +21,12 @@ from .functions.text import (
     lang_id,
     token_count,
 )
-from .multimodal.binary import attach_blob_metadata, chunk_audio, decode_image_batch
+from .multimodal.binary import (
+    attach_blob_metadata,
+    chunk_audio,
+    decode_image_batch,
+    sample_video_frames,
+)
 from .operators.dedup import (
     blocked_ngram_jaccard,
     embedding_dedup,
@@ -361,6 +366,21 @@ _reg(
     " least(256, n - (i - 1) * 256)::INT AS n_bytes FROM u",
     "audio chunking fan-out (mapInPandas explode; stub PCM slicing) — "
     "chunk boundaries oracle-checked",
+)
+
+_reg(
+    "mm_video_frames",
+    lambda spark, sf_dir: sample_video_frames(
+        _mm_blobs(spark, sf_dir), "blob", every_n_bytes=1024, max_frames=8, fake=True
+    ).select("doc_id", "frame_idx", F.length("frame_blob").alias("n_bytes")),
+    "WITH c AS (SELECT doc_id, octet_length(encode(text)) AS n, "
+    "least(greatest(octet_length(encode(text)) // 1024, 1), 8) AS nframes "
+    "FROM documents), "
+    "u AS (SELECT doc_id, n, unnest(generate_series(1, nframes)) AS i FROM c) "
+    "SELECT doc_id, (i - 1)::INT AS frame_idx, "
+    "least(1024, greatest(n - (i - 1) * 1024, 0))::INT AS n_bytes FROM u",
+    "video frame-sampling fan-out (mapInPandas explode, <=8 frames/blob; "
+    "stub byte-window sampling) - frame boundaries oracle-checked",
 )
 
 _reg(
