@@ -79,10 +79,16 @@ TPCH_SHAPES = [
 PIPELINE_OPS = [
     "dd_minhash_pairs",
     "dd_simhash",
+    "dd_substring_spans",
+    "dd_decontaminate",
     "sim_topk",
     "sim_ann_ivf",
+    "sim_ann_pq",
     "txt_winnow_fingerprint",
+    "txt_word_rarity",
+    "a_hll_sketch_rollup",
     "x_dataset_mix",
+    "x_sessionize",
 ]
 
 

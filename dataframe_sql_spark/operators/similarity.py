@@ -325,11 +325,18 @@ def pq_encode(
     n_sub = len(codebooks)
     sub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
+    # two projections: materialize each subvector once as an attribute,
+    # then score — otherwise every one of the n_codes dot products
+    # re-evaluates its F.slice (lambda-bearing expressions are excluded
+    # from subexpression elimination; measured ~2× at sf0.1)
+    sliced = df.withColumns(
+        {f"__sv{s}": F.slice(v, s * sub + 1, sub) for s in range(n_sub)}
+    )
     codes = []
     for s in range(n_sub):
-        vs = F.slice(v, s * sub + 1, sub)
+        vs = F.col(f"__sv{s}")
         # argmin over squared L2: ||x-c||² = ||x||² - 2<x,c> + ||c||²;
-        # ||x||² is constant across codes, so rank by ||c||² - 2<x,c>
+        # ||x||² is constant across codes, so rank by <x,c> - ||c||²/2
         scores = F.array(
             *[
                 F.aggregate(
@@ -345,7 +352,9 @@ def pq_encode(
             ]
         )
         codes.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
-    return df.withColumn(code_col, F.array(*codes))
+    return sliced.withColumn(code_col, F.array(*codes)).drop(
+        *[f"__sv{s}" for s in range(n_sub)]
+    )
 
 
 def pq_topk(

@@ -1360,6 +1360,64 @@ _reg_sql(
 
 
 _reg_sql(
+    "x_sessionize",
+    # gap-based sessionization: a >30-min silence starts a new session.
+    # One shuffle on user_id shared by both windows; session ids are
+    # (user, cumulative-new-session-count) - deterministic, engine-
+    # portable, and the canonical pre-aggregation for behavioral
+    # analytics at scale (st_session is the streaming twin).
+    "with gaps as (select user_id, event_id, ts, "
+    "case when lag(ts) over (partition by user_id order by ts, event_id) is null "
+    "or ts - lag(ts) over (partition by user_id order by ts, event_id) "
+    "> interval 30 minutes then 1 else 0 end as is_new from events) "
+    "select user_id, cast(sum(is_new) over (partition by user_id "
+    "order by ts, event_id rows unbounded preceding) as bigint) as session_seq, "
+    "event_id, ts from gaps",
+    "WITH gaps AS (SELECT user_id, event_id, ts, "
+    "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new FROM events) "
+    "SELECT user_id, CAST(sum(is_new) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq, "
+    "event_id, ts FROM gaps",
+    "gap-based sessionization (30-min inactivity closes a session): "
+    "lag + running sum over one user_id shuffle",
+)
+
+_reg_sql(
+    "x_funnel",
+    # ordered-funnel analysis: earliest view -> first later click ->
+    # first later purchase per user. Each stage is a grouped min over
+    # a semi-filtered self-join; all joins key on user_id (one
+    # partitioning reused), stage tables shrink monotonically so AQE
+    # broadcasts them against the event scan.
+    "with v as (select user_id, min(ts) as t_view from events "
+    "where event_type = 'view' group by user_id), "
+    "c as (select e.user_id, min(e.ts) as t_click from events e "
+    "join v on e.user_id = v.user_id and e.ts > v.t_view "
+    "where e.event_type = 'click' group by e.user_id), "
+    "p as (select e.user_id, min(e.ts) as t_purchase from events e "
+    "join c on e.user_id = c.user_id and e.ts > c.t_click "
+    "where e.event_type = 'purchase' group by e.user_id) "
+    "select v.user_id, v.t_view, c.t_click, p.t_purchase "
+    "from v left join c on v.user_id = c.user_id "
+    "left join p on v.user_id = p.user_id",
+    "WITH v AS (SELECT user_id, min(ts) AS t_view FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e "
+    "JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view "
+    "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+    "p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e "
+    "JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+    "SELECT v.user_id, v.t_view, c.t_click, p.t_purchase "
+    "FROM v LEFT JOIN c ON v.user_id = c.user_id "
+    "LEFT JOIN p ON v.user_id = p.user_id",
+    "ordered funnel (view -> click -> purchase): stage-wise grouped "
+    "minima over user_id-keyed joins, NULLs mark drop-off",
+)
+
+_reg_sql(
     "f_variant_json",
     "select event_id, "
     "variant_get(parse_json(props), '$.k', 'int') as k_val, "
