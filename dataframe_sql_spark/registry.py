@@ -616,6 +616,15 @@ PRIORITY: list[str] = [
     "u_union",
     "q_cte",
     "o_orderby_limit",
+    # second tier (positions 51+): the round-2 oracle-checked pipeline
+    # ops — scored if the driver window ever widens past 50
+    "dd_decontaminate",
+    "txt_word_rarity",
+    "x_sessionize",
+    "x_funnel",
+    "mm_video_frames",
+    "sim_ann_pq",
+    "dd_incremental",
 ]
 
 
