@@ -1359,6 +1359,31 @@ _reg_sql(
 )
 
 
+def _txt_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE token counts: distributed word-count -> driver merge
+    loop on the vocab-bounded frequency table -> Arrow-batched
+    tokenizer. The corpus pass is one shuffle; the UDF is the
+    sanctioned slow path (data-dependent merge loop has no Catalyst
+    expression)."""
+    from .functions.bpe import bpe_token_count_col, learn_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = learn_bpe(docs, "text", n_merges=50)
+    return docs.select(
+        "doc_id", bpe_token_count_col(F.col("text"), merges).alias("n_bpe_learned")
+    )
+
+
+_reg(
+    "txt_bpe_tokens",
+    _txt_bpe,
+    None,  # learned merges + UDF application not SQL-expressible;
+    # tests/test_bpe.py gates learning determinism and encode parity
+    "learned BPE token counts (distributed counts, driver merges on "
+    "the bounded vocab table, Arrow-batched apply)",
+)
+
+
 _reg_sql(
     "x_sessionize",
     # gap-based sessionization: a >30-min silence starts a new session.
