@@ -518,31 +518,31 @@ def simhash_bits(hashes_col: str, bits: int = 64) -> Column:
     feature hashes, fully JVM-side.
 
     Signature bit b is 1 iff more features have bit b set than unset.
-    Implemented as ONE aggregate with an array<int> accumulator
-    (zip_with per element) + one packing aggregate — a naive version
-    with 64 separate per-bit aggregate expressions is ~64× more
-    expression tree and re-reads the array per bit. SQL-expr form
-    because SQL ``shiftright``/``shiftleft`` accept column shift
-    amounts (the PySpark wrappers only take Python ints).
+    Implemented as ``bits`` flat integer aggregates (one per bit) over
+    the long array plus a constant-folded packing sum. Each aggregate
+    is allocation-free scalar arithmetic; the previous single-pass
+    array<int>-accumulator version allocated a 64-int array per
+    element (zip_with + transform) and measured ~1.5× slower at sf0.1
+    despite traversing the array once — per-element allocation costs
+    more than extra traversals of an on-heap long array.
     """
-    return F.expr(
-        f"""
-        aggregate(
-          zip_with(
-            aggregate(
-              {hashes_col},
-              array_repeat(0, {bits}),
-              (acc, h) -> zip_with(
-                acc,
-                transform(sequence(0, {bits - 1}),
-                          b -> int((shiftright(h, b) & 1L) * 2 - 1)),
-                (a, d) -> a + d)),
-            sequence(0, {bits - 1}),
-            (s, b) -> IF(s > 0, shiftleft(1L, b), 0L)),
-          0L,
-          (a, x) -> a + x)
-        """
-    )
+    n = F.size(F.col(hashes_col))
+
+    def bit_count(b: int) -> Column:
+        return F.aggregate(
+            F.col(hashes_col),
+            F.lit(0),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+
+    packed: Column | None = None
+    for b in range(bits):
+        term = F.when(
+            bit_count(b) * 2 > n, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    assert packed is not None
+    return packed
 
 
 def simhash_candidate_pairs(
