@@ -18,6 +18,7 @@ __all__ = [
     "bpe_token_estimate",
     "quality_features",
     "quality_score",
+    "repetition_features",
     "fingerprint",
     "lang_id",
     "annotate_documents",
@@ -98,6 +99,67 @@ def quality_score(text: Column) -> Column:
     return (length_ok * 0.4 + punct_ok * 0.2 + stop_ok * 0.2 + upper_ok * 0.2).alias(
         "quality"
     )
+
+
+def _max_run(arr: Column) -> Column:
+    """Longest run of equal consecutive elements, as one single-pass
+    aggregate with a (prev, run, best) struct accumulator. On a sorted
+    array this is the count of the most frequent element — which is how
+    ``repetition_features`` gets per-doc mode counts without exploding
+    tokens into a shuffle."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(arr, zero, merge, lambda acc: acc["best"])
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style in-document repetition signals: duplicate-word
+    fraction, most-frequent-word share, most-frequent-bigram share,
+    and longest consecutive same-word run.
+
+    The standard formulation explodes tokens and aggregates per
+    (doc, word) — a token-level shuffle that at 100 TB moves ~20× the
+    document bytes. This one never leaves the row: sort the word array
+    and take the longest equal-run (= mode count) with a single-pass
+    struct-accumulator aggregate, all JVM higher-order expressions.
+    Zero shuffle, prunes to (doc_id, text) at the scan. The DuckDB
+    oracle intentionally uses the explode/window formulation so the two
+    independent shapes check each other.
+
+    Ratios are IEEE divisions of exact integer counts, so they hash
+    identically cross-engine.
+    """
+    words = _words(text)
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nd = n.cast("double")
+    return {
+        "n_words": n.cast("bigint"),
+        "dup_word_ratio": (nd - F.size(F.array_distinct(words))) / nd,
+        "top_word_ratio": _max_run(F.array_sort(words)).cast("double") / nd,
+        "top_bigram_ratio": F.when(
+            n >= 2, _max_run(F.array_sort(bigrams)).cast("double") / (nd - 1)
+        ).otherwise(F.lit(0.0)),
+        "max_run": _max_run(words).cast("bigint"),
+    }
 
 
 def fingerprint(text: Column) -> Column:

@@ -328,6 +328,53 @@ _reg(
     "quality signals: punctuation ratio, mean word length",
 )
 
+def _txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import repetition_features
+
+    feats = repetition_features(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(name) for name, c in feats.items()]
+    )
+
+
+_reg(
+    "txt_repetition",
+    _txt_repetition,
+    # Independent formulation on purpose: Spark computes the signals
+    # map-side over per-row arrays; the oracle explodes tokens and uses
+    # grouped counts + gaps-and-islands windows. Agreement checks both.
+    r"WITH lists AS (SELECT doc_id, "
+    r"string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents), "
+    r"toks AS (SELECT doc_id, unnest(ws) AS w, "
+    r"unnest(generate_series(1, len(ws))) AS pos FROM lists), "
+    r"wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w), "
+    r"perdoc AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, "
+    r"max(c) AS top_word FROM wc GROUP BY doc_id), "
+    r"big AS (SELECT doc_id, w || ' ' || lead(w) OVER "
+    r"(PARTITION BY doc_id ORDER BY pos) AS bg FROM toks), "
+    r"bgc AS (SELECT doc_id, bg, count(*) AS c FROM big "
+    r"WHERE bg IS NOT NULL GROUP BY doc_id, bg), "
+    r"bgd AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram "
+    r"FROM bgc GROUP BY doc_id), "
+    r"runs AS (SELECT doc_id, pos, CASE WHEN lag(w) OVER "
+    r"(PARTITION BY doc_id ORDER BY pos) = w THEN 0 ELSE 1 END AS brk FROM toks), "
+    r"runs2 AS (SELECT doc_id, sum(brk) OVER "
+    r"(PARTITION BY doc_id ORDER BY pos) AS rid FROM runs), "
+    r"runlen AS (SELECT doc_id, rid, count(*) AS c FROM runs2 "
+    r"GROUP BY doc_id, rid), "
+    r"mr AS (SELECT doc_id, max(c) AS max_run FROM runlen GROUP BY doc_id) "
+    r"SELECT p.doc_id, p.n_words::BIGINT AS n_words, "
+    r"(p.n_words - p.n_distinct)::DOUBLE / p.n_words AS dup_word_ratio, "
+    r"p.top_word::DOUBLE / p.n_words AS top_word_ratio, "
+    r"coalesce(b.top_bigram::DOUBLE / b.n_bigrams, 0.0) AS top_bigram_ratio, "
+    r"m.max_run::BIGINT AS max_run "
+    r"FROM perdoc p LEFT JOIN bgd b USING (doc_id) JOIN mr m USING (doc_id)",
+    "Gopher-style repetition filters: dup-word / top-word / top-bigram "
+    "shares and longest same-word run, all map-side array aggregates "
+    "(zero shuffle; oracle uses the explode/window shape)",
+)
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------

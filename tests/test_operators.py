@@ -167,6 +167,31 @@ def test_lang_id_heuristic(spark):
     assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
 
 
+def test_repetition_features_hand_computed(spark):
+    from dataframe_sql_spark.functions.text import repetition_features
+
+    rows = [
+        (1, "a b c d"),  # no repetition
+        (2, "go go go stop go"),  # 'go' x4 of 5, run of 3, bigram 'go go' x2 of 4
+        (3, "x"),  # single word: no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    feats = repetition_features(F.col("t"))
+    out = {
+        r.i: r
+        for r in df.select(
+            "i", *[c.alias(n) for n, c in feats.items()]
+        ).collect()
+    }
+    assert out[1].dup_word_ratio == 0.0 and out[1].max_run == 1
+    assert out[2].n_words == 5
+    assert out[2].dup_word_ratio == pytest.approx(3 / 5)
+    assert out[2].top_word_ratio == pytest.approx(4 / 5)
+    assert out[2].top_bigram_ratio == pytest.approx(2 / 4)
+    assert out[2].max_run == 3
+    assert out[3].top_bigram_ratio == 0.0 and out[3].max_run == 1
+
+
 def test_annotate_documents_shape(engine):
     docs = engine.spark.table("documents").limit(20)
     out = annotate_documents(docs)
