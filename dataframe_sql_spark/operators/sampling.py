@@ -30,6 +30,7 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "dataset_mix",
+    "global_shuffle",
 ]
 
 _HEX_SPACE = 16**8
@@ -114,6 +115,53 @@ def stratified_hash_sample(
         else F.lit(hex_threshold(default_fraction))
     )
     return df.filter(bucket < thr)
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    bucket_hex_chars: int = 3,
+    rank_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    dense rank 1..N in ``md5("{id}:{seed}")`` order — the "shuffle the
+    corpus once, stream it in rank order" step before sequence packing.
+
+    The naive ``row_number() OVER (ORDER BY hash)`` is a
+    single-partition global sort — the one plan shape that cannot
+    survive 100 TB. This computes the same permutation in parallel:
+
+    1. bucket = first ``bucket_hex_chars`` hex chars of the hash
+       (4096 buckets at 3 chars; md5 makes them uniform, no skew);
+    2. within-bucket ``row_number()`` ordered by (hash, id) — one
+       ordinary hash-partitioned shuffle+sort, fully parallel;
+    3. global offset of each bucket = running sum over the tiny
+       bucket-count table (4096 rows — the only single-partition step),
+       broadcast-joined back.
+
+    Because the bucket is a *prefix* of the hash, (bucket, hash, id)
+    order equals (hash, id) order, so offset + local rank reproduces
+    the exact global row_number — verified against the naive
+    formulation by the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    with_h = df.withColumn("_gs_h", h).withColumn(
+        "_gs_b", F.substring(F.col("_gs_h"), 1, bucket_hex_chars)
+    )
+    counts = with_h.groupBy("_gs_b").count()
+    w_off = Window.orderBy("_gs_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_gs_b", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_gs_off")
+    )
+    w_local = Window.partitionBy("_gs_b").orderBy("_gs_h", F.col(id_col))
+    return (
+        with_h.join(F.broadcast(offsets), "_gs_b")
+        .withColumn(rank_col, (F.col("_gs_off") + F.row_number().over(w_local)).cast("bigint"))
+        .drop("_gs_h", "_gs_b", "_gs_off")
+    )
 
 
 def dataset_mix(

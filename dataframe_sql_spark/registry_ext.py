@@ -40,6 +40,7 @@ from .operators.joins import asof_join, symmetric_difference
 from .operators.packing import pack_sequences
 from .operators.sampling import (
     dataset_mix,
+    global_shuffle,
     hash_sample,
     hash_split,
     hex_threshold,
@@ -1670,6 +1671,21 @@ _reg(
     "dataset mixing: downsample each source to hit a target mixture at "
     "max feasible volume (binding source kept whole); hash-based and "
     "map-side after one bounded source-count aggregate",
+)
+
+_reg(
+    "x_global_shuffle",
+    lambda spark, sf_dir: global_shuffle(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id", seed=42
+    ),
+    # The oracle is the naive single-sort formulation; the Spark side
+    # computes the identical permutation with the parallel
+    # bucket-rank + offset decomposition (see sampling.global_shuffle).
+    "SELECT doc_id, source, row_number() OVER "
+    "(ORDER BY md5(doc_id || ':42'), doc_id) AS shuffle_pos FROM documents",
+    "deterministic global training-order shuffle rank, computed as "
+    "parallel within-bucket row_number + tiny broadcast bucket offsets "
+    "instead of a single-partition global sort",
 )
 
 

@@ -328,3 +328,27 @@ def test_quantize_is_single_projection(engine):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan, plan
+
+
+def test_global_shuffle_avoids_global_sort(engine):
+    # The permutation must come from the parallel bucket decomposition:
+    # the fact branch shuffles hash-partitioned on the bucket key; the
+    # only SinglePartition exchange allowed is the tiny post-aggregate
+    # bucket-offset table (which is then broadcast back).
+    from dataframe_sql_spark.operators.sampling import global_shuffle
+
+    docs = engine.spark.table("documents").select("doc_id")
+    out = global_shuffle(docs, "doc_id")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(_gs_b" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # The fact-side window partitions by bucket; the only global
+    # (un-partitioned) window is the 4096-row offset table, which sits
+    # between the bucket-count HashAggregate and a BroadcastExchange —
+    # i.e. every SinglePartition shuffle moves aggregate output, not
+    # scan output.
+    for idx in range(len(plan)):
+        if plan.startswith("Exchange SinglePartition", idx):
+            assert "HashAggregate" in plan[:idx], plan

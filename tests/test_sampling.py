@@ -114,3 +114,23 @@ def test_dataset_mix_guards(engine):
         dataset_mix(docs, "doc_id", "doc_id", {"1": 1.0}, max_sources=3)
     with _pytest.raises(ValueError, match="no target_weights"):
         dataset_mix(docs, "doc_id", "lang", {"xx": 1.0})
+
+
+def test_global_shuffle_matches_naive_rank(engine):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.operators.sampling import global_shuffle
+
+    docs = engine.spark.table("documents").select("doc_id")
+    out = global_shuffle(docs, "doc_id", seed=7)
+    got = {r.doc_id: r.shuffle_pos for r in out.collect()}
+    # naive single-sort formulation for comparison
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7")))
+    naive = docs.withColumn(
+        "pos", F.row_number().over(Window.orderBy(h, F.col("doc_id")))
+    )
+    want = {r.doc_id: r.pos for r in naive.collect()}
+    assert got == want
+    # dense permutation 1..N
+    assert sorted(got.values()) == list(range(1, len(got) + 1))
