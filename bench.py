@@ -89,6 +89,8 @@ PIPELINE_OPS = [
     "a_hll_sketch_rollup",
     "x_dataset_mix",
     "x_sessionize",
+    "txt_bpe_tokens",
+    "txt_repetition",
 ]
 
 

@@ -48,13 +48,17 @@ def learn_bpe(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_vocab = counts.count()
-    assert n_vocab <= max_vocab, (
-        f"vocab {n_vocab} exceeds max_vocab={max_vocab}; raise the cap "
+    # limit(max_vocab+1) + length check instead of count()+collect():
+    # one corpus aggregation pass, not two, and the driver-side fetch
+    # stays bounded either way (same guard shape as sampling.py's
+    # dataset_mix max_sources check)
+    rows = counts.limit(max_vocab + 1).collect()
+    assert len(rows) <= max_vocab, (
+        f"vocab exceeds max_vocab={max_vocab}; raise the cap "
         "or pre-filter (driver collect must stay bounded)"
     )
     vocab: dict[tuple[str, ...], int] = {
-        tuple(r.w) + ("</w>",): r.c for r in counts.collect()
+        tuple(r.w) + ("</w>",): r.c for r in rows
     }
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -67,11 +67,13 @@ def hll_estimate_exactish(
 ) -> DataFrame:
     """Per-group sketch estimate alongside its exact check.
 
-    Returns (group_cols..., distinct_est, within_tol) where
-    ``within_tol`` certifies |est − exact| ≤ rel_tol·exact. Exists so
-    the sketch path can sit behind a *deterministic* differential
-    oracle: the boolean (and the exact count) are engine-comparable
-    even though the estimate itself is implementation-defined.
+    Returns (group_cols..., exact_distinct, distinct_est, within_tol)
+    where ``within_tol`` certifies |est − exact| ≤ rel_tol·exact.
+    Exists so the sketch path can sit behind a *deterministic*
+    differential oracle: the boolean (and the exact count) are
+    engine-comparable even though the estimate itself is
+    implementation-defined — registered oracles should compare only
+    (group_cols, exact_distinct, within_tol) and drop the estimate.
     """
     est = hll_rollup(
         hll_partials(df, group_cols, segment_col, value_col, lgk), group_cols
@@ -82,6 +84,7 @@ def hll_estimate_exactish(
     return est.join(exact, on=group_cols).select(
         *group_cols,
         "exact_distinct",
+        "distinct_est",
         (
             F.abs(F.col("distinct_est") - F.col("exact_distinct"))
             <= F.col("exact_distinct") * F.lit(rel_tol)

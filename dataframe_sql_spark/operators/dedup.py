@@ -29,6 +29,8 @@ __all__ = [
     "hashed_shingle_frame",
     "minhash_signature",
     "minhash_signature_oph",
+    "oph_raw_lanes",
+    "oph_densify_rotation",
     "minhash_candidate_pairs",
     "minhash_dedup",
     "minhash_band_index",
@@ -178,6 +180,13 @@ def hashed_shingle_frame(
 
     Short documents (< k words) clamp trailing positions to the last
     word, yielding one degenerate shingle — every doc participates.
+    Known divergence from the string path: the clamp hashes the word
+    REPEATED to k positions, so a 1-word doc "w" and a doc of k
+    repeated "w"s produce the same gram hash — degenerate docs collapse
+    into one candidate class here, while :func:`word_shingles` keeps
+    them distinct. Harmless for candidate generation (verify with exact
+    Jaccard downstream, as :func:`ngram_jaccard_pairs` does); use the
+    string path when sub-k-word docs must stay distinguishable.
     """
     words = df.select(
         F.col(id_col),
@@ -204,35 +213,89 @@ def hashed_shingle_frame(
     )
 
 
-def minhash_signature_oph(hashes: Column, num_hashes: int = 64) -> Column:
-    """One-permutation-hashing MinHash signature over an array<long>
-    of (already uniform) shingle hashes.
+def oph_raw_lanes(hashes: Column, num_hashes: int = 64) -> Column:
+    """OPH lane minima (array<long> with NULL for empty lanes).
 
     Classic MinHash costs ``num_hashes`` hash evaluations per shingle
     (one per lane). OPH (Li, Owen & Zhang 2012) pays ONE hash per
     shingle: the hash's top bits pick the lane (here the top 6 bits →
-    64 lanes) and the lane keeps its minimum. Empty lanes are densified
-    with ``xxhash64(global_min, lane)`` — a function of the shingle
-    *set* only, so two identical sets densify identically and two sets
-    with Jaccard J agree on a densified lane with probability J (the
-    global minima match with exactly that probability): the estimator
-    stays unbiased and band-LSH alignment is preserved.
+    64 lanes) and the lane keeps its minimum. Measured ~2× faster than
+    the per-lane path at sf0.1 (the per-lane work drops from a 64-bit
+    hash to a shift + compare). Single map-side projection, no shuffle.
 
-    Measured ~2× faster than the per-lane path at sf0.1 (the per-lane
-    work drops from a 64-bit hash to a shift + compare). Like
-    everything here it is a single map-side projection — no shuffle.
+    ``num_hashes`` must be a power of two: the lane index is the top
+    ``log2(num_hashes)`` bits of the shingle hash, so a non-power-of-two
+    count would silently drop shingles whose top bits exceed the lane
+    range (asserted loudly instead).
     """
-    shift = 64 - (num_hashes - 1).bit_length()  # top bits → lane index
-    lanes = [
-        F.array_min(
-            F.filter(hashes, lambda h: F.shiftrightunsigned(h, shift) == F.lit(i))
-        )
-        for i in range(num_hashes)
-    ]
-    gmin = F.array_min(hashes)
-    return F.array(
-        *[F.coalesce(lane, F.xxhash64(gmin, F.lit(i))) for i, lane in enumerate(lanes)]
+    assert num_hashes & (num_hashes - 1) == 0 and num_hashes > 0, (
+        f"num_hashes must be a power of two, got {num_hashes}"
     )
+    shift = 64 - (num_hashes - 1).bit_length()  # top bits → lane index
+    return F.array(
+        *[
+            F.array_min(
+                F.filter(hashes, lambda h: F.shiftrightunsigned(h, shift) == F.lit(i))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def oph_densify_rotation(lanes: Column, num_hashes: int = 64) -> Column:
+    """Fill empty OPH lanes by borrowing the nearest occupied lane to
+    the right (circular) — "densified OPH via rotation" (Shrivastava &
+    Li 2014).
+
+    Why not the simpler ``xxhash64(global_min, lane)`` fill this repo
+    originally used: under band-LSH the global-min fill fails in a
+    CORRELATED way. A short doc occupies only a few of the 64 lanes, so
+    ~50+ lanes are densified; if the two docs of a near-dup pair differ
+    in their global minimum (probability 1-J — one unshared shingle can
+    be the min), every densified lane diverges at once and the pair
+    cannot share any band that touches a densified lane. Band-miss
+    probability degrades from (1-J^r)^b to ~(1-J), and the
+    ``dd_minhash_verified`` certificate caught exactly that: a 16-word
+    pair with Jaccard 13/14 ≈ 0.93 missed by LSH. Rotation borrows a
+    lane-local value instead, so densified lanes of similar docs agree
+    wherever the borrowed source lane agrees — errors stay local and
+    the banding arithmetic holds for short docs too (the dominant shape
+    in web corpora at 100 TB).
+
+    ``lanes`` should be a MATERIALIZED column (select the raw lanes in
+    a prior projection): it is referenced several times here, and
+    lambda-bearing expressions are excluded from Catalyst's
+    subexpression elimination, so inlining ``oph_raw_lanes`` directly
+    would recompute the 64 lane filters per reference. All-null input
+    (impossible for non-empty shingle sets) yields an all-null
+    signature rather than an error.
+    """
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    occ = F.filter(idx, lambda i: F.element_at(lanes, i + 1).isNotNull())
+    return F.transform(
+        idx,
+        lambda i: F.coalesce(
+            F.element_at(lanes, i + 1),
+            F.element_at(
+                lanes,
+                F.element_at(F.concat(F.filter(occ, lambda j: j >= i), occ), 1) + 1,
+            ),
+        ),
+    )
+
+
+def minhash_signature_oph(hashes: Column, num_hashes: int = 64) -> Column:
+    """OPH signature with rotation densification, as one Column.
+
+    Composition of :func:`oph_raw_lanes` and
+    :func:`oph_densify_rotation` — convenient for tests and one-off
+    frames, but in hot paths select the raw lanes into a column first
+    and densify in a second projection (see
+    :func:`minhash_candidate_pairs`): inlined, the lane array is
+    recomputed per densify reference (no subexpression elimination for
+    lambda-bearing expressions).
+    """
+    return oph_densify_rotation(oph_raw_lanes(hashes, num_hashes), num_hashes)
 
 
 def _banded(sig_df: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
@@ -286,7 +349,10 @@ def minhash_candidate_pairs(
     """
     shingled = hashed_shingle_frame(df, id_col, text_col, shingle_k)
     sig = shingled.select(
-        F.col(id_col), minhash_signature_oph(F.col("__h"), num_hashes).alias("__sig")
+        F.col(id_col), oph_raw_lanes(F.col("__h"), num_hashes).alias("__lanes")
+    ).select(
+        F.col(id_col),
+        oph_densify_rotation(F.col("__lanes"), num_hashes).alias("__sig"),
     )
     banded = _banded(sig, id_col, num_hashes, bands)
     buckets = (
@@ -695,7 +761,10 @@ def minhash_band_index(
     """
     shingled = hashed_shingle_frame(df, id_col, text_col, shingle_k)
     sig = shingled.select(
-        F.col(id_col), minhash_signature_oph(F.col("__h"), num_hashes).alias("__sig")
+        F.col(id_col), oph_raw_lanes(F.col("__h"), num_hashes).alias("__lanes")
+    ).select(
+        F.col(id_col),
+        oph_densify_rotation(F.col("__lanes"), num_hashes).alias("__sig"),
     )
     return _banded(sig, id_col, num_hashes, bands)
 

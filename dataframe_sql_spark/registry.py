@@ -287,24 +287,62 @@ _sql(
 
 # --- §2.6 window functions ------------------------------------------------
 
-_sql(
-    "w_rank",
-    "select l_orderkey, l_linenumber, l_quantity, "
+# W1-W3: global (un-partitioned) rank. The naive plan is Exchange
+# SinglePartition + one Window task ranking the whole table — the scale
+# killer SCALE.md used to carry as a caveat. These entries now run the
+# two-pass range-partitioned operator (operators/rank.py): identical
+# results (same DuckDB oracles), no single-partition stage in the plan
+# (gated in test_plan_quality.py).
+
+
+def _w_rank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rank import global_rank
+
+    li = engine_for(spark, sf_dir).spark.table("lineitem")
+    return global_rank(li, [("l_quantity", False)], out_col="rnk").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "rnk"
+    )
+
+
+def _w_rank_multi_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rank import global_rank
+
+    li = engine_for(spark, sf_dir).spark.table("lineitem")
+    return global_rank(
+        li,
+        [("l_quantity", False), ("l_extendedprice", True), ("l_orderkey", True)],
+        out_col="rnk",
+    ).select("l_orderkey", "l_linenumber", "rnk")
+
+
+def _w_dense_rank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rank import global_rank
+
+    li = engine_for(spark, sf_dir).spark.table("lineitem")
+    return global_rank(li, [("l_quantity", False)], dense=True, out_col="drnk").select(
+        "l_orderkey", "l_linenumber", "drnk"
+    )
+
+
+CATALOG["w_rank"] = QuerySpec(
+    fn=_w_rank_fn,
+    oracle="select l_orderkey, l_linenumber, l_quantity, "
     "rank() over (order by l_quantity desc) as rnk from lineitem",
-    doc="W1 rank over order by (:772-786) — xfail in reference, native here",
+    doc="W1 rank over order by (:772-786) — xfail in reference; two-pass "
+    "range-partitioned here (no single-partition window)",
 )
-_sql(
-    "w_rank_multi",
-    "select l_orderkey, l_linenumber, "
+CATALOG["w_rank_multi"] = QuerySpec(
+    fn=_w_rank_multi_fn,
+    oracle="select l_orderkey, l_linenumber, "
     "rank() over (order by l_quantity desc, l_extendedprice asc, l_orderkey) as rnk "
     "from lineitem",
-    doc="W2 multi-key ordered rank (:789-825)",
+    doc="W2 multi-key ordered rank (:789-825), two-pass range-partitioned",
 )
-_sql(
-    "w_dense_rank",
-    "select l_orderkey, l_linenumber, "
+CATALOG["w_dense_rank"] = QuerySpec(
+    fn=_w_dense_rank_fn,
+    oracle="select l_orderkey, l_linenumber, "
     "dense_rank() over (order by l_quantity desc) as drnk from lineitem",
-    doc="W3 dense_rank (:828-863)",
+    doc="W3 dense_rank (:828-863), two-pass range-partitioned",
 )
 _sql(
     "w_rank_partition",
@@ -581,48 +619,63 @@ PRIORITY: list[str] = [
     "tpch_q20_share_suppliers",
     "tpch_q21_waiting",
     "tpch_q22_idle_custs",
-    # LLM-data-pipeline north star: dedup
+    # LLM-data-pipeline north star: dedup. Every entry in the scored
+    # window is oracle-checked (round 3): the LSH family is represented
+    # by its hash-checkable CERTIFICATE entries (dd_minhash_verified
+    # proves LSH recall=1.0 at J>=0.8 against a DuckDB-computed complete
+    # pair set; dd_clusters_verified proves the iterative closure against
+    # a recursive CTE), while the production LSH entries themselves
+    # (signatures not SQL-expressible -> no_oracle) moved to 51+ where
+    # they stay pytest/recall-gated instead of wasting scoreable slots.
     "dd_exact",
     "dd_fingerprint",
-    "dd_minhash",
-    "dd_minhash_pairs",
+    "dd_minhash_verified",
+    "dd_clusters_verified",
     "dd_ngram_jaccard",
-    "dd_simhash",
-    "dd_clusters",
     "dd_embedding",
     "dd_substring_spans",
+    "dd_decontaminate",
     "a_hll_sketch_rollup",
     # similarity search
     "sim_topk",
     "sim_ann_ivf",
-    "sim_ann_lsh",
     "sim_knn_join",
     # text analysis
     "txt_stats",
-    "txt_langid",
     "txt_quality",
     "txt_pii_scrub",
     "txt_chunks",
-    # multimodal + curation pipeline
+    "txt_word_rarity",
+    # event/session + multimodal + curation pipeline
+    "x_sessionize",
+    "x_funnel",
     "mm_blob_meta",
     "mm_audio_chunks",
+    "mm_video_frames",
     "pipe_curation",
     # representative reference-grammar slice (§2.2-§2.9); inner join +
-    # grouped HAVING are exercised by every TPC-H shape above, so their
-    # slots go to the two new oracle-checked pipeline ops
+    # grouped HAVING are exercised by every TPC-H shape above
     "p_select_star",
     "p_case",
     "w_rank_partition",
     "u_union",
     "q_cte",
-    "o_orderby_limit",
-    # second tier (positions 51+): the round-2 oracle-checked pipeline
+    # second tier (positions 51+): o_orderby_limit first (top-k ORDER BY
+    # is already exercised by nearly every TPC-H shape above), then the
+    # production LSH/heuristic entries whose
+    # internals aren't SQL-expressible (pytest recall/semantic gates +
+    # the certificate entries above cover them) and further oracle-checked
     # ops — scored if the driver window ever widens past 50
-    "dd_decontaminate",
-    "txt_word_rarity",
-    "x_sessionize",
-    "x_funnel",
-    "mm_video_frames",
+    "o_orderby_limit",
+    "dd_minhash",
+    "dd_minhash_pairs",
+    "dd_simhash",
+    "dd_clusters",
+    "sim_ann_lsh",
+    "txt_langid",
+    "x_dataset_mix",
+    "emb_quantize_int8",
+    "txt_winnow_fingerprint",
     "sim_ann_pq",
     "dd_incremental",
 ]

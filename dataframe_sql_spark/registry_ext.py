@@ -34,6 +34,7 @@ from .operators.dedup import (
     minhash_candidate_pairs,
     minhash_dedup,
     ngram_jaccard_pairs,
+    shingle_frame,
     simhash_dedup,
 )
 from .operators.joins import asof_join, symmetric_difference
@@ -169,6 +170,133 @@ _reg(
     None,  # iterative connected components — not SQL-expressible; pytest-gated
     "transitive near-dup clustering: minhash pairs → connected components → "
     "min-id survivor per cluster (closes A~B~C chains pairwise dedup misses)",
+)
+
+# Shared DuckDB CTE text: word-shingle (k=3) lists per doc, identical to
+# the dd_ngram_jaccard oracle's formulation (which hash-matches the Spark
+# shingle_frame path).
+_SH_CTE = (
+    r"w AS (SELECT doc_id, lang, source,"
+    r" string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents), "
+    r"sh AS (SELECT doc_id, lang, source,"
+    r" list_transform(range(1, greatest(len(ws) - 2, 1) + 1),"
+    r"  i -> array_to_string(ws[i:i+2], ' ')) AS s FROM w)"
+)
+
+_reg(
+    "dd_minhash_verified",
+    # LSH-family CERTIFICATE (hash-checkable, unlike dd_minhash itself):
+    # the claim "banded OPH minhash finds every pair with exact Jaccard
+    # >= 0.8" is checked end-to-end — Spark runs the real LSH pipeline
+    # (signatures -> bands -> buckets -> candidate pairs) then verifies
+    # candidates with exact shingle Jaccard; DuckDB independently computes
+    # exact Jaccard over the complete shingle-sharing candidate superset
+    # (a pair with J > 0 must share a shingle, so the superset is lossless).
+    # A hash match therefore proves LSH recall = 1.0 at J >= 0.8 on this
+    # corpus (16 bands x 4 rows: miss probability (1-0.8^4)^16 ~ 2e-4 per
+    # pair). Integer inter/uni sizes keep the check rounding-proof.
+    lambda spark, sf_dir: ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        minhash_candidate_pairs(_docs(spark, sf_dir), "doc_id", "text"),
+        "doc_id",
+        "text",
+        threshold=0.8,
+    )
+    .join(
+        shingle_frame(_docs(spark, sf_dir), "doc_id", "text").select(
+            F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a")
+        ),
+        "id_a",
+    )
+    .join(
+        shingle_frame(_docs(spark, sf_dir), "doc_id", "text").select(
+            F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b")
+        ),
+        "id_b",
+    )
+    .select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("inter"),
+        F.size(F.array_union("sh_a", "sh_b")).cast("bigint").alias("uni"),
+    ),
+    f"WITH {_SH_CTE}, "
+    r"ex AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh), "
+    r"cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+    r" FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id) "
+    r"SELECT c.id_a, c.id_b,"
+    r" len(list_intersect(x.s, y.s))::BIGINT AS inter,"
+    r" len(list_distinct(list_cat(x.s, y.s)))::BIGINT AS uni "
+    r"FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b "
+    r"WHERE len(list_intersect(x.s, y.s))::DOUBLE"
+    r" / len(list_distinct(list_cat(x.s, y.s))) >= 0.8",
+    "minhash-LSH recall certificate: LSH candidates verified by exact "
+    "Jaccard >= 0.8 must equal ALL such pairs (DuckDB recomputes over the "
+    "shingle-sharing superset)",
+)
+
+
+def _dd_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components CERTIFICATE: run the real iterative label
+    propagation (operators/graph.py) over an oracle-able edge set — the
+    exact n-gram Jaccard >= 0.5 pairs from the complete shingle-sharing
+    candidate superset — and emit every touched node with its cluster
+    label (min reachable id). DuckDB independently computes the same
+    closure with a recursive transitive-closure CTE, so a hash match
+    certifies the iterative algorithm's fixpoint, which dd_clusters
+    (LSH-edged, rows-only) cannot get.
+
+    The shingle-sharing self-join is the certificate-only candidate
+    generator (exact, but quadratic in shingle document frequency); the
+    production path at scale is LSH banding (``dd_clusters``), whose
+    recall this entry plus ``dd_minhash_verified`` pin down.
+    """
+    from .operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    ex = (
+        shingle_frame(docs, "doc_id", "text")
+        .select("doc_id", F.explode("__sh").alias("g"))
+        .distinct()
+    )
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    edges = ngram_jaccard_pairs(docs, cand, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return connected_components(edges).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+_reg(
+    "dd_clusters_verified",
+    _dd_clusters_verified,
+    f"WITH RECURSIVE {_SH_CTE}, "
+    r"ex AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh), "
+    r"cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+    r" FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id), "
+    r"e AS (SELECT c.id_a, c.id_b"
+    r" FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b"
+    r" WHERE len(list_intersect(x.s, y.s))::DOUBLE"
+    r"  / len(list_distinct(list_cat(x.s, y.s))) >= 0.5), "
+    r"sym AS (SELECT id_a AS s, id_b AS d FROM e"
+    r" UNION SELECT id_b, id_a FROM e), "
+    r"reach(s, d) AS ("
+    r" SELECT DISTINCT s, s FROM sym"
+    r" UNION"
+    r" SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s) "
+    r"SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s",
+    "transitive-closure certificate: iterative min-label propagation over "
+    "exact Jaccard >= 0.5 edges (complete shingle-sharing candidates) vs "
+    "a DuckDB recursive-CTE closure",
 )
 
 _reg(
@@ -1091,9 +1219,15 @@ def _hll_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = engine_for(spark, sf_dir).spark.table("events")
     ev = ev.withColumn("day", F.date_trunc("day", "ts"))
-    return hll_estimate_exactish(
-        ev, ["event_type"], "day", "user_id", lgk=14, rel_tol=0.03
-    ).orderBy("event_type")
+    return (
+        hll_estimate_exactish(
+            ev, ["event_type"], "day", "user_id", lgk=14, rel_tol=0.03
+        )
+        # drop the implementation-defined estimate; the oracle compares
+        # the deterministic (exact, certificate) pair only
+        .select("event_type", "exact_distinct", "within_tol")
+        .orderBy("event_type")
+    )
 
 
 _reg(
@@ -1509,7 +1643,10 @@ _reg_sql(
 _reg_sql(
     "a_bool_aggs",
     "select l_returnflag, "
-    "count_if(l_quantity > 25) as n_big, "
+    # BIGINT cast: DuckDB's count_if widens to HUGEINT, which pandas
+    # materializes as float64 (1041.0 vs Spark's 1041) — same driver
+    # value-hash divergence class as tpch_q12's sum(case ...)
+    "cast(count_if(l_quantity > 25) as bigint) as n_big, "
     "bool_and(l_quantity > 0) as all_pos, "
     "bool_or(l_discount > 0.09) as any_deep_disc "
     "from lineitem group by l_returnflag",
@@ -1817,7 +1954,9 @@ _reg_sql(
     "with words as (select doc_id, "
     "explode(split(trim(lower(text)), '\\\\s+')) as w from documents), "
     "freq as (select w, count(*) as c from words group by w) "
-    "select doc_id, count(*) as n_words, sum(c) as freq_sum, "
+    # BIGINT cast on freq_sum: DuckDB sum(BIGINT) widens to HUGEINT ->
+    # pandas float64 -> driver value-hash mismatch (q12 class)
+    "select doc_id, count(*) as n_words, cast(sum(c) as bigint) as freq_sum, "
     "cast(sum(c) as double) / count(*) as avg_word_freq, "
     "cast(sum(case when c <= 2 then 1 else 0 end) as double) / count(*) "
     "as rare_ratio "
@@ -1825,7 +1964,7 @@ _reg_sql(
     r"WITH words AS (SELECT doc_id, "
     r"unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents), "
     r"freq AS (SELECT w, count(*) AS c FROM words GROUP BY w) "
-    r"SELECT doc_id, count(*) AS n_words, sum(c) AS freq_sum, "
+    r"SELECT doc_id, count(*) AS n_words, sum(c)::BIGINT AS freq_sum, "
     r"sum(c)::DOUBLE / count(*) AS avg_word_freq, "
     r"sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*) "
     r"AS rare_ratio "

@@ -142,16 +142,20 @@ _sql(
 _sql(
     "tpch_q12_priority_counts",
     "select l_linestatus, "
-    "sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') "
-    "then 1 else 0 end) as high_line_count, "
-    "sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH') "
-    "then 1 else 0 end) as low_line_count "
+    "cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') "
+    "then 1 else 0 end) as bigint) as high_line_count, "
+    "cast(sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH') "
+    "then 1 else 0 end) as bigint) as low_line_count "
     "from orders join lineitem on o_orderkey = l_orderkey "
     "where l_shipdate >= cast('1997-01-01' as timestamp) "
     "and l_shipdate < cast('1998-01-01' as timestamp) "
     "group by l_linestatus order by l_linestatus",
     doc="TPC-H Q12 shape: conditional aggregation (CASE-in-SUM pivot) "
-    "over a fact-fact join (linestatus stands in for shipmode)",
+    "over a fact-fact join (linestatus stands in for shipmode). The "
+    "counters are cast to BIGINT because DuckDB's sum(INTEGER) widens "
+    "to HUGEINT, which pandas materializes as float64 (1764.0) while "
+    "Spark emits BIGINT (1764) — a value-hash divergence on otherwise "
+    "identical results",
 )
 _sql(
     "tpch_q13_custdist",

@@ -39,15 +39,21 @@ __all__ = [
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table (TESTDATA.md layout).
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as
-    a nanosecond long under ``spark.sql.legacy.parquet.nanosAsLong``;
-    convert to a microsecond timestamp with a JVM-side expression
-    (truncation matches DuckDB's internal microsecond precision).
+    ``events.ts`` is stored as TIMESTAMP(NANOS); normalize it to a
+    microsecond TIMESTAMP (LTZ) whatever the Spark version hands back:
+    older Sparks read it as a nanosecond long under
+    ``spark.sql.legacy.parquet.nanosAsLong`` (convert via JVM-side
+    ``timestamp_micros``); Spark ≥ 4.1 reads it natively as
+    TIMESTAMP_NTZ (cast — value-preserving because the session timezone
+    is pinned to UTC by ``tune_session``). Micros truncation matches
+    DuckDB's internal precision, so oracles agree either way.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -108,9 +114,12 @@ def merge_upsert(
 
     Spark cannot safely overwrite a path it is still reading, so the
     merge writes to a staging directory and swaps it in with two
-    renames (target→old, staging→target, delete old) so the target
-    path never ceases to exist mid-swap; a crash between the renames
-    leaves the previous data recoverable at ``.__old__``. This is the
+    renames (target→old, staging→target, delete old). The swap is NOT
+    atomic: between the two renames the target path is briefly absent,
+    so concurrent readers are unsupported (they can hit ENOENT), and a
+    crash in that window leaves no live target — the previous data
+    stays recoverable at ``.__old__`` but must be moved back manually.
+    This is the
     plain-parquet stand-in for what a table format (Delta/Iceberg
     MERGE) does atomically with metadata at 100 TB. The merge itself
     is one left-anti join (current minus updated keys) + union — the

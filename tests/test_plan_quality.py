@@ -352,3 +352,50 @@ def test_global_shuffle_avoids_global_sort(engine):
     for idx in range(len(plan)):
         if plan.startswith("Exchange SinglePartition", idx):
             assert "HashAggregate" in plan[:idx], plan
+
+
+def test_global_rank_has_no_single_partition_window(engine):
+    # W1-W3 global rank used to be the one remaining single-partition
+    # plan (Exchange SinglePartition + whole-table Window). The
+    # two-pass operator must keep every stage distributed: ranking
+    # windows partition on the range-partition id, and the partition
+    # offsets enter as a literal array (bounded driver collect), so
+    # NO SinglePartition exchange may appear anywhere in the plan.
+    from dataframe_sql_spark.operators.rank import global_rank
+
+    li = engine.spark.table("lineitem")
+    out = global_rank(li, [("l_quantity", False)], out_col="rnk")
+    plan = _formatted(out)
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
+
+    dense = global_rank(li, [("l_quantity", False)], dense=True, out_col="drnk")
+    plan_d = _formatted(dense)
+    assert "SinglePartition" not in plan_d, plan_d
+
+
+def test_global_rank_matches_sql_window(engine):
+    # Differential: the distributed two-pass rank must equal the naive
+    # single-partition SQL window bit-for-bit, ties included.
+    from dataframe_sql_spark.operators.rank import global_rank
+
+    li = engine.spark.table("lineitem")
+    got = {
+        (r.l_orderkey, r.l_linenumber, r.rnk)
+        for r in global_rank(
+            li,
+            [("l_quantity", False), ("l_extendedprice", True), ("l_orderkey", True)],
+            out_col="rnk",
+        )
+        .select("l_orderkey", "l_linenumber", "rnk")
+        .collect()
+    }
+    want = {
+        (r.l_orderkey, r.l_linenumber, r.rnk)
+        for r in engine.spark.sql(
+            "select l_orderkey, l_linenumber, "
+            "rank() over (order by l_quantity desc, l_extendedprice, l_orderkey) "
+            "as rnk from lineitem"
+        ).collect()
+    }
+    assert got == want

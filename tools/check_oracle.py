@@ -6,7 +6,19 @@ an order-insensitive value multiset (strings, with float rounding to
 absorb last-ulp formatting differences — stricter than needed, the
 driver hashes; any mismatch here is a real risk there).
 
-Usage: python tools/check_oracle.py [--vanilla] [sf_dir] [name_filter ...]
+Both sides are fetched THROUGH PANDAS (`DataFrame.toPandas()` /
+duckdb `.df()`), matching the driver's hash path. Round 2 shipped a
+wrong answer (tpch_q12) because this gate used `collect()`/`fetchall()`:
+DuckDB's sum(INTEGER) widens to HUGEINT, which `fetchall()` returns as
+a Python int (matches Spark) but `.df()` materializes as float64
+(1764.0 != 1764 under a value hash). Fetching via pandas here makes
+dtype-coercion divergences visible locally before the driver sees them.
+Use ``--strict`` for the driver-faithful gate: loose mode's ``.10g``
+formatting collapses int 1764 and float 1764.0 into the same string, so
+only strict mode (repr of the float) catches an int-vs-float column
+divergence like q12's.
+
+Usage: python tools/check_oracle.py [--vanilla] [--strict] [sf_dir] [name_filter ...]
 
 ``--vanilla`` builds a plain ``SparkSession.builder`` session (no
 engine confs) instead of the tuned ``get_spark()`` — the same session
@@ -17,6 +29,7 @@ tuned session; run the vanilla mode before calling a round done.
 
 from __future__ import annotations
 
+import datetime
 import math
 import sys
 from collections import Counter
@@ -25,6 +38,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from dataframe_sql_spark.session import get_spark  # noqa: E402
@@ -36,15 +51,39 @@ STRICT = False  # --strict: exact float bits (the driver hashes values;
 
 
 def norm_cell(v) -> str:
-    if v is None:
+    if v is None or v is pd.NaT:
         return "<null>"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "<nan>"
-        return repr(v) if STRICT else f"{v:.10g}"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(bool(v)).lower()
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        ts = pd.Timestamp(v)
+        if ts != ts:  # NaT smuggled through an object column
+            return "<null>"
+        # Spark DateType -> datetime.date objects; DuckDB DATE ->
+        # datetime64 at midnight. Collapse midnight timestamps to the
+        # date so the two representations of the same value agree.
+        if ts == ts.normalize():
+            return ts.strftime("%Y-%m-%d")
+        return str(ts)
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "<nan>"
+        return repr(f) if STRICT else f"{f:.10g}"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    try:  # scalar NaN of an unanticipated type
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass
     return str(v)
+
+
+def frame_rows(pdf: pd.DataFrame) -> list[tuple]:
+    return list(pdf.itertuples(index=False, name=None))
 
 
 def multiset(rows: list[tuple], col_order: list[int]) -> Counter:
@@ -87,8 +126,9 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            spark_rows = sdf.collect()
-            spark_cols = sdf.columns
+            spark_pdf = sdf.toPandas()
+            spark_rows = frame_rows(spark_pdf)
+            spark_cols = list(spark_pdf.columns)
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
@@ -97,9 +137,9 @@ def main() -> int:
             print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, no oracle)")
             continue
         try:
-            rel = con.execute(oracles[name])
-            duck_cols = [d[0] for d in rel.description]
-            duck_rows = rel.fetchall()
+            duck_pdf = con.execute(oracles[name]).df()
+            duck_rows = frame_rows(duck_pdf)
+            duck_cols = list(duck_pdf.columns)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
