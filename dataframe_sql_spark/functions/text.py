@@ -19,6 +19,7 @@ __all__ = [
     "quality_features",
     "quality_score",
     "repetition_features",
+    "repetition_features_frame",
     "fingerprint",
     "lang_id",
     "annotate_documents",
@@ -101,14 +102,14 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def _max_run(arr: Column) -> Column:
+def _max_run(arr: Column, elem_type: str = "string") -> Column:
     """Longest run of equal consecutive elements, as one single-pass
     aggregate with a (prev, run, best) struct accumulator. On a sorted
     array this is the count of the most frequent element — which is how
     ``repetition_features`` gets per-doc mode counts without exploding
     tokens into a shuffle."""
     zero = F.struct(
-        F.lit(None).cast("string").alias("prev"),
+        F.lit(None).cast(elem_type).alias("prev"),
         F.lit(0).alias("run"),
         F.lit(0).alias("best"),
     )
@@ -160,6 +161,63 @@ def repetition_features(text: Column) -> dict[str, Column]:
         ).otherwise(F.lit(0.0)),
         "max_run": _max_run(words).cast("bigint"),
     }
+
+
+def repetition_features_frame(
+    df: "DataFrame", id_cols: list[str], text_col: str = "text"
+) -> "DataFrame":
+    """Staged, hashed formulation of :func:`repetition_features` — the
+    hot-path variant (measured ~5× the column-expression form at sf0.1).
+
+    Two things make the column-expression form slow: (1) every output
+    column embeds the tokenization sub-tree, and lambda-bearing
+    expressions are excluded from Catalyst's subexpression elimination,
+    so the text is re-split/re-lowered per signal; (2) the sorts and
+    run-length aggregates operate on STRINGS (and the bigram path
+    builds a concat string per position). Here each stage materializes
+    its arrays so downstream reads are attribute references, and words
+    are hashed to longs once — sorts, distincts and run-lengths become
+    fixed-width integer ops. Mode counts over hashes equal mode counts
+    over words up to an in-document xxhash64 collision (~n²/2⁶⁴ per
+    doc ≈ 1e-13 — the oracle would catch one). Still zero shuffle.
+    """
+    words = df.select(*id_cols, _words(F.col(text_col)).alias("__w"))
+    hashed = words.select(
+        *id_cols,
+        F.size("__w").alias("__n"),
+        F.transform("__w", lambda w: F.xxhash64(w)).alias("__h"),
+    )
+    n, h = F.col("__n"), F.col("__h")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.xxhash64(F.element_at(h, i + 1), F.element_at(h, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    staged = hashed.select(
+        *id_cols,
+        "__n",
+        "__h",
+        F.array_sort(h).alias("__hs"),
+        bigrams.alias("__bg"),
+    )
+    nd = n.cast("double")
+    return staged.select(
+        *id_cols,
+        n.cast("bigint").alias("n_words"),
+        ((nd - F.size(F.array_distinct(h))) / nd).alias("dup_word_ratio"),
+        (_max_run(F.col("__hs"), "bigint").cast("double") / nd).alias(
+            "top_word_ratio"
+        ),
+        F.when(
+            n >= 2,
+            _max_run(F.array_sort(F.col("__bg")), "bigint").cast("double") / (nd - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+        _max_run(h, "bigint").cast("bigint").alias("max_run"),
+    )
 
 
 def fingerprint(text: Column) -> Column:

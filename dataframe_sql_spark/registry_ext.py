@@ -458,12 +458,9 @@ _reg(
 )
 
 def _txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import repetition_features
+    from .functions.text import repetition_features_frame
 
-    feats = repetition_features(F.col("text"))
-    return _docs(spark, sf_dir).select(
-        "doc_id", *[c.alias(name) for name, c in feats.items()]
-    )
+    return repetition_features_frame(_docs(spark, sf_dir), ["doc_id"], "text")
 
 
 _reg(

@@ -58,8 +58,14 @@ def read_events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stream_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Spark >= 4.1 reads TIMESTAMP(NANOS) natively as NTZ;
+        # withWatermark wants TIMESTAMP (LTZ). Cast is value-preserving
+        # under the session's pinned UTC timezone.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
