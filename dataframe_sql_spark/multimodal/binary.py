@@ -87,12 +87,70 @@ def _fake_decode(blob: bytes) -> tuple[int, int, int]:
     return w, h, c
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_image_header(b: bytes) -> tuple[int, int, int] | None:
+    """Pure-Python (width, height, channels) from PNG/GIF/JPEG headers —
+    a REAL metadata decode with zero codec dependencies (only pixel
+    decode needs Pillow). Returns None for unrecognized/corrupt data."""
+    if len(b) >= 26 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+            _PNG_CHANNELS.get(b[25], 3),
+        )
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            3,
+        )
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG: scan for a SOF marker
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                return (
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                    b[i + 9],
+                )
+            i += 2 + seglen
+    return None
+
+
+def _pil_decode(b: bytes) -> tuple[int, int, int] | None:
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        with Image.open(BytesIO(b)) as im:
+            return im.width, im.height, len(im.getbands())
+    except Exception:
+        return None
+
+
 def decode_image_batch(
     df: DataFrame, blob_col: str, fake: bool = False
 ) -> DataFrame:
     """Decode image blobs → (width, height, channels) via Arrow-batched
-    ``mapInPandas``. Real decode requires Pillow (NOT in this
-    container) → ``NotImplementedError`` unless ``fake=True``.
+    ``mapInPandas``.
+
+    Real path (``fake=False``), probed at runtime ON THE WORKER:
+    Pillow when importable (full decode, any format it knows);
+    otherwise a pure-Python PNG/GIF/JPEG header parse — real metadata
+    decode with zero dependencies. Unrecognized blobs yield NULL dims
+    rather than failing the batch. ``fake=True`` keeps the
+    deterministic byte-derived stub (what the hash-checked catalog
+    entries use, so oracles stay environment-independent).
 
     The batch shape is the part that matters at scale: blobs stream
     through in Arrow record batches partition-by-partition; output
@@ -108,17 +166,21 @@ def decode_image_batch(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if fake:
+            decode = lambda b: _fake_decode(b)  # noqa: E731
+        else:
+            try:
+                import PIL.Image  # noqa: F401
+
+                decode = _pil_decode
+            except ImportError:
+                decode = _parse_image_header
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode needs Pillow; pass fake=True for the "
-                    "deterministic stub"
-                )
-            decoded = pdf[blob_col].map(lambda b: _fake_decode(b or b""))
+            decoded = pdf[blob_col].map(lambda b: decode(b or b"") or (None,) * 3)
             pdf = pdf.assign(
-                width=decoded.map(lambda t: t[0]).astype("int32"),
-                height=decoded.map(lambda t: t[1]).astype("int32"),
-                channels=decoded.map(lambda t: t[2]).astype("int32"),
+                width=decoded.map(lambda t: t[0]).astype("Int32"),
+                height=decoded.map(lambda t: t[1]).astype("Int32"),
+                channels=decoded.map(lambda t: t[2]).astype("Int32"),
             )
             yield pdf
 
@@ -155,6 +217,30 @@ def extract_image_features(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def _wav_chunks(b: bytes, chunk_seconds: float) -> list[bytes] | None:
+    """Chunk a RIFF/WAVE blob into fixed-duration PCM slices using the
+    stdlib ``wave`` module — a REAL audio chunk path with zero codec
+    dependencies (non-WAV formats still need ffmpeg/soundfile).
+    Returns None when the blob isn't parseable WAV."""
+    import io
+    import wave
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            frames_per_chunk = max(1, int(chunk_seconds * w.getframerate()))
+            chunks = []
+            while True:
+                data = w.readframes(frames_per_chunk)
+                if not data:
+                    break
+                chunks.append(data)
+            return chunks or [b""]
+    except (wave.Error, EOFError):
+        return None
+
+
 def chunk_audio(
     df: DataFrame,
     blob_col: str,
@@ -164,10 +250,15 @@ def chunk_audio(
 ) -> DataFrame:
     """Chunk audio blobs → exploded (chunk_idx, chunk_start_s,
     chunk_blob) rows, the standard pre-ASR/pre-training segmentation.
-    Stub treats blobs as 16 kHz 16-bit mono PCM (``bytes_per_second``)
-    and slices fixed byte windows when ``fake=True``; the real path
-    (soundfile/ffmpeg resample + silence-aware splitting) is not in
-    this container.
+
+    Real path (``fake=False``): RIFF/WAVE blobs are chunked on actual
+    frame boundaries at the header's true sample rate via the stdlib
+    ``wave`` module; unparseable/non-WAV blobs yield one row with NULL
+    chunk fields (count them to monitor decode coverage — compressed
+    formats need ffmpeg/soundfile, probed for nothing here since the
+    PCM path covers the honest-without-codecs case). ``fake=True``
+    keeps the deterministic byte-window stub (16 kHz 16-bit mono PCM
+    assumption) the hash-checked catalog entries rely on.
 
     Same fan-out caveat as frame sampling: one row becomes
     ceil(duration/chunk_seconds) rows before any shuffle.
@@ -182,12 +273,34 @@ def chunk_audio(
     )
     step = int(chunk_seconds * bytes_per_second)
 
+    def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in out_schema.fields]
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            chunk_lists = pdf[blob_col].map(
+                lambda b: _wav_chunks(b or b"", chunk_seconds)
+            )
+            counts = chunk_lists.map(lambda L: len(L) if L else 1)
+            out = pdf.loc[pdf.index.repeat(counts)].reset_index(drop=True)
+            idx = np.concatenate(
+                [np.arange(c) for c in counts.to_numpy()]
+            ).astype("float64")
+            nulls = np.concatenate(
+                [np.full(c, L is None) for L, c in zip(chunk_lists, counts)]
+            )
+            out["chunk_idx"] = pd.array(
+                np.where(nulls, np.nan, idx), dtype="Int32"
+            )
+            out["chunk_start_s"] = np.where(nulls, np.nan, idx * chunk_seconds)
+            out["chunk_blob"] = [
+                c for L in chunk_lists for c in (L if L else [None])
+            ]
+            yield out[cols]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio chunking needs soundfile/ffmpeg; pass fake=True"
-                )
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
                 continue
@@ -208,7 +321,7 @@ def chunk_audio(
             ]
             yield out[[f.name for f in out_schema.fields]]
 
-    return df.mapInPandas(batches, schema=out_schema)
+    return df.mapInPandas(batches if fake else real_batches, schema=out_schema)
 
 
 def sample_video_frames(

@@ -209,10 +209,33 @@ def test_blob_metadata(spark):
     assert got[1] == ("image/png", 6) and got[2] == ("image/jpeg", 4)
 
 
-def test_decode_stub_raises_without_fake(spark):
-    df = spark.createDataFrame([(1, b"abc")], ["i", "blob"])
-    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
-        decode_image_batch(df, "blob", fake=False).collect()
+def test_decode_real_path_header_parse(spark):
+    # Real path without Pillow: pure-Python header parse. PNG and GIF
+    # are exact header crafts; JPEG is a minimal SOF0 marker sequence;
+    # garbage yields NULL dims instead of failing the batch.
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bit depth 8, color type 2 (RGB)
+    )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00\x00\x00"
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"\x00" * 14  # APP0
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + bytes([3])
+    )
+    df = spark.createDataFrame(
+        [(1, png), (2, gif), (3, jpeg), (4, b"not an image")], ["i", "blob"]
+    )
+    out = {
+        r.i: (r.width, r.height, r.channels)
+        for r in decode_image_batch(df, "blob", fake=False).collect()
+    }
+    assert out[1] == (640, 480, 3)
+    assert out[2] == (320, 200, 3)
+    assert out[3] == (640, 480, 3)
+    assert out[4] == (None, None, None)
 
 
 def test_decode_stub_fake_deterministic(spark):
@@ -244,10 +267,33 @@ def test_audio_chunking_stub(spark):
         (2, 0, 0.0, 10),
         (3, 0, 0.0, 0),
     ]
-    import pytest as _pytest
 
-    with _pytest.raises(Exception, match="soundfile|NotImplemented"):
-        chunk_audio(df, "blob").collect()
+def test_audio_chunking_real_wav(spark):
+    # Real path: stdlib-wave chunking on true frame boundaries at the
+    # header's sample rate; non-WAV blobs yield one NULL-chunk row.
+    import io
+    import wave
+
+    from dataframe_sql_spark.multimodal.binary import chunk_audio
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x01\x00" * 20000)  # 2.5 s of 8 kHz mono PCM
+    df = spark.createDataFrame([(1, buf.getvalue()), (2, b"mp3??")], ["i", "blob"])
+    rows = sorted(
+        (r.i, r.chunk_idx, r.chunk_start_s, None if r.chunk_blob is None else len(r.chunk_blob))
+        for r in chunk_audio(df, "blob", chunk_seconds=1.0, fake=False).collect()
+    )
+    # 2.5 s @ 1 s chunks, 16000 B/s PCM → 16000, 16000, 8000 bytes
+    assert rows == [
+        (1, 0, 0.0, 16000),
+        (1, 1, 1.0, 16000),
+        (1, 2, 2.0, 8000),
+        (2, None, None, None),
+    ]
 
 
 def test_video_frame_sampling_stub(spark):
