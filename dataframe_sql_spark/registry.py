@@ -672,12 +672,15 @@ PRIORITY: list[str] = [
     "dd_simhash",
     "dd_clusters",
     "sim_ann_lsh",
+    "sim_ann_recall_cert",
     "txt_langid",
+    "txt_langid_golden",
     "x_dataset_mix",
     "emb_quantize_int8",
     "txt_winnow_fingerprint",
     "sim_ann_pq",
     "dd_incremental",
+    "txt_bpe_roundtrip",
 ]
 
 

@@ -399,6 +399,71 @@ _reg(
     "rerank - the compressed-index scale path (n_sub bytes/vector)",
 )
 
+
+def _sim_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall CERTIFICATE — driver-scoreable property check for the
+    approximate methods whose internals aren't SQL-expressible. Each
+    method's full pipeline (signatures/cells/codebooks → prune →
+    rerank) runs for real; recall@10 against the exact brute-force
+    top-k is computed Spark-side and compared to a floor the method is
+    measured to clear on this corpus (sf0.001 AND sf0.01, deterministic
+    planes/centroids/codebooks). The DuckDB oracle pins every flag to
+    true, so a driver hash match certifies the bounds actually held —
+    upgrading what used to be pytest-only gates into scored rows.
+    """
+    from .operators.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    exact = cosine_topk(emb, "embedding", _QUERY_VEC, k=10).select("vec_id")
+    exact = exact.persist()
+    try:
+        def recall(approx: DataFrame) -> float:
+            return approx.select("vec_id").join(exact, "vec_id").count() / 10.0
+
+        rows = [
+            (
+                "ivf_probe4",
+                recall(
+                    ivf_topk(emb, "embedding", _QUERY_VEC, k=10, n_cells=16, n_probe=4)
+                ),
+                0.4,
+            ),
+            (
+                "lsh_32bit_rerank300",
+                recall(
+                    lsh_topk(
+                        emb, "embedding", _QUERY_VEC, k=10, num_bits=32, rerank=300
+                    )
+                ),
+                0.8,
+            ),
+            (
+                "pq_8x16_rerank100",
+                recall(
+                    pq_topk(
+                        emb, "embedding", _QUERY_VEC, k=10, n_sub=8, n_codes=16,
+                        rerank=100,
+                    )
+                ),
+                0.6,
+            ),
+        ]
+    finally:
+        exact.unpersist()
+    return spark.createDataFrame(
+        [(m, r >= t) for m, r, t in rows], "method string, recall_ok boolean"
+    )
+
+
+_reg(
+    "sim_ann_recall_cert",
+    _sim_recall_cert,
+    "SELECT * FROM (VALUES ('ivf_probe4', true), ('lsh_32bit_rerank300', true), "
+    "('pq_8x16_rerank100', true)) t(method, recall_ok)",
+    "recall certificates for IVF/LSH/PQ ANN: measured recall@10 vs exact "
+    "brute force must clear per-method floors (oracle pins the flags)",
+)
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -427,8 +492,36 @@ _reg(
     lambda spark, sf_dir: _docs(spark, sf_dir).select(
         "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
     ),
-    None,  # per-language stopword-hit argmax: expressible but brittle in SQL; pytest checks accuracy
+    None,  # per-language stopword-hit argmax: expressible but brittle in SQL;
+    # pytest checks accuracy on crafted sentences, txt_langid_golden is the
+    # driver-scoreable version. (The synthetic corpus's lang column is a
+    # decorative label — all its text is English-ish word salad — so a
+    # label-accuracy certificate would be meaningless here.)
     "n-gram/stopword-heuristic language ID over {en,de,fr,es}",
+)
+
+_LANGID_GOLDEN = [
+    (1, "the cat and the dog is in a house for it", "en"),
+    (2, "der hund und die katze ist nicht ein tier mit einem haus auf dem weg zu dir", "de"),
+    (3, "le chien et la vache est dans une maison pour un garcon de paris", "fr"),
+    (4, "el perro y los gatos es una casa para el hombre en madrid", "es"),
+    (5, "zzz qqq xxx yyy", "und"),
+]
+
+_reg(
+    "txt_langid_golden",
+    # Golden-text CERTIFICATE: fixed multilingual sentences constructed
+    # inline (the sf tables can't serve — see txt_langid note), predicted
+    # by the real stopword-argmax expression; the DuckDB oracle pins the
+    # expected labels, making language-ID behavior a driver-scored row.
+    lambda spark, sf_dir: spark.createDataFrame(
+        [(i, t) for i, t, _ in _LANGID_GOLDEN], "sid int, text string"
+    ).select("sid", lang_id(F.col("text")).alias("lang_pred")),
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, '{lang}')" for i, _, lang in _LANGID_GOLDEN)
+    + ") t(sid, lang_pred)",
+    "language-ID golden certificate: known en/de/fr/es/und sentences "
+    "must classify correctly (oracle pins the expected labels)",
 )
 
 _reg(
@@ -1193,16 +1286,42 @@ _reg(
 
 _reg(
     "a_approx_agg",
+    # Certificate shape (same pattern as a_hll_sketch_rollup): the
+    # sketch estimates themselves are implementation-defined, so the
+    # oracle-checkable output is (exact value, within-tolerance flag) —
+    # the booleans certify the HLL++/GK error bounds held while staying
+    # deterministic cross-engine.
     lambda spark, sf_dir: engine_for(spark, sf_dir)
     .spark.table("lineitem")
     .groupBy("l_returnflag")
     .agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("apx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("apx_med"),
-    ),
-    None,  # sketch outputs differ across engines; pytest gates relative error
-    "sketch aggregates: HLL++ count-distinct + approximate percentile — "
-    "single-pass, fixed-size state (the 100 TB substitute for exact distinct)",
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__exact_med"),
+    )
+    .select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("apx_orders") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("ok_orders"),
+        F.round("__exact_med", 4).alias("exact_med"),
+        (
+            F.abs(F.col("apx_med") - F.col("__exact_med"))
+            <= 0.02 * F.col("__exact_med")
+        ).alias("ok_med"),
+    )
+    .orderBy("l_returnflag"),
+    "SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders, "
+    "true AS ok_orders, "
+    "round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med, "
+    "true AS ok_med "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "sketch aggregates with exactness certificate: HLL++ count-distinct "
+    "+ approximate percentile vs their exact counterparts — single-pass, "
+    "fixed-size state (the 100 TB substitute for exact distinct)",
 )
 
 
@@ -1557,9 +1676,45 @@ _reg(
     "txt_bpe_tokens",
     _txt_bpe,
     None,  # learned merges + UDF application not SQL-expressible;
-    # tests/test_bpe.py gates learning determinism and encode parity
+    # tests/test_bpe.py gates learning determinism and encode parity;
+    # txt_bpe_roundtrip is the driver-scoreable certificate
     "learned BPE token counts (distributed counts, driver merges on "
     "the bounded vocab table, Arrow-batched apply)",
+)
+
+
+def _txt_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE lossless-roundtrip CERTIFICATE: for every document, the
+    concatenation of its learned-BPE tokens with ``</w>`` end-of-word
+    markers restored to spaces must equal the normalized (lowercased,
+    whitespace-collapsed) text. BPE merges only ever concatenate
+    adjacent symbols, so this invariant holding over the whole corpus
+    certifies the full learn → broadcast-merges → Arrow-apply machinery
+    preserved every byte. The oracle pins (n_docs, all_roundtrip=true):
+    the count is data-derived, the flag is the property."""
+    from .functions.bpe import bpe_tokenize_col, learn_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = learn_bpe(docs, "text", n_merges=100)
+    toks = docs.select(
+        "doc_id",
+        "text",
+        bpe_tokenize_col(F.col("text"), merges).alias("toks"),
+    )
+    detok = F.trim(F.regexp_replace(F.concat_ws("", "toks"), "</w>", " "))
+    norm = F.concat_ws(" ", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    return toks.select((detok == norm).alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("ok").alias("all_roundtrip"),
+    )
+
+
+_reg(
+    "txt_bpe_roundtrip",
+    _txt_bpe_roundtrip,
+    "SELECT count(*)::BIGINT AS n_docs, true AS all_roundtrip FROM documents",
+    "learned-BPE roundtrip certificate: detokenized output must equal "
+    "normalized input for every document (oracle pins the flag + count)",
 )
 
 
