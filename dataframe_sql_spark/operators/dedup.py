@@ -375,14 +375,25 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    hashed: bool = False,
 ) -> DataFrame:
     """Verify candidate (id_a, id_b) pairs with exact shingle Jaccard.
 
     Joins the shingle sets back onto the (small) candidate pair table
     and computes |∩|/|∪| with built-in array functions. Returns pairs
     with ``jaccard >= threshold``.
+
+    ``hashed=True`` verifies over the 8-byte gram-hash sets
+    (:func:`hashed_shingle_frame`) instead of shingle strings —
+    identical Jaccard up to an in-document xxhash64 collision
+    (~n²/2⁶⁴ ≈ 1e-13) and ~5× cheaper to tokenize; the production
+    default for LSH pipelines. Keep strings where bit-exact parity
+    with a string-based oracle matters (``dd_minhash_verified``).
     """
-    sh = shingle_frame(df, id_col, text_col, shingle_k)
+    if hashed:
+        sh = hashed_shingle_frame(df, id_col, text_col, shingle_k, out_col="__sh")
+    else:
+        sh = shingle_frame(df, id_col, text_col, shingle_k)
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
@@ -459,7 +470,9 @@ def minhash_dedup(
     connected-components would need an iterative job.
     """
     pairs = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
-    dups = ngram_jaccard_pairs(df, pairs, id_col, text_col, shingle_k, threshold)
+    dups = ngram_jaccard_pairs(
+        df, pairs, id_col, text_col, shingle_k, threshold, hashed=True
+    )
     losers = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 

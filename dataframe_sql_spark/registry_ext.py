@@ -117,6 +117,7 @@ _reg(
         "doc_id",
         "text",
         threshold=0.5,
+        hashed=True,
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")),
     None,
     "LSH candidate pairs verified by exact shingle Jaccard ≥ 0.5",
@@ -158,6 +159,7 @@ def _dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         threshold=0.5,
+        hashed=True,
     ).select("id_a", "id_b")
     return cluster_representatives(docs, pairs, "doc_id").select(
         "doc_id", "lang", "source"
