@@ -91,6 +91,7 @@ PIPELINE_OPS = [
     "x_sessionize",
     "txt_bpe_tokens",
     "txt_repetition",
+    "w_rank",  # two-pass range-partitioned global rank (operators/rank.py)
 ]
 
 
