@@ -1903,20 +1903,29 @@ _reg_sql(
     # are the document's fingerprints. Guarantees any shared substring
     # of length >= w+k-1 between two documents yields a shared
     # fingerprint, robust to position shifts (unlike fixed chunking).
-    # All JVM-side: explode over a generated position index (fan-out is
-    # n_chars rows/doc, partition-local), one window shuffle on doc_id.
-    # At 100 TB run it over word shingles instead of chars to cut the
-    # fan-out ~5x; the plan shape is identical.
-    "select distinct doc_id, fp from ("
-    "select doc_id, pos, m, "
-    "min(kh) over (partition by doc_id order by pos "
-    "rows between 15 preceding and current row) as fp "
-    "from (select doc_id, pos, m, "
-    "substr(md5(substr(text, pos, 8)), 1, 8) as kh "
-    "from (select doc_id, text, greatest(1, n_chars - 7) as m, "
-    "posexplode(sequence(1, greatest(1, n_chars - 7))) as (i, pos) "
-    "from documents) g) h) w "
-    "where pos >= least(16, m)",
+    # ZERO-SHUFFLE formulation: the k-gram hash array is built once per
+    # document (one md5 per position, exactly like the exploded form),
+    # window minima come from transform+slice+array_min over that array,
+    # and array_distinct collapses repeats before the only explode —
+    # which now fans out just the surviving fingerprints (~n/w rows)
+    # instead of n_chars rows. The previous formulation exploded every
+    # char position and shuffled the whole corpus through a doc_id
+    # window. Local[32] wall-clock is parity (A/B same-session at
+    # sf0.1: 4.6 s window-shuffle vs 5.0 s array-side — local shuffles
+    # are memory-speed, and both rescan each frame because MIN admits
+    # no decremental update); the win is the plan: a map-only pass with
+    # no exchange, where the old shape shuffled n_chars rows per doc
+    # corpus-wide — at 100 TB that exchange is the bottleneck. Word
+    # shingles instead of chars cut the remaining fan-out ~5x.
+    "select doc_id, fp from ("
+    "select doc_id, explode(array_distinct(transform("
+    "sequence(least(16, m), m), "
+    "p -> array_min(slice(khs, greatest(1, p - 15), least(16, p)))))) as fp "
+    "from (select doc_id, m, "
+    "transform(sequence(1, m), "
+    "q -> substr(md5(substr(text, q, 8)), 1, 8)) as khs "
+    "from (select doc_id, text, greatest(1, n_chars - 7) as m "
+    "from documents) g) h) w",
     "SELECT DISTINCT doc_id, fp FROM ("
     "SELECT doc_id, pos, m, "
     "min(kh) OVER (PARTITION BY doc_id ORDER BY pos "
@@ -2149,4 +2158,120 @@ _reg(
     # gated by tests/test_dedup.py::test_incremental_dedup_against_index
     "incremental near-dup: new batch vs persisted MinHash band index "
     "(the 100 TB ingest shape - history is never re-signatured)",
+)
+
+
+# --------------------------------------------------------------------------
+# corpus-curation round 3 additions: per-source quality quantiles,
+# embedding whitening, length histograms, curriculum ordering
+# --------------------------------------------------------------------------
+
+_reg_sql(
+    "x_quality_topq",
+    # FineWeb-style per-domain quality-quantile filter: rank documents
+    # within each source by a quality proxy (token count here; swap in
+    # quality_score for production) and keep the top half. percent_rank
+    # is (rank-1)/(n-1) — exact small rationals, so the 0.5 cutoff is
+    # engine-stable; the doc_id tiebreak makes the ordering total. One
+    # shuffle on source (the window), no global sort.
+    r"select doc_id, source, n_words from ("
+    r"select doc_id, source, n_words, "
+    r"percent_rank() over (partition by source "
+    r"order by n_words desc, doc_id) as pr "
+    r"from (select doc_id, source, "
+    r"size(split(trim(text), '\\s+')) as n_words from documents) t) r "
+    r"where pr <= 0.5",
+    r"SELECT doc_id, source, n_words FROM ("
+    r"SELECT doc_id, source, n_words, "
+    r"percent_rank() OVER (PARTITION BY source "
+    r"ORDER BY n_words DESC, doc_id) AS pr "
+    r"FROM (SELECT doc_id, source, "
+    r"length(string_split_regex(trim(text), '\s+')) AS n_words "
+    r"FROM documents) t) r "
+    r"WHERE pr <= 0.5",
+    "per-source quality-quantile filter (keep top 50% per domain) — "
+    "the FineWeb/DCLM curation shape: quantiles computed within each "
+    "domain so no single domain's distribution dominates the cut",
+)
+
+_reg_sql(
+    "emb_standardize",
+    # Per-dimension z-score whitening of the embedding corpus — the
+    # feature-normalization pass before clustering / ANN training.
+    # Exploded output (vec_id, dim, z) so both engines express the
+    # same computation without array reconstruction; the window over
+    # dim is one 64-partition shuffle. round(4) absorbs the engines'
+    # different float summation orders (relative error ~1e-13 on 500
+    # values). At 100 TB compute the 64 (mean, std) pairs with a
+    # single agg + broadcast instead of a window: same math, and the
+    # stats table is 64 rows regardless of corpus size.
+    # "+ 0" canonicalizes IEEE negative zero (round can yield -0.0,
+    # which hashes differently from 0.0 on the driver's value path)
+    "select vec_id, dim, "
+    "round((x - avg(x) over (partition by dim)) / "
+    "nullif(stddev_pop(x) over (partition by dim), 0), 4) + 0 as z "
+    "from (select vec_id, dim, cast(xf as double) as x "
+    "from (select vec_id, posexplode(embedding) as (dim, xf) "
+    "from embeddings) g) e",
+    "WITH e AS (SELECT vec_id, r.range AS dim, "
+    "CAST(embedding[r.range + 1] AS DOUBLE) AS x "
+    "FROM embeddings, range(64) r) "
+    "SELECT vec_id, dim, "
+    "round((x - avg(x) OVER (PARTITION BY dim)) / "
+    "nullif(stddev_pop(x) OVER (PARTITION BY dim), 0), 4) + 0 AS z FROM e",
+    "per-dimension z-score standardization of embeddings (whitening "
+    "before clustering/quantization); exploded (vec_id, dim, z) shape "
+    "keeps the oracle exact",
+)
+
+_reg_sql(
+    "txt_len_histogram",
+    # Token-length histogram with cumulative share — the
+    # sequence-packing / batch-shape planning pass (how much of the
+    # corpus fits a given context length). Two tiny aggregations; the
+    # cumulative window runs over the bucket table (bounded rows:
+    # max_len/10), not the corpus.
+    r"with w as (select cast(floor(size(split(trim(text), '\\s+')) / 10.0) "
+    r"* 10 as bigint) as bucket from documents), "
+    r"b as (select bucket, count(*) as n_docs from w group by bucket) "
+    r"select bucket, n_docs, "
+    r"round(cast(sum(n_docs) over (order by bucket) as double) / "
+    r"sum(n_docs) over (), 6) as cum_share from b",
+    r"WITH w AS (SELECT CAST(floor(length(string_split_regex(trim(text), "
+    r"'\s+')) / 10.0) * 10 AS BIGINT) AS bucket FROM documents), "
+    r"b AS (SELECT bucket, count(*) AS n_docs FROM w GROUP BY bucket) "
+    r"SELECT bucket, n_docs, "
+    r"round(CAST(sum(n_docs) OVER (ORDER BY bucket) AS DOUBLE) / "
+    r"sum(n_docs) OVER (), 6) AS cum_share FROM b",
+    "token-length histogram (width-10 buckets) with cumulative corpus "
+    "share — context-window fit planning for sequence packing",
+)
+
+
+def _x_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering: every document gets a global
+    training-sequence position (longest first, doc_id tiebreak) via the
+    scale-safe two-pass rank (operators/rank.py) — a total order over
+    the corpus with NO single-partition sort stage, which is how a
+    curriculum schedule stays computable at 100 TB."""
+    from .operators.rank import global_rank
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words")
+    )
+    return global_rank(
+        docs, [("n_words", False), ("doc_id", True)], out_col="seq"
+    )
+
+
+_reg(
+    "x_curriculum_order",
+    _x_curriculum,
+    r"SELECT doc_id, "
+    r"length(string_split_regex(trim(text), '\s+')) AS n_words, "
+    r"row_number() OVER (ORDER BY "
+    r"length(string_split_regex(trim(text), '\s+')) DESC, doc_id) AS seq "
+    r"FROM documents",
+    "global curriculum ordering (longest-first, unique tiebreak) via "
+    "the two-pass range-partitioned rank — no SinglePartition stage",
 )
