@@ -96,6 +96,45 @@ grouped_q = st.tuples(st.sampled_from(STR_COLS), _pred(1)).map(
     f"from lineitem where {t[1]} group by {t[0]}"
 )
 
+# Equi-join + grouped exact aggregates: the join fan-out and the
+# post-join predicate run through both engines; counts/integral sums
+# keep the compare bit-exact.
+join_q = st.tuples(_pred(2), st.sampled_from(["join", "left join"])).map(
+    lambda t: "select o_orderpriority as k, count(l_quantity) as n, "
+    "cast(sum(l_quantity) as double) as s "
+    f"from orders {t[1]} lineitem on l_orderkey = o_orderkey "
+    f"and {t[0]} group by o_orderpriority"
+)
+
+# Set operations over integral projections of the same table under two
+# generated predicates — ANSI UNION/INTERSECT/EXCEPT semantics must
+# agree (the reference's EXCEPT divergence is documented; the engine
+# follows ANSI, same as DuckDB).
+setop_q = st.tuples(
+    _pred(1),
+    _pred(1),
+    st.sampled_from(["union", "union all", "intersect", "except"]),
+).map(
+    lambda t: "select cast(l_orderkey as bigint) as a, "
+    f"cast(l_quantity as bigint) as b from lineitem where {t[0]} "
+    f"{t[2]} select cast(l_orderkey as bigint), "
+    f"cast(l_quantity as bigint) from lineitem where {t[1]}"
+)
+
+# Window ranks over a generated sort expression with a unique key
+# tiebreak (l_orderkey, l_linenumber) — rank/dense_rank are then
+# deterministic in both engines even when the expression ties.
+window_q = st.tuples(
+    st.sampled_from(["rank()", "dense_rank()"]),
+    st.sampled_from(STR_COLS),
+    _num(1),
+    _pred(1),
+).map(
+    lambda t: f"select l_orderkey, l_linenumber, {t[0]} over "
+    f"(partition by {t[1]} order by {t[2]}, l_orderkey, l_linenumber) as r "
+    f"from lineitem where {t[3]}"
+)
+
 
 # --- differential harness --------------------------------------------------
 
@@ -114,9 +153,10 @@ def _norm(v) -> str:
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
-    )
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
     return con
 
 
@@ -145,4 +185,34 @@ def test_fuzz_projection_filter(engine, duck, sql):
 )
 @given(sql=grouped_q)
 def test_fuzz_grouped_aggregates(engine, duck, sql):
+    _check(engine, duck, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=join_q)
+def test_fuzz_joins(engine, duck, sql):
+    _check(engine, duck, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=setop_q)
+def test_fuzz_set_operations(engine, duck, sql):
+    _check(engine, duck, sql)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=window_q)
+def test_fuzz_window_ranks(engine, duck, sql):
     _check(engine, duck, sql)

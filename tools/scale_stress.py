@@ -1,0 +1,215 @@
+"""Scaling-exponent measurement for the headline operators.
+
+The correctness gates run at sf0.01 and bench at sf0.1; this tool
+answers the 100 TB question the small SFs can't: does each operator's
+runtime grow ~linearly with input, or is something superlinear hiding
+(quadratic pair expansion, driver-side accumulation, single-partition
+stages)? It replicates the sf0.1 tables in-memory to Rx the rows
+(R in --scales, default 1,4,16), runs each op fully materialized, and
+prints one JSON line per (op, R) plus a fitted log-log slope per op.
+
+Replication details (chosen so semantics scale the way a bigger corpus
+actually would):
+- documents: every replica's words get a replica-specific prefix
+  (regexp_replace with a column replacement), so replicas are NOT
+  near-duplicates of each other — corpus grows with disjoint
+  vocabulary, the honest dedup workload. Without the salt, R replicas
+  of every doc would make LSH candidate pairs grow as R², which tests
+  the (documented) dup-heavy blowup, not scaling.
+- lineitem/orders: keys remapped (key*R + rep) so join fan-out per key
+  is preserved; group-by cardinality unchanged, partial aggregation
+  keeps map-side combine effective.
+- embeddings: vec_id remapped; vectors perturbed by rep so ANN work
+  doesn't collapse to duplicate distance computations.
+
+A slope near 1.0 = linear scaling; >1.3 flags superlinear growth worth
+a design look (expected for ops with inherently quadratic parts).
+Usage: python tools/scale_stress.py [--scales 1,4,16] [op_filter ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from dataframe_sql_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _replicate(df: DataFrame, r: int) -> DataFrame:
+    if r == 1:
+        return df.withColumn("__rep", F.lit(0))
+    return df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("__rep")
+    )
+
+
+def scaled_documents(spark: SparkSession, r: int) -> DataFrame:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep = _replicate(docs, r)
+    # salt every word with the replica id -> replicas share no shingles
+    salted = F.regexp_replace(
+        F.col("text"), r"(^|\s)", F.concat(F.lit("$1r"), F.col("__rep"), F.lit("x"))
+    )
+    return rep.select(
+        (F.col("doc_id") * r + F.col("__rep")).alias("doc_id"),
+        salted.alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def scaled_lineitem_orders(spark: SparkSession, r: int):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li_r = _replicate(li, r).withColumn(
+        "l_orderkey", F.col("l_orderkey") * r + F.col("__rep")
+    ).drop("__rep")
+    od_r = _replicate(od, r).withColumn(
+        "o_orderkey", F.col("o_orderkey") * r + F.col("__rep")
+    ).drop("__rep")
+    return li_r, od_r
+
+
+def scaled_embeddings(spark: SparkSession, r: int) -> DataFrame:
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rep = _replicate(emb, r)
+    perturbed = F.transform(
+        F.col("embedding"), lambda x: x + F.col("__rep") * F.lit(0.001)
+    )
+    return rep.select(
+        (F.col("vec_id") * r + F.col("__rep")).alias("vec_id"),
+        perturbed.alias("embedding"),
+        "label",
+    )
+
+
+
+def _force(df: DataFrame) -> int:
+    """Materialize EVERY column (checksum aggregate) — .count() lets
+    Catalyst prune expensive projections, flattening the measurement."""
+    from pyspark.sql import functions as FF
+
+    n = df.select(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.sum(FF.hash(*[FF.col(c) for c in df.columns])).alias("chk"),
+    ).collect()[0]
+    return int(n["n"])
+
+
+def op_minhash_pairs(spark: SparkSession, r: int) -> int:
+    from dataframe_sql_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = scaled_documents(spark, r)
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text")
+    return _force(
+        ngram_jaccard_pairs(docs, pairs, "doc_id", "text", threshold=0.5, hashed=True)
+    )
+
+
+def op_simhash(spark: SparkSession, r: int) -> int:
+    from dataframe_sql_spark.operators.dedup import simhash_dedup
+
+    return _force(simhash_dedup(scaled_documents(spark, r), "doc_id", "text"))
+
+
+def op_global_rank(spark: SparkSession, r: int) -> int:
+    from dataframe_sql_spark.operators.rank import global_rank
+
+    li, _ = scaled_lineitem_orders(spark, r)
+    ranked = global_rank(
+        li.select("l_orderkey", "l_extendedprice"),
+        [("l_extendedprice", False), ("l_orderkey", True)],
+        out_col="rnk",
+    )
+    return ranked.agg(F.max("rnk")).collect()[0][0]
+
+
+def op_tpch_q5_shape(spark: SparkSession, r: int) -> int:
+    li, od = scaled_lineitem_orders(spark, r)
+    cu = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    na = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    rev = (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("revenue")
+        )
+    )
+    return _force(rev)
+
+
+def op_topk_cosine(spark: SparkSession, r: int) -> int:
+    from dataframe_sql_spark.operators.similarity import cosine_topk
+
+    emb = scaled_embeddings(spark, r)
+    return _force(cosine_topk(emb, "embedding", [1.0] * 64, k=10))
+
+
+def op_substring_spans(spark: SparkSession, r: int) -> int:
+    from dataframe_sql_spark.operators.dedup import substring_span_stats
+
+    return _force(substring_span_stats(scaled_documents(spark, r), "doc_id", "text"))
+
+
+OPS = {
+    "dd_minhash_pairs": op_minhash_pairs,
+    "dd_simhash": op_simhash,
+    "w_rank_global": op_global_rank,
+    "tpch_q5_shape": op_tpch_q5_shape,
+    "sim_topk": op_topk_cosine,
+    "dd_substring_spans": op_substring_spans,
+}
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    scales = [1, 4, 16]
+    if args and args[0].startswith("--scales"):
+        scales = [int(s) for s in args[0].split("=", 1)[1].split(",")]
+        args = args[1:]
+    spark = get_spark("scale_stress")
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()  # warm
+    slopes = {}
+    for name, fn in OPS.items():
+        if args and not any(a in name for a in args):
+            continue
+        fn(spark, scales[0])  # untimed warm-up: codegen + parquet footers
+        times = []
+        for r in scales:
+            t0 = time.perf_counter()
+            n = fn(spark, r)
+            dt = time.perf_counter() - t0
+            times.append((r, dt))
+            print(json.dumps({"op": name, "scale": r, "sec": round(dt, 2), "rows": n}))
+        if len(times) >= 2:
+            # fit on the two LARGEST scales: fixed per-action overhead
+            # (~0.1-1 s scheduling/collect) pollutes the small points
+            (r0, t0_), (r1, t1_) = times[-2], times[-1]
+            slope = math.log(t1_ / t0_) / math.log(r1 / r0)
+            slopes[name] = round(slope, 2)
+            print(json.dumps({"op": name, "loglog_slope": slopes[name]}))
+    print(json.dumps({"metric": "scale_stress_slopes", "slopes": slopes}))
+
+
+if __name__ == "__main__":
+    main()
