@@ -1894,38 +1894,8 @@ _reg_sql(
 )
 
 
-_reg_sql(
-    "txt_winnow_fingerprint",
-    # Winnowing (MOSS-style) document fingerprinting — the rolling-hash
-    # fingerprint op: hash every k-gram (k=8; md5-hex prefix so both
-    # engines agree bit-for-bit), then keep the minimum hash of each
-    # sliding window of w=16 consecutive k-grams; the distinct minima
-    # are the document's fingerprints. Guarantees any shared substring
-    # of length >= w+k-1 between two documents yields a shared
-    # fingerprint, robust to position shifts (unlike fixed chunking).
-    # ZERO-SHUFFLE formulation: the k-gram hash array is built once per
-    # document (one md5 per position, exactly like the exploded form),
-    # window minima come from transform+slice+array_min over that array,
-    # and array_distinct collapses repeats before the only explode —
-    # which now fans out just the surviving fingerprints (~n/w rows)
-    # instead of n_chars rows. The previous formulation exploded every
-    # char position and shuffled the whole corpus through a doc_id
-    # window. Local[32] wall-clock is parity (A/B same-session at
-    # sf0.1: 4.6 s window-shuffle vs 5.0 s array-side — local shuffles
-    # are memory-speed, and both rescan each frame because MIN admits
-    # no decremental update); the win is the plan: a map-only pass with
-    # no exchange, where the old shape shuffled n_chars rows per doc
-    # corpus-wide — at 100 TB that exchange is the bottleneck. Word
-    # shingles instead of chars cut the remaining fan-out ~5x.
-    "select doc_id, fp from ("
-    "select doc_id, explode(array_distinct(transform("
-    "sequence(least(16, m), m), "
-    "p -> array_min(slice(khs, greatest(1, p - 15), least(16, p)))))) as fp "
-    "from (select doc_id, m, "
-    "transform(sequence(1, m), "
-    "q -> substr(md5(substr(text, q, 8)), 1, 8)) as khs "
-    "from (select doc_id, text, greatest(1, n_chars - 7) as m "
-    "from documents) g) h) w",
+# DuckDB oracle shared by both winnowing formulations (window shape).
+_WINNOW_ORACLE = (
     "SELECT DISTINCT doc_id, fp FROM ("
     "SELECT doc_id, pos, m, "
     "min(kh) OVER (PARTITION BY doc_id ORDER BY pos "
@@ -1935,11 +1905,71 @@ _reg_sql(
     "FROM (SELECT doc_id, text, greatest(1, n_chars - 7) AS m, "
     "unnest(generate_series(1, greatest(1, n_chars - 7))) AS pos "
     "FROM documents) g) h) w "
-    "WHERE pos >= least(16, m)",
+    "WHERE pos >= least(16, m)"
+)
+
+_reg_sql(
+    "txt_winnow_fingerprint",
+    # Winnowing (MOSS-style) document fingerprinting — the rolling-hash
+    # fingerprint op: hash every k-gram (k=8; md5-hex prefix so both
+    # engines agree bit-for-bit), then keep the minimum hash of each
+    # sliding window of w=16 consecutive k-grams; the distinct minima
+    # are the document's fingerprints. Guarantees any shared substring
+    # of length >= w+k-1 between two documents yields a shared
+    # fingerprint, robust to position shifts (unlike fixed chunking).
+    # All JVM-side: explode over a generated position index (fan-out is
+    # n_chars rows/doc, partition-local), one window shuffle on doc_id.
+    # Idle-host A/B at sf0.1: this shape 3.2 s vs 4.6 s for the
+    # map-only array formulation below — codegen'd window MIN beats
+    # interpreted slice+array_min lambdas while shuffles are local.
+    # txt_winnow_maponly is the same op with zero exchanges for the
+    # cluster case where the corpus-wide window shuffle dominates.
+    "select distinct doc_id, fp from ("
+    "select doc_id, pos, m, "
+    "min(kh) over (partition by doc_id order by pos "
+    "rows between 15 preceding and current row) as fp "
+    "from (select doc_id, pos, m, "
+    "substr(md5(substr(text, pos, 8)), 1, 8) as kh "
+    "from (select doc_id, text, greatest(1, n_chars - 7) as m, "
+    "posexplode(sequence(1, greatest(1, n_chars - 7))) as (i, pos) "
+    "from documents) g) h) w "
+    "where pos >= least(16, m)",
+    _WINNOW_ORACLE,
     "winnowing fingerprint (k-gram rolling hash + sliding-window min): "
     "shared substrings of length >= 23 chars always share a "
     "fingerprint; the plagiarism/near-dup detection primitive "
     "complementing MinHash (set-overlap) and SimHash (vector distance)",
+)
+
+_reg_sql(
+    "txt_winnow_maponly",
+    # ZERO-SHUFFLE winnowing: identical output to
+    # txt_winnow_fingerprint (same oracle), different plan. The k-gram
+    # hash array is built once per document, window minima come from
+    # transform+slice+array_min over that array, and array_distinct
+    # collapses repeats before the only explode — which fans out just
+    # the surviving fingerprints (~n/w rows) instead of n_chars rows,
+    # and NOTHING is exchanged: a pure map pass. Locally this is ~1.4×
+    # slower than the window form (4.6 s vs 3.2 s at sf0.1 — codegen'd
+    # window MIN vs interpreted lambdas; both rescan each frame since
+    # MIN admits no decremental update), but it removes the only
+    # corpus-wide shuffle, which is the term that grows with cluster
+    # size — the formulation to pick when the exchange, not CPU, is
+    # the bottleneck. Word shingles instead of chars cut the per-doc
+    # fan-out a further ~5×.
+    "select doc_id, fp from ("
+    "select doc_id, explode(array_distinct(transform("
+    "sequence(least(16, m), m), "
+    "p -> array_min(slice(khs, greatest(1, p - 15), least(16, p)))))) as fp "
+    "from (select doc_id, m, "
+    "transform(sequence(1, m), "
+    "q -> substr(md5(substr(text, q, 8)), 1, 8)) as khs "
+    "from (select doc_id, text, greatest(1, n_chars - 7) as m "
+    "from documents) g) h) w",
+    _WINNOW_ORACLE,
+    "zero-exchange winnowing (array-side sliding minima, map-only "
+    "plan) — same fingerprints as txt_winnow_fingerprint, traded for "
+    "the corpus-wide window shuffle",
 )
 
 
