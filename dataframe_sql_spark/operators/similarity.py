@@ -336,20 +336,24 @@ def pq_encode(
     for s in range(n_sub):
         vs = F.col(f"__sv{s}")
         # argmin over squared L2: ||x-c||² = ||x||² - 2<x,c> + ||c||²;
-        # ||x||² is constant across codes, so rank by <x,c> - ||c||²/2
-        scores = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vs,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(float(sum(x * x for x in c)) / -2.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in codebooks[s]
-            ]
+        # ||x||² is constant across codes, so rank by <x,c> - ||c||²/2.
+        # The codebook enters as ONE nested-array literal iterated by
+        # zip_with, not n_codes separate expression subtrees: per-call
+        # wall time is dominated by driver-side plan analysis of the
+        # literal-laden tree (execution is ~0.1 s warm), and collapsing
+        # n_sub × n_codes × sub literal nodes into n_sub array literals
+        # measured 2.3× faster end-to-end at 8×16×8 (2.7 s → 1.2 s per
+        # fresh-plan call, identical output hash).
+        books_lit = F.lit([[float(x) for x in c] for c in codebooks[s]])
+        norms_lit = F.lit(
+            [float(sum(x * x for x in c)) / 2.0 for c in codebooks[s]]
+        )
+        scores = F.zip_with(
+            books_lit,
+            norms_lit,
+            lambda c, nrm: F.aggregate(
+                F.zip_with(vs, c, lambda a, b: a * b), -nrm, lambda acc, x: acc + x
+            ),
         )
         codes.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
     return sliced.withColumn(code_col, F.array(*codes)).drop(
@@ -385,8 +389,8 @@ def pq_topk(
     approx = F.lit(0.0)
     for s in range(len(codebooks)):
         qs = query[s * sub : (s + 1) * sub]
-        lut = F.array(
-            *[F.lit(float(sum(a * b for a, b in zip(qs, c)))) for c in codebooks[s]]
+        lut = F.lit(
+            [float(sum(a * b for a, b in zip(qs, c))) for c in codebooks[s]]
         )
         approx = approx + F.element_at(lut, F.element_at(F.col("__pq"), s + 1) + 1)
     candidates = (
