@@ -31,6 +31,8 @@ __all__ = [
     "lsh_topk",
     "ivf_assign_cells",
     "ivf_topk",
+    "ivf_index_write",
+    "ivf_topk_indexed",
     "knn_join_bruteforce",
     "pq_train",
     "pq_encode",
@@ -409,6 +411,76 @@ def pq_topk(
     )
     return (
         candidates.select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_index_write(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> list[list[float]]:
+    """Build and persist the IVF index: assign every vector to its
+    nearest centroid cell and write parquet PARTITIONED BY cell, with
+    the centroid matrix stored alongside (``_centroids.json`` — the
+    leading underscore keeps Spark's reader from treating it as data).
+
+    This is the deployment shape for ANN at scale: the expensive
+    assignment pass runs once, and every probe afterwards reads only
+    ``n_probe`` of ``n_cells`` partition directories — partition
+    pruning at the file listing level, before a single byte of the
+    skipped cells is opened (gated by
+    ``test_ann_index.py::test_indexed_probe_prunes_partitions``).
+    Incremental ingest appends new vectors assigned against the SAME
+    persisted centroids, mirroring dd_incremental's
+    never-re-signature-history rule.
+    """
+    import json
+    import os
+
+    centroids = _ivf_centroids(df, vec_col, id_col, n_cells)
+    assigned = ivf_assign_cells(df, vec_col, centroids, cell_col="cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: rank cells by centroid similarity
+    driver-side (n_cells dot products), scan ONLY the probed cell
+    partitions, exact-cosine rerank. The ``cell`` filter is a partition
+    filter, so unprobed cells never leave the file listing."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+
+    def cos(q: list[float], c: list[float]) -> float:
+        dot = sum(a * b for a, b in zip(q, c))
+        nq = math.sqrt(sum(a * a for a in q)) or 1.0
+        nc = math.sqrt(sum(b * b for b in c)) or 1.0
+        return dot / (nq * nc)
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos(query, centroids[i]))[
+        :n_probe
+    ]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )

@@ -1,0 +1,75 @@
+"""Persisted IVF index: build-once / probe-many with partition pruning.
+
+The at-scale ANN deployment shape — the expensive cell-assignment pass
+runs once and lands as parquet partitioned by cell; a probe reads only
+its n_probe cell directories. These tests pin (1) result parity with
+the inline ivf_topk on the same deterministic centroids, and (2) that
+the probe's scan actually PRUNES: the cell filter must appear as a
+partition filter, not a post-scan row filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataframe_sql_spark.operators.similarity import (
+    ivf_index_write,
+    ivf_topk,
+    ivf_topk_indexed,
+)
+from tests.conftest import SF_DIR
+
+QUERY = [1.0] * 64
+
+
+def test_indexed_probe_matches_inline(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    ivf_index_write(emb, path, "embedding", "vec_id", n_cells=16)
+    inline = ivf_topk(emb, "embedding", QUERY, k=10, n_cells=16, n_probe=4)
+    indexed = ivf_topk_indexed(spark, path, QUERY, k=10, n_probe=4)
+    a = [(r.vec_id, round(r.score, 9)) for r in inline.collect()]
+    b = [(r.vec_id, round(r.score, 9)) for r in indexed.collect()]
+    assert a == b
+
+
+def test_indexed_probe_prunes_partitions(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    ivf_index_write(emb, path, "embedding", "vec_id", n_cells=16)
+    probe = ivf_topk_indexed(spark, path, QUERY, k=10, n_probe=4)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    # the cell predicate must be a PartitionFilters entry on the scan
+    # (file-listing-level pruning), not a pushed/post-scan data filter
+    assert "PartitionFilters" in plan
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "cell" in pf_line
+
+
+def test_incremental_append_against_same_centroids(spark, tmp_path):
+    from dataframe_sql_spark.operators.similarity import ivf_assign_cells
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    hist = emb.filter("vec_id < 400")
+    new = emb.filter("vec_id >= 400")
+    path = str(tmp_path / "ivf_index")
+    centroids = ivf_index_write(hist, path, "embedding", "vec_id", n_cells=8)
+    # ingest: assign the new batch against the PERSISTED centroids
+    # (history is never re-assigned) and append
+    ivf_assign_cells(new, "embedding", centroids, cell_col="cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)
+    got = spark.read.parquet(path)
+    assert got.count() == emb.count()
+    # appended rows carry the same cell a full rebuild would give them
+    full = ivf_assign_cells(emb, "embedding", centroids, cell_col="cell")
+    diff = (
+        got.select("vec_id", "cell")
+        .exceptAll(full.select("vec_id", "cell"))
+        .count()
+    )
+    assert diff == 0
