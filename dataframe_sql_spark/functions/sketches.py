@@ -21,7 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_partials", "hll_rollup", "hll_estimate_exactish"]
+__all__ = [
+    "hll_partials",
+    "hll_rollup",
+    "hll_estimate_exactish",
+    "bloom_positions",
+    "bloom_build",
+    "bloom_probe",
+]
 
 
 def hll_partials(
@@ -89,4 +96,81 @@ def hll_estimate_exactish(
             F.abs(F.col("distinct_est") - F.col("exact_distinct"))
             <= F.col("exact_distinct") * F.lit(rel_tol)
         ).alias("within_tol"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter as a bit-position table (the distributed form)
+# --------------------------------------------------------------------------
+#
+# A packed bit array is the single-machine Bloom shape; the idiomatic
+# Spark shape is its sparse dual — a table of distinct SET bit
+# positions. It is mergeable (union = distinct concat), bounded
+# (≤ min(m, k·n) rows of one BIGINT), joinable on a fixed 8-byte key,
+# and probe-able with a semi-join instead of a per-row UDF. A packed
+# broadcast variant is derivable (groupBy(pos div 64) + bit_or) when
+# the filter must ride inside a map-side expression; the table form
+# below is what you persist and co-partition at 100 TB.
+
+
+def bloom_positions(key, k: int = 5, m_bits: int = 1 << 20):
+    """array<bigint> of the ``k`` bit positions for ``key``.
+
+    Position i = ``pmod(xxhash64(key, i), m_bits)`` — seeded 64-bit
+    hashes, JVM-side, no UDF.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(F.xxhash64(key, i), F.lit(m_bits)),
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, k: int = 5, m_bits: int = 1 << 20
+) -> DataFrame:
+    """Build the bit-position table for every ``key_col`` value.
+
+    Output: single ``pos`` BIGINT column, distinct. One shuffle (the
+    distinct) on an 8-byte key; at scale, write it bucketed by ``pos``
+    so later probes are shuffle-free on the build side.
+    """
+    return (
+        df.select(
+            F.explode(bloom_positions(F.col(key_col), k, m_bits)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bits: DataFrame,
+    id_col: str,
+    key_col: str,
+    k: int = 5,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Probe keys against a built position table.
+
+    Returns (id, maybe_seen) where ``maybe_seen`` is true iff ALL of
+    the key's (distinct) positions are present in ``bits`` — the
+    standard Bloom semantics: false positives possible, false
+    negatives impossible.
+
+    Plan: explode probe positions (map-side), left join the bit table
+    on ``pos`` (broadcast when the filter is small, shuffle-on-8-byte
+    key otherwise), count matched vs needed per id — one doc-id
+    shuffle. No driver round-trip, unlike ``df.stat.bloomFilter``.
+    """
+    probe = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(bloom_positions(F.col(key_col), k, m_bits))
+        ).alias("pos"),
+    )
+    hit = probe.join(
+        bits.withColumn("__set", F.lit(True)), "pos", "left"
+    )
+    return hit.groupBy(id_col).agg(
+        (F.count("*") == F.count(F.col("__set"))).alias("maybe_seen")
     )

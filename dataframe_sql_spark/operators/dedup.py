@@ -43,6 +43,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
     "embedding_dedup",
+    "line_dedup",
+    "prefix_filter_pairs",
 ]
 
 
@@ -833,3 +835,169 @@ def incremental_minhash_dedup(
     )
     delta = minhash_band_index(kept, id_col, text_col, num_hashes, bands, shingle_k)
     return kept, delta
+
+
+# --------------------------------------------------------------------------
+# line-level boilerplate removal (RefinedWeb-style)
+# --------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    min_df: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Strip lines that repeat across >= ``min_df`` documents.
+
+    The RefinedWeb / CCNet line-level dedup shape (Penedo et al.,
+    "The RefinedWeb Dataset for Falcon LLM"): navigation chrome,
+    cookie banners and boilerplate repeat across pages verbatim, so a
+    line whose *document frequency* crosses a threshold is dropped
+    from every document while unique prose survives. ``delim`` is the
+    line separator (``"\\n"`` for real text; tests also use it for
+    paragraph mode with ``"\\n\\n"``). Lines shorter than
+    ``min_chars`` after trimming are always kept — too short to be
+    meaningful boilerplate.
+
+    Output: (id, clean_text, n_kept, n_removed) with the surviving
+    lines re-joined by ``delim`` in original order.
+
+    Scale notes: lines explode map-side; the document-frequency
+    aggregation shuffles on ``xxhash64(line)`` — a fixed 8-byte key,
+    never raw line text; the boilerplate verdict comes back via a
+    (line-hash) join that AQE broadcasts when the frequent-line table
+    is small (it is: it's the set of lines repeated across documents,
+    Zipf-bounded); the rebuild groups on doc id with
+    ``sort_array(collect_list(struct(pos, line)))`` — no window, one
+    shuffle. Three exchanges total, all on fixed-width or doc-id keys.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim))).alias("pos", "line"),
+    ).withColumn("__lh", F.xxhash64(F.trim(F.col("line"))))
+    eligible = lines.filter(F.length(F.trim(F.col("line"))) >= min_chars)
+    boiler = (
+        eligible.groupBy("__lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("__lh")
+    )
+    flagged = lines.join(
+        boiler.withColumn("__drop", F.lit(True)), "__lh", "left"
+    ).withColumn(
+        "__drop",
+        F.col("__drop").isNotNull()
+        & (F.length(F.trim(F.col("line"))) >= min_chars),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__drop"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(~F.col("__drop"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("__drop"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# prefix-filtering set-similarity join (AllPairs / PPJoin family)
+# --------------------------------------------------------------------------
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int,
+    t_den: int,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """ALL document pairs with exact shingle Jaccard >= t_num/t_den —
+    no blocking columns, no LSH approximation — via prefix filtering
+    (Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    WWW'07; Xiao et al., PPJoin, WWW'08).
+
+    The theorem: order every document's distinct token set by a global
+    token order (rarest-first by corpus frequency). If
+    ``J(a, b) >= t`` then ``|a ∩ b| >= ceil(t·|a|)``, so the first
+    ``|a| - ceil(t·|a|) + 1`` tokens of ``a`` (its *prefix*) must
+    contain at least one shared token. Emitting only prefix tokens as
+    join keys therefore loses no qualifying pair, while the frequent
+    tokens that make naive token-joins quadratic never leave the
+    suffix.  This is the exact counterpart of minhash-LSH: complete
+    (recall 1.0 guaranteed, not probabilistic) at the cost of a
+    corpus-frequency pass.
+
+    The threshold is the integer fraction ``t_num/t_den`` and the
+    verification compares ``inter * t_den >= t_num * uni`` in exact
+    integer arithmetic — no float rounding anywhere in the decision.
+
+    Output: (id_a, id_b, inter, uni) BIGINT columns for qualifying
+    pairs.
+
+    Scale notes: token frequencies shuffle once on token; per-doc
+    prefix extraction is one doc-id ``groupBy`` with
+    ``sort_array`` + ``slice`` (no window); candidate generation
+    shuffles prefix tokens only — by construction the rarest in each
+    document, so join buckets stay small where a naive token join
+    explodes; verification joins shingle sets onto the (distinct)
+    candidate pairs. At 100 TB the frequency table is Zipf-bounded
+    and broadcast-able after integer-cast.
+    """
+    sh = shingle_frame(df, id_col, text_col, shingle_k)
+    toks = sh.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    ranked = toks.join(freq, "tok")
+    per_doc = ranked.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("freq"), F.col("tok")))
+        ).alias("ordered"),
+        F.count("*").alias("sz"),
+    )
+    # prefix length = sz - ceil(t*sz) + 1 ; ceil(a*b/c) = -floordiv(-a*b, c)
+    ceil_t_sz = -F.floor((-F.lit(t_num) * F.col("sz")) / F.lit(t_den)).cast("int")
+    prefix = per_doc.select(
+        F.col(id_col),
+        F.explode(
+            F.slice(
+                "ordered", 1, (F.col("sz") - ceil_t_sz + F.lit(1)).cast("int")
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.tok").alias("tok"))
+    a = prefix.withColumnRenamed(id_col, "id_a")
+    b = prefix.withColumnRenamed(id_col, "id_b")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    uni = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", inter.alias("inter"), uni.alias("uni"))
+        .filter(F.col("inter") * F.lit(t_den) >= F.lit(t_num) * F.col("uni"))
+    )

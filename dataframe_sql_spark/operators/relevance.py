@@ -1,0 +1,293 @@
+"""Corpus-statistics relevance & quality scoring operators.
+
+The reference has no retrieval/quality surface (its grammar stops at
+SQL aggregates — SURVEY §2.5); these are LLM-data-pipeline extensions:
+TF-IDF term weighting, BM25 retrieval scoring, PMI collocation mining,
+and a corpus bigram-LM document scorer (the CCNet-style "perplexity
+bucket" quality signal, with the corpus itself standing in for the
+external LM).
+
+All four share one scale discipline:
+
+- the only corpus-wide exchanges are word/bigram ``groupBy`` shuffles
+  on short string keys (at 100 TB these keys are Zipf-bounded: the
+  distinct-vocab table is millions of rows while the corpus is
+  trillions of tokens, so the post-agg tables are broadcast-able);
+- corpus scalars (N docs, total tokens, avg doc length) are computed
+  as 1-row aggregates and attached via broadcast cross join — never
+  ``collect()``, so the whole plan stays lazy and restartable;
+- per-document scores join the (small) vocab-statistics tables back
+  onto exploded tokens; Catalyst broadcasts them, so the per-doc pass
+  is map-side;
+- floating-point outputs are ``round(x, 6)`` so differential oracles
+  compare stable digits, and every count survives as an exact BIGINT
+  column alongside the float.
+
+No Python UDFs, no driver materialization, whole-stage codegen
+throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "doc_words",
+    "tfidf_top_terms",
+    "bm25_scores",
+    "pmi_bigrams",
+    "bigram_lm_scores",
+]
+
+
+def doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Explode ``text_col`` into (id, pos, word) rows, lowercase.
+
+    Tokenization is the same ``split(trim(lower(text)), '\\s+')``
+    convention as the shingle/dedup family so corpus statistics are
+    consistent across operators (and across the DuckDB oracles).
+    """
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "word"
+        ),
+    ).filter(F.col("word") != "")
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF.
+
+    ``idf = ln((N + 1) / (df + 1)) + 1`` (the sklearn smooth-idf
+    formulation, which never zeroes out corpus-wide terms), score
+    ``tf * idf``. Output: (id, word, tf, df, score, rn) with ``tf``/
+    ``df`` as exact BIGINTs; ranking ties break on the word so the
+    top-k set is deterministic.
+
+    Scale: one shuffle for (doc, word) tf, one for word df (both on
+    short keys with partial aggregation), a broadcast join of the df
+    vocab back onto the tf table, and a per-doc window for top-k. The
+    window partitions by doc id — millions of small groups, no skew.
+    """
+    words = doc_words(df, id_col, text_col)
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    # tf already has one row per (doc, word): counting rows per word IS
+    # the document frequency.
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "word", "tf", "df", "score", "rn")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every matching document for ``query_terms``.
+
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))``;
+    ``w(t, d) = idf_t * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))``.
+
+    Output: (id, n_terms_hit, score) for documents matching at least
+    one term, scores rounded to 6 digits, exact hit-count BIGINT.
+
+    Scale: doc lengths are a map-side projection; ``avgdl``/``N`` are
+    1-row broadcast aggregates; per-term document frequencies shuffle
+    once on the (tiny) query-term-filtered token stream; the final
+    per-doc sum shuffles on doc id. The query-term filter is pushed
+    below the tf aggregation, so the corpus-wide exchange only carries
+    tokens matching the query — at 100 TB this is the classic "scatter
+    only what you score" sparse retrieval shape.
+    """
+    terms = [t.lower() for t in query_terms]
+    words = doc_words(df, id_col, text_col)
+    dl = words.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.select(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = words.filter(F.col("word").isin(terms))
+    tf = hits.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return per_term.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_terms_hit"),
+        F.round(F.sum("w"), 6).alias("score"),
+    )
+
+
+def _bigram_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-word pairs, map-side only.
+
+    Built by zipping the word array against itself shifted by one via
+    a ``transform`` over a generated index — no explode-then-self-join
+    (which would shuffle the corpus on (doc, pos))."""
+    words = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("ws"),
+    )
+    bigrams = words.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("ws") - F.lit(1), F.lit(1)),
+                ),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    # 1-word documents produce a single (word, NULL) pair; drop it.
+    return bigrams.filter(F.col("w2").isNotNull() & (F.col("w1") != ""))
+
+
+def pmi_bigrams(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 5, top: int = 50
+) -> DataFrame:
+    """Top collocations by pointwise mutual information.
+
+    ``pmi(x, y) = ln( (c_xy / B) / ((c_x / U) * (c_y / U)) )`` where
+    ``B`` is total bigram count and ``U`` total unigram count. Output:
+    (w1, w2, c_xy, c_x, c_y, pmi) — exact BIGINT counts beside the
+    rounded float — ordered by (pmi desc, w1, w2), limited to ``top``.
+
+    Scale: two corpus shuffles (bigram counts, unigram counts), both
+    with map-side partial aggregation onto Zipf-bounded key spaces;
+    unigram table re-joined twice broadcast; scalars via 1-row
+    broadcast aggregates. ``min_count`` prunes the long tail before
+    the join, which is what keeps the vocab table broadcast-able at
+    100 TB.
+    """
+    bg = _bigram_frame(df, id_col, text_col)
+    c_xy = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uni = doc_words(df, id_col, text_col).groupBy("word").agg(
+        F.count("*").alias("c")
+    )
+    totals = bg.select(F.count("*").alias("b_total")).crossJoin(
+        uni.select(F.sum("c").alias("u_total"))
+    )
+    out = (
+        c_xy.filter(F.col("c_xy") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("word", "w1").withColumnRenamed("c", "c_x")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("word", "w2").withColumnRenamed("c", "c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("b_total"))
+                    / (
+                        (F.col("c_x") / F.col("u_total"))
+                        * (F.col("c_y") / F.col("u_total"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(F.col("pmi").desc(), "w1", "w2").limit(top)
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Score documents with an add-α-smoothed corpus bigram LM.
+
+    The CCNet quality-bucketing shape (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): train an LM on the corpus, score each document by mean
+    log-probability, and let the pipeline keep/drop/bucket on the
+    score. Here the LM is the corpus's own bigram model —
+    ``P(w2 | w1) = (c12 + α) / (c1 + α·V)`` — so the operator is
+    self-contained and exactly reproducible cross-engine.
+
+    Output: (id, n_bigrams, avg_logp) — higher (less negative) means
+    the document looks like the corpus; exact BIGINT bigram count
+    beside the rounded score.
+
+    Scale: bigram/unigram count shuffles as in :func:`pmi_bigrams`;
+    scoring joins the doc bigram stream against the count tables
+    (broadcast after tail pruning at real scale — here unpruned since
+    the oracle needs exact mass); per-doc mean shuffles on doc id.
+    """
+    bg = _bigram_frame(df, id_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = doc_words(df, id_col, text_col).groupBy("word").agg(
+        F.count("*").alias("c1")
+    )
+    vocab = uni.select(F.count("*").alias("v"))
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("word", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.col("c12") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )

@@ -2305,3 +2305,290 @@ _reg(
     "global curriculum ordering (longest-first, unique tiebreak) via "
     "the two-pass range-partitioned rank — no SinglePartition stage",
 )
+
+
+# --------------------------------------------------------------------------
+# relevance & corpus-LM quality scoring (operators/relevance.py)
+# --------------------------------------------------------------------------
+
+# Shared tokenization CTE for the relevance oracles — same
+# split(trim(lower)) convention as _SH_CTE so corpus statistics agree
+# across the dedup and relevance families.
+_W_CTE = (
+    r"w0 AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), "
+    r"'\s+')) AS word FROM documents), "
+    r"wds AS (SELECT doc_id, word FROM w0 WHERE word <> '')"
+)
+
+# Bigram CTE: adjacent-word pairs via index transform (1-word docs
+# yield a (word, NULL) pair, filtered — mirrors _bigram_frame).
+_BG_CTE = (
+    r"wsx AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') "
+    r"AS ws FROM documents), "
+    r"bg0 AS (SELECT doc_id, unnest(list_transform("
+    r"range(1, greatest(len(ws) - 1, 1) + 1), "
+    r"i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS u FROM wsx), "
+    r"bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM bg0 "
+    r"WHERE u.w2 IS NOT NULL AND u.w1 <> '')"
+)
+
+
+def _txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relevance import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+_reg(
+    "txt_tfidf",
+    _txt_tfidf,
+    "WITH "
+    + _W_CTE
+    + r", tf AS (SELECT doc_id, word, cast(count(*) AS BIGINT) AS tf "
+    r"FROM wds GROUP BY doc_id, word), "
+    r"dfq AS (SELECT word, cast(count(*) AS BIGINT) AS df FROM tf GROUP BY word), "
+    r"nd AS (SELECT count(*) AS n_docs FROM documents), "
+    r"s AS (SELECT doc_id, word, tf, df, "
+    r"round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score "
+    r"FROM tf JOIN dfq USING (word) CROSS JOIN nd), "
+    r"r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+    r"ORDER BY score DESC, word) AS rn FROM s) "
+    r"SELECT doc_id, word, tf, df, score, rn FROM r WHERE rn <= 3",
+    "top-3 TF-IDF terms per document (smooth idf, deterministic "
+    "word tiebreak); exact BIGINT tf/df beside the rounded score",
+)
+
+
+def _txt_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relevance import bm25_scores
+
+    return bm25_scores(
+        _docs(spark, sf_dir), "doc_id", "text", ["table", "query", "spark"]
+    )
+
+
+_reg(
+    "txt_bm25",
+    _txt_bm25,
+    "WITH "
+    + _W_CTE
+    + r", dl AS (SELECT doc_id, cast(count(*) AS BIGINT) AS dl "
+    r"FROM wds GROUP BY doc_id), "
+    r"c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+    r"tf AS (SELECT doc_id, word, cast(count(*) AS BIGINT) AS tf FROM wds "
+    r"WHERE word IN ('table', 'query', 'spark') GROUP BY doc_id, word), "
+    r"dfq AS (SELECT word, cast(count(*) AS BIGINT) AS df FROM tf GROUP BY word), "
+    r"pt AS (SELECT tf.doc_id, "
+    r"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 / "
+    r"(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS wgt "
+    r"FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN c) "
+    r"SELECT doc_id, cast(count(*) AS BIGINT) AS n_terms_hit, "
+    r"round(sum(wgt), 6) AS score FROM pt GROUP BY doc_id",
+    "Okapi BM25 (k1=1.2, b=0.75) over a 3-term query; sparse 'scatter "
+    "only what you score' retrieval shape",
+)
+
+
+def _txt_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relevance import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir), "doc_id", "text", min_count=5, top=50)
+
+
+_reg(
+    "txt_pmi",
+    _txt_pmi,
+    "WITH "
+    + _W_CTE
+    + ", "
+    + _BG_CTE
+    + r", bgf AS (SELECT w1, w2, cast(count(*) AS BIGINT) AS c_xy "
+    r"FROM bg GROUP BY w1, w2), "
+    r"uni AS (SELECT word, cast(count(*) AS BIGINT) AS c FROM wds GROUP BY word), "
+    r"tot AS (SELECT (SELECT count(*) FROM bg) AS b_total, "
+    r"(SELECT cast(sum(c) AS BIGINT) FROM uni) AS u_total) "
+    r"SELECT w1, w2, c_xy, cx.c AS c_x, cy.c AS c_y, "
+    r"round(ln((c_xy / b_total) / ((cx.c / u_total) * (cy.c / u_total))), 6) "
+    r"AS pmi FROM bgf "
+    r"JOIN uni cx ON bgf.w1 = cx.word JOIN uni cy ON bgf.w2 = cy.word "
+    r"CROSS JOIN tot WHERE c_xy >= 5 "
+    r"ORDER BY pmi DESC, w1, w2 LIMIT 50",
+    "top-50 PMI collocations (min bigram count 5); exact BIGINT counts "
+    "beside the rounded score",
+)
+
+
+def _txt_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relevance import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_reg(
+    "txt_lm_score",
+    _txt_lm_score,
+    "WITH "
+    + _W_CTE
+    + ", "
+    + _BG_CTE
+    + r", c12 AS (SELECT w1, w2, cast(count(*) AS BIGINT) AS c12 "
+    r"FROM bg GROUP BY w1, w2), "
+    r"uni AS (SELECT word, cast(count(*) AS BIGINT) AS c1 FROM wds GROUP BY word), "
+    r"vc AS (SELECT cast(count(*) AS BIGINT) AS v FROM uni) "
+    r"SELECT bg.doc_id, cast(count(*) AS BIGINT) AS n_bigrams, "
+    r"round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_logp "
+    r"FROM bg JOIN c12 USING (w1, w2) JOIN uni ON bg.w1 = uni.word "
+    r"CROSS JOIN vc GROUP BY bg.doc_id",
+    "CCNet-style corpus bigram-LM document scoring (add-0.5 smoothing): "
+    "mean log-probability per doc — the quality-bucketing signal",
+)
+
+
+# --------------------------------------------------------------------------
+# line-level boilerplate dedup + prefix-filter similarity join
+# --------------------------------------------------------------------------
+
+
+def _dd_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal over a pseudo-line corpus.
+
+    The synthetic documents are single-line, so the entry derives
+    lines deterministically (10-word chunks joined by newline) with
+    the same expression in both engines, then runs the REAL operator
+    (:func:`~dataframe_sql_spark.operators.dedup.line_dedup`) over it.
+    """
+    from .operators.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    nl = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size(ws) / F.lit(10)).cast("int") - 1
+                ),
+                lambda i: F.array_join(F.slice(ws, i * F.lit(10) + 1, 10), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup(nl, "doc_id", "text", "\n", min_df=2)
+
+
+_reg(
+    "dd_lines",
+    _dd_lines,
+    r"WITH ws AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') "
+    r"AS ws FROM documents), "
+    r"ch AS (SELECT doc_id, list_transform(range(0, "
+    r"cast(ceil(len(ws) / 10.0) AS INT)), "
+    r"i -> array_to_string(ws[i*10+1:i*10+10], ' ')) AS chunks FROM ws), "
+    r"lu AS (SELECT doc_id, unnest(list_transform(range(0, len(chunks)), "
+    r"i -> {'pos': i, 'line': trim(chunks[i+1])})) AS u FROM ch), "
+    r"l3 AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lu), "
+    r"boiler AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS dfq "
+    r"FROM l3 WHERE len(line) >= 1 GROUP BY line) WHERE dfq >= 2), "
+    r"flags AS (SELECT l3.doc_id, pos, l3.line, "
+    r"(b.line IS NOT NULL AND len(l3.line) >= 1) AS is_boiler "
+    r"FROM l3 LEFT JOIN boiler b ON l3.line = b.line) "
+    r"SELECT doc_id, "
+    r"coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END, chr(10) "
+    r"ORDER BY pos), '') AS clean_text, "
+    r"cast(sum(CASE WHEN NOT is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    r"cast(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed "
+    r"FROM flags GROUP BY doc_id",
+    "RefinedWeb-style line-level boilerplate removal: lines repeating "
+    "across >= 2 docs dropped, survivors re-joined in order; exact "
+    "kept/removed BIGINT counts",
+)
+
+
+def _dd_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", t_num=7, t_den=10
+    )
+
+
+_reg(
+    "dd_prefix_pairs",
+    # COMPLETENESS-certified similarity join: unlike LSH (probabilistic
+    # recall) the prefix-filter theorem guarantees every J >= 0.7 pair
+    # is found, so DuckDB's brute-force over ALL pairs is an exact
+    # oracle for the whole output — a hash match proves both the
+    # verification arithmetic AND the candidate completeness.
+    _dd_prefix_pairs,
+    "WITH "
+    + "w AS (SELECT doc_id,"
+    r" string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents), "
+    r"sh AS (SELECT doc_id,"
+    r" list_transform(range(1, greatest(len(ws) - 2, 1) + 1),"
+    r" i -> array_to_string(ws[i:i+2], ' ')) AS s FROM w) "
+    r"SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    r"cast(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter, "
+    r"cast(len(list_distinct(list_cat(a.s, b.s))) AS BIGINT) AS uni "
+    r"FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    r"WHERE len(list_intersect(a.s, b.s)) * 10 >= "
+    r"7 * len(list_distinct(list_cat(a.s, b.s)))",
+    "prefix-filtering set-similarity join (AllPairs/PPJoin): ALL pairs "
+    "with exact 3-shingle Jaccard >= 0.7, recall 1.0 by theorem — "
+    "oracle brute-forces every pair, certifying completeness",
+)
+
+
+def _dd_bloom_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter no-false-negative certificate.
+
+    Build the filter from even-doc_id head-grams (first 5 words — the
+    repeated-head dedup key), probe the odd half, and emit one summary
+    row: probe count, exact duplicate count, and the number of exact
+    duplicates the filter MISSED (provably 0 — Bloom filters have no
+    false negatives). The oracle recomputes the first two exactly and
+    pins the third at 0: a broken filter (missed dup) breaks the hash.
+    """
+    from .functions.sketches import bloom_build, bloom_probe
+
+    docs = _docs(spark, sf_dir)
+    key = F.array_join(
+        F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5), " "
+    )
+    keyed = docs.select("doc_id", key.alias("k"))
+    ref = keyed.filter(F.col("doc_id") % 2 == 0)
+    probe = keyed.filter(F.col("doc_id") % 2 == 1)
+    bits = bloom_build(ref, "k")
+    flagged = bloom_probe(probe, bits, "doc_id", "k")
+    exact = probe.join(
+        ref.select("k").distinct().withColumn("__seen", F.lit(True)),
+        "k",
+        "left",
+    ).select("doc_id", F.col("__seen").isNotNull().alias("is_dup"))
+    both = flagged.join(exact, "doc_id")
+    return both.agg(
+        F.count("*").cast("bigint").alias("n_probe"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_dup"),
+        F.sum(F.when(F.col("is_dup") & ~F.col("maybe_seen"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_neg"),
+    )
+
+
+_reg(
+    "dd_bloom_cert",
+    _dd_bloom_cert,
+    r"WITH d AS (SELECT doc_id, array_to_string("
+    r"(string_split_regex(trim(lower(text)), '\s+'))[1:5], ' ') AS k "
+    r"FROM documents), "
+    r"p AS (SELECT doc_id, k FROM d WHERE doc_id % 2 = 1), "
+    r"r AS (SELECT DISTINCT k FROM d WHERE doc_id % 2 = 0) "
+    r"SELECT cast(count(*) AS BIGINT) AS n_probe, "
+    r"cast(sum(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    r"AS n_exact_dup, cast(0 AS BIGINT) AS n_false_neg "
+    r"FROM p LEFT JOIN r ON p.k = r.k",
+    "distributed Bloom filter (bit-position table form) certificate: "
+    "build on even half's 5-word head-grams, probe odd half — zero "
+    "false negatives, exact dup count oracle-checked",
+)

@@ -47,6 +47,14 @@ _CARTESIAN_OK = {
     # broadcast (BroadcastNestedLoopJoin); the large-large path takes
     # explicit block columns instead (similarity.py::knn_join_bruteforce)
     "sim_knn_join",
+    # relevance family: crossJoin(broadcast(<1-row aggregate>)) attaches
+    # corpus scalars (N docs, avgdl, token totals) — a BroadcastNestedLoop
+    # over exactly one broadcast row, the lazy alternative to collecting
+    # the scalar to the driver (operators/relevance.py module docstring)
+    "txt_tfidf",
+    "txt_bm25",
+    "txt_pmi",
+    "txt_lm_score",
 }
 
 # BatchEvalPython = row-at-a-time Python UDF — never acceptable in this
