@@ -37,6 +37,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "kmeans_assign",
 ]
 
 
@@ -484,3 +485,86 @@ def ivf_topk_indexed(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# k-means (Lloyd's) over embedding columns
+# --------------------------------------------------------------------------
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iters: int = 2,
+    round_digits: int = 4,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Lloyd's k-means cluster assignment, deterministic and
+    cross-engine reproducible.
+
+    - init: centroids are the ``k`` vectors with the smallest ids
+      (seedless, rerun- and engine-stable — same discipline as
+      :func:`_ivf_centroids`);
+    - assignment: argmin squared-L2 against a literal centroid matrix,
+      one codegen projection, ties to the lowest cluster id
+      (``array_position`` returns the first minimum);
+    - update: per-(cluster, dim) means via ``posexplode`` + partial
+      aggregation — the shuffle carries only k·dim rows per map
+      partition, the classic distributed-k-means reduce; the k·dim
+      result is the ONLY driver materialization per iteration;
+    - centroid coordinates are rounded to ``round_digits`` after every
+      update, which pins the literal matrices bit-identically across
+      engines/reruns so a differential oracle can replay the exact
+      trajectory (FP noise in a mean is ~1e-13, far inside the grid).
+
+    Returns the input frame + ``out_col`` (cluster id of the LAST
+    assignment pass; ``n_iters`` assignment passes run in total, with
+    ``n_iters - 1`` centroid updates between them). Empty clusters
+    drop out of the trajectory naturally (no members → no updated
+    centroid), matching the SQL formulation.
+
+    At 100 TB: each iteration is one map-side projection + one
+    bounded-key shuffle; the driver holds k·dim floats. This is the
+    index-build step for semantic dedup (SemDeDup) and IVF — build
+    once, persist the assignment partitioned by cluster.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    init = (
+        df.select(F.col(id_col), v.alias("__v")).orderBy(id_col).limit(k).collect()
+    )
+    cents: list[list[float]] = [list(map(float, r["__v"])) for r in init]
+    cluster_ids: list[int] = list(range(len(cents)))
+
+    def _assigned(frame: DataFrame) -> DataFrame:
+        cents_lit = F.lit([[float(x) for x in c] for c in cents])
+        ids_lit = F.lit(cluster_ids)
+        d2 = F.transform(
+            cents_lit,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        pos = F.array_position(d2, F.array_min(d2)).cast("int")
+        return frame.withColumn(out_col, F.element_at(ids_lit, pos))
+
+    for it in range(n_iters - 1):
+        upd = (
+            _assigned(df)
+            .select(F.col(out_col), F.posexplode(v).alias("dim", "x"))
+            .groupBy(out_col, "dim")
+            .agg(F.round(F.avg("x"), round_digits).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cluster.setdefault(r[0], {})[r[1]] = r[2]
+        cluster_ids = sorted(by_cluster)
+        dim = len(cents[0])
+        cents = [
+            [by_cluster[c][d] for d in range(dim)] for c in cluster_ids
+        ]
+    return _assigned(df)

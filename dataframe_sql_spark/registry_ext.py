@@ -2592,3 +2592,79 @@ _reg(
     "build on even half's 5-word head-grams, probe odd half — zero "
     "false negatives, exact dup count oracle-checked",
 )
+
+
+# --------------------------------------------------------------------------
+# k-means clustering + semantic dedup (SemDeDup)
+# --------------------------------------------------------------------------
+
+# Shared 2-iteration Lloyd trajectory in SQL (mirrors kmeans_assign
+# with k=8, n_iters=2, centroid rounding 4dp): init = the 8 smallest
+# vec_ids, one assignment, one rounded-mean update, final assignment.
+_KM_CTE = (
+    r"ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    r"init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v "
+    r"FROM ev ORDER BY vec_id LIMIT 8), "
+    r"a1 AS (SELECT ev.vec_id, (SELECT c FROM init "
+    r"ORDER BY list_distance(init.v, ev.v), c LIMIT 1) AS c FROM ev), "
+    r"cd AS (SELECT a1.c, r.i AS dim, round(avg(ev.v[r.i + 1]), 4) AS m "
+    r"FROM a1 JOIN ev USING (vec_id), range(64) r(i) GROUP BY a1.c, r.i), "
+    r"cent2 AS (SELECT c, list(m ORDER BY dim) AS v FROM cd GROUP BY c), "
+    r"a2 AS (SELECT ev.vec_id, (SELECT c FROM cent2 "
+    r"ORDER BY list_distance(cent2.v, ev.v), c LIMIT 1) AS c FROM ev)"
+)
+
+
+def _emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_assign
+
+    return kmeans_assign(
+        _emb(spark, sf_dir), "vec_id", "embedding", k=8, n_iters=2
+    ).select("vec_id", "cluster")
+
+
+_reg(
+    "emb_kmeans",
+    _emb_kmeans,
+    "WITH " + _KM_CTE + " SELECT vec_id, c AS cluster FROM a2",
+    "Lloyd's k-means (k=8, 2 iterations, deterministic min-id init, "
+    "4dp-rounded centroids) — the oracle replays the exact trajectory "
+    "in SQL, certifying every assignment",
+)
+
+
+def _dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 'SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication'): cluster embeddings
+    with k-means, then near-dup pairs are found ONLY within clusters —
+    the quadratic pair cost is bounded per cluster instead of
+    corpus-wide. Reuses kmeans_assign for the blocking key and
+    embedding_cosine_pairs for the within-block exact cosine."""
+    from .operators.dedup import embedding_cosine_pairs
+    from .operators.similarity import kmeans_assign
+
+    clustered = kmeans_assign(
+        _emb(spark, sf_dir), "vec_id", "embedding", k=8, n_iters=2
+    )
+    pairs = embedding_cosine_pairs(
+        clustered, "vec_id", "embedding", "cluster", threshold=0.4
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cos")
+    )
+
+
+_reg(
+    "dd_semantic",
+    _dd_semantic,
+    "WITH "
+    + _KM_CTE
+    + r" SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    r"round(list_cosine_similarity(a.v, b.v), 6) AS cos "
+    r"FROM (SELECT ev.*, a2.c FROM ev JOIN a2 USING (vec_id)) a "
+    r"JOIN (SELECT ev.*, a2.c FROM ev JOIN a2 USING (vec_id)) b "
+    r"ON a.c = b.c AND a.vec_id < b.vec_id "
+    r"WHERE list_cosine_similarity(a.v, b.v) >= 0.4",
+    "SemDeDup: k-means-blocked embedding near-dup pairs (cos >= 0.4) "
+    "— quadratic cost bounded per cluster, not corpus-wide",
+)

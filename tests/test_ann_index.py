@@ -73,3 +73,73 @@ def test_incremental_append_against_same_centroids(spark, tmp_path):
         .count()
     )
     assert diff == 0
+
+
+# --------------------------------------------------------------------------
+# k-means (Lloyd's) — operators/similarity.py::kmeans_assign
+# --------------------------------------------------------------------------
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    import itertools
+
+    rows = []
+    vid = 0
+    for cx in (0.0, 100.0):
+        for dx, dy in itertools.product((-1.0, 0.0, 1.0), repeat=2):
+            rows.append((vid, [cx + dx, cx + dy]))
+            vid += 1
+    from dataframe_sql_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_assign(df, "vec_id", "embedding", k=2, n_iters=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+    assert len(by_cluster) == 2
+    groups = sorted(by_cluster.values(), key=min)
+    assert groups[0] == set(range(9)) and groups[1] == set(range(9, 18))
+
+
+def test_kmeans_deterministic_rerun(spark):
+    from dataframe_sql_spark.operators.similarity import kmeans_assign
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = {(r.vec_id, r.cluster) for r in kmeans_assign(emb, "vec_id", "embedding").collect()}
+    b = {(r.vec_id, r.cluster) for r in kmeans_assign(emb, "vec_id", "embedding").collect()}
+    assert a == b
+
+
+def test_kmeans_iterations_reduce_inertia(spark):
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.operators.similarity import kmeans_assign
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def inertia(n_iters: int) -> float:
+        assigned = kmeans_assign(emb, "vec_id", "embedding", k=8, n_iters=n_iters)
+        v = F.col("embedding").cast("array<double>")
+        # recompute exact (unrounded) centroids of the final assignment,
+        # then sum of squared distances to them
+        cents = (
+            assigned.select("cluster", F.posexplode(v).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_c = {}
+        for r in cents:
+            by_c.setdefault(r.cluster, {})[r.dim] = r.m
+        lit = {c: [by_c[c][d] for d in range(64)] for c in by_c}
+        total = 0.0
+        for c, vecs in (
+            (r.cluster, r.v)
+            for r in assigned.select("cluster", v.alias("v")).collect()
+        ):
+            total += sum((a - b) ** 2 for a, b in zip(vecs, lit[c]))
+        return total
+
+    assert inertia(3) <= inertia(1) + 1e-9
