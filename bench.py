@@ -92,6 +92,12 @@ PIPELINE_OPS = [
     "txt_bpe_tokens",
     "txt_repetition",
     "w_rank",  # two-pass range-partitioned global rank (operators/rank.py)
+    # round-3 additions: boilerplate/line dedup, completeness-certified
+    # similarity join, k-means clustering, corpus-LM scoring
+    "dd_lines",
+    "dd_prefix_pairs",
+    "emb_kmeans",
+    "txt_lm_score",
 ]
 
 

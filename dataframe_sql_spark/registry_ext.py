@@ -2668,3 +2668,43 @@ _reg(
     "SemDeDup: k-means-blocked embedding near-dup pairs (cos >= 0.4) "
     "— quadratic cost bounded per cluster, not corpus-wide",
 )
+
+
+def _txt_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> sorted posting list of doc ids.
+
+    The retrieval-index construction pass (the BM25/TF-IDF entries
+    score against corpus statistics; this materializes the index
+    itself). One corpus shuffle on the term; postings are exact and
+    sorted so the oracle compares bit-for-bit. At 100 TB the posting
+    lists of head terms are the skew risk: the production layout
+    writes this frame bucketed by term with per-term posting-block
+    chunking (write_bucketed + fixed-size array slices) and
+    delta-encoded ids; the build plan — explode, distinct, one
+    groupBy — is unchanged.
+    """
+    from .operators.relevance import doc_words
+
+    words = doc_words(_docs(spark, sf_dir), "doc_id", "text")
+    return (
+        words.select("word", "doc_id")
+        .distinct()
+        .groupBy("word")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+    )
+
+
+_reg(
+    "txt_inverted_index",
+    _txt_inverted_index,
+    "WITH "
+    + _W_CTE
+    + r" SELECT word, cast(count(DISTINCT doc_id) AS BIGINT) AS df, "
+    r"list(DISTINCT doc_id ORDER BY doc_id) AS postings "
+    r"FROM wds GROUP BY word",
+    "inverted index build: term -> exact sorted posting list + "
+    "document frequency, one term-keyed shuffle",
+)
