@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "cluster_representatives"]
+__all__ = ["connected_components", "cluster_representatives", "pagerank"]
 
 
 def connected_components(
@@ -90,3 +90,75 @@ def cluster_representatives(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    d: float = 0.85,
+    n_iters: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PageRank by unrolled power iteration — fully lazy, no driver
+    state at all (contrast :func:`~..similarity.kmeans_assign`, whose
+    centroid literals must round-trip the driver).
+
+    The pretraining-data use: centrality over a document similarity /
+    link graph is a quality-weighting signal (authority-weighted
+    sampling). Dangling mass is redistributed uniformly (the standard
+    stochastic-matrix fix), so ranks sum to 1 every iteration.
+
+    Per iteration: one join of the rank vector onto the edge list
+    (shuffle on ``src``), one ``groupBy(dst)`` contribution sum, one
+    1-row dangling-mass aggregate attached via broadcast cross join.
+    Ranks round to ``round_digits`` each iteration, which pins the
+    trajectory across engines/reruns exactly like the k-means
+    centroid rounding — a SQL oracle can replay it verbatim. At
+    100 TB, checkpoint the rank frame every few iterations to
+    truncate lineage (see :func:`connected_components`); with
+    ``n_iters`` small the unrolled lazy plan is fine.
+
+    Returns (id, rank).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_tot = nodes.agg(F.count("*").alias("__n"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    pr = nodes.crossJoin(F.broadcast(n_tot)).select(
+        "id", F.round(F.lit(1.0) / F.col("__n"), round_digits).alias("rank")
+    )
+    for _ in range(n_iters):
+        ranked = pr.join(out_deg, pr["id"] == out_deg["src"], "left").select(
+            pr["id"], "rank", "__deg"
+        )
+        # mass parked on dangling nodes (no out-edges) this iteration
+        dangling = ranked.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__deg").isNull(), F.col("rank"))), F.lit(0.0)
+            ).alias("__dang")
+        )
+        contrib = (
+            e.join(ranked.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(n_tot))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                F.round(
+                    (F.lit(1.0) - F.lit(d) + F.lit(d) * F.col("__dang"))
+                    / F.col("__n")
+                    + F.lit(d) * F.coalesce(F.col("__in"), F.lit(0.0)),
+                    round_digits,
+                ).alias("rank"),
+            )
+        )
+    return pr

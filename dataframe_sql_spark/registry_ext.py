@@ -2708,3 +2708,72 @@ _reg(
     "inverted index build: term -> exact sorted posting list + "
     "document frequency, one term-keyed shuffle",
 )
+
+
+def _x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the embedding kNN graph (top-3 cosine neighbors
+    per vector, self excluded) — centrality as a quality-weighting
+    signal. The graph build is a broadcast all-pairs join (fine at
+    catalog scale; at 100 TB the edge list comes from the IVF/LSH
+    candidate pipeline instead) and the rank iteration is the fully
+    lazy :func:`~dataframe_sql_spark.operators.graph.pagerank`."""
+    from pyspark.sql import Window
+
+    from .operators.graph import pagerank
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("score", dot / (nrm(F.col("va")) * nrm(F.col("vb"))))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    edges = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("src", "dst")
+    )
+    return pagerank(edges, n_iters=2)
+
+
+_reg(
+    "x_pagerank",
+    _x_pagerank,
+    r"WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    r"edges AS (SELECT src, dst FROM ("
+    r"SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER ("
+    r"PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.v, b.v) DESC, "
+    r"b.vec_id) AS rn FROM ev a JOIN ev b ON a.vec_id <> b.vec_id) WHERE rn <= 3), "
+    r"nodes AS (SELECT DISTINCT id FROM "
+    r"(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)), "
+    r"nt AS (SELECT count(*) AS n FROM nodes), "
+    r"deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), "
+    r"p0 AS (SELECT id, round(1.0 / n, 6) AS rank FROM nodes CROSS JOIN nt), "
+    r"d1 AS (SELECT coalesce(sum(CASE WHEN deg.deg IS NULL THEN rank END), 0) "
+    r"AS dang FROM p0 LEFT JOIN deg ON p0.id = deg.src), "
+    r"c1 AS (SELECT e.dst, sum(p0.rank / deg.deg) AS cin FROM edges e "
+    r"JOIN p0 ON e.src = p0.id JOIN deg ON e.src = deg.src GROUP BY e.dst), "
+    r"p1 AS (SELECT id, round((1.0 - 0.85 + 0.85 * dang) / n + "
+    r"0.85 * coalesce(cin, 0), 6) AS rank FROM nodes "
+    r"LEFT JOIN c1 ON nodes.id = c1.dst CROSS JOIN nt CROSS JOIN d1), "
+    r"d2 AS (SELECT coalesce(sum(CASE WHEN deg.deg IS NULL THEN rank END), 0) "
+    r"AS dang FROM p1 LEFT JOIN deg ON p1.id = deg.src), "
+    r"c2 AS (SELECT e.dst, sum(p1.rank / deg.deg) AS cin FROM edges e "
+    r"JOIN p1 ON e.src = p1.id JOIN deg ON e.src = deg.src GROUP BY e.dst) "
+    r"SELECT id, round((1.0 - 0.85 + 0.85 * dang) / n + "
+    r"0.85 * coalesce(cin, 0), 6) AS rank FROM nodes "
+    r"LEFT JOIN c2 ON nodes.id = c2.dst CROSS JOIN nt CROSS JOIN d2",
+    "PageRank (d=0.85, 2 iterations, dangling-mass redistribution, "
+    "6dp-rounded trajectory) over the top-3 cosine kNN graph — the "
+    "oracle replays the exact power iteration in SQL",
+)

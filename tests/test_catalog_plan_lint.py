@@ -55,6 +55,11 @@ _CARTESIAN_OK = {
     "txt_bm25",
     "txt_pmi",
     "txt_lm_score",
+    # kNN graph build is a broadcast all-pairs join at catalog scale
+    # (at 100 TB the edge list comes from the IVF/LSH candidate
+    # pipeline); the rank iteration itself attaches 1-row scalars via
+    # broadcast cross join (operators/graph.py::pagerank docstring)
+    "x_pagerank",
 }
 
 # BatchEvalPython = row-at-a-time Python UDF — never acceptable in this

@@ -47,3 +47,32 @@ def test_cluster_representatives_transitive_closure(spark):
     )
     # one survivor per cluster (min id), untouched row 99 kept
     assert kept == [1, 10, 99]
+
+
+def test_pagerank_hand_computed_chain(spark):
+    from dataframe_sql_spark.operators.graph import pagerank
+
+    # 1 -> 2 -> 3 (3 dangling); N=3, d=0.85, 1 iteration
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = {r.id: r.rank for r in pagerank(edges, n_iters=1).collect()}
+    # init 1/3 rounded = 0.333333; dangling mass = rank(3) = 0.333333
+    base = (1 - 0.85 + 0.85 * 0.333333) / 3
+    assert out[1] == round(base, 6)
+    assert out[2] == round(base + 0.85 * 0.333333, 6)
+    assert out[3] == round(base + 0.85 * 0.333333, 6)
+
+
+def test_pagerank_mass_conserved_and_authority_wins(spark):
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.operators.graph import pagerank
+
+    # star: everyone points at node 0; node 0 points at node 1
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    pr = pagerank(df, n_iters=3)
+    rows = {r.id: r.rank for r in pr.collect()}
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-4  # stochastic fix conserves mass
+    assert rows[0] == max(rows.values())  # the hub outranks everyone
+    assert rows[1] > rows[2]  # hub's endorsement beats leaf status
