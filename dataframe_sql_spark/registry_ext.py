@@ -303,11 +303,16 @@ _reg(
 
 _reg(
     "dd_simhash",
+    # probe_bits=1 extends the complete radius from 3 to 7 (1-bit
+    # multi-probe per 16-bit chunk) — measured 19/25 -> 22/25 of exact
+    # J>=0.8 pairs on this corpus; the last 3 sit at hamming 8-10,
+    # beyond any practical simhash radius (featurization limit).
     lambda spark, sf_dir: simhash_dedup(
-        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=7, probe_bits=1
     ).select("doc_id", "lang", "source"),
     None,
-    "simhash near-dup removal (64-bit, pigeonhole-blocked hamming ≤ 3)",
+    "simhash near-dup removal (64-bit, multi-probed pigeonhole "
+    "blocking, complete for hamming ≤ 7)",
 )
 
 _reg(

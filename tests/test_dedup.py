@@ -101,3 +101,63 @@ def test_decontamination_semi_join_shape(spark):
         .distinct()
     )
     assert [r.doc_id for r in hit.collect()] == [100]
+
+
+def test_simhash_multiprobe_radius_complete(spark):
+    """probe_bits=1 guarantee: EVERY pair within hamming <= 2*chunks-1
+    surfaces as a candidate (pigeonhole + 1-bit probe), verified
+    against brute-force hamming over all pairs."""
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.operators.dedup import (
+        hashed_shingle_frame,
+        simhash_bits,
+        simhash_candidate_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(300)
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_candidate_pairs(
+            docs, "doc_id", "text", max_hamming=7, probe_bits=1
+        ).collect()
+    }
+    sig = (
+        hashed_shingle_frame(docs, "doc_id", "text", 2)
+        .withColumnRenamed("__h", "__th")
+        .select("doc_id", simhash_bits("__th").alias("sim"))
+    )
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sb"))
+    want = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter("h <= 7")
+        .collect()
+    }
+    assert want <= got or want == got  # completeness (no missed pair)
+    assert got == want  # and no pair beyond the radius
+
+
+def test_simhash_multiprobe_improves_recall_vs_default(spark):
+    """The measured motivation: on the sf0.001 corpus the probed radius
+    finds a superset of the default radius-3 candidates."""
+    from dataframe_sql_spark.operators.dedup import simhash_candidate_pairs
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = {
+        (r.id_a, r.id_b)
+        for r in simhash_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    probed = {
+        (r.id_a, r.id_b)
+        for r in simhash_candidate_pairs(
+            docs, "doc_id", "text", max_hamming=7, probe_bits=1
+        ).collect()
+    }
+    assert base <= probed
+    assert len(probed) > len(base)

@@ -171,6 +171,52 @@ def op_substring_spans(spark: SparkSession, r: int) -> int:
     return _force(substring_span_stats(scaled_documents(spark, r), "doc_id", "text"))
 
 
+def op_prefix_filter(spark: SparkSession, r: int) -> int:
+    from dataframe_sql_spark.operators.dedup import prefix_filter_pairs
+
+    # high threshold = small candidate space; the scaling question is
+    # whether the frequency pass + prefix-token join stay ~linear when
+    # replicas share no vocabulary (disjoint token spaces)
+    return _force(
+        prefix_filter_pairs(scaled_documents(spark, r), "doc_id", "text", 8, 10)
+    )
+
+
+def op_line_dedup(spark: SparkSession, r: int) -> int:
+    from dataframe_sql_spark.operators.dedup import line_dedup
+
+    docs = scaled_documents(spark, r)
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    nl = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size(ws) / F.lit(10)).cast("int") - 1),
+                lambda i: F.array_join(F.slice(ws, i * F.lit(10) + 1, 10), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return _force(line_dedup(nl, "doc_id", "text", "\n", min_df=2))
+
+
+def op_kmeans(spark: SparkSession, r: int) -> int:
+    from dataframe_sql_spark.operators.similarity import kmeans_assign
+
+    emb = scaled_embeddings(spark, r)
+    return _force(
+        kmeans_assign(emb, "vec_id", "embedding", k=8, n_iters=2).select(
+            "vec_id", "cluster"
+        )
+    )
+
+
+def op_lm_score(spark: SparkSession, r: int) -> int:
+    from dataframe_sql_spark.operators.relevance import bigram_lm_scores
+
+    return _force(bigram_lm_scores(scaled_documents(spark, r), "doc_id", "text"))
+
+
 OPS = {
     "dd_minhash_pairs": op_minhash_pairs,
     "dd_simhash": op_simhash,
@@ -178,6 +224,10 @@ OPS = {
     "tpch_q5_shape": op_tpch_q5_shape,
     "sim_topk": op_topk_cosine,
     "dd_substring_spans": op_substring_spans,
+    "dd_prefix_pairs": op_prefix_filter,
+    "dd_lines": op_line_dedup,
+    "emb_kmeans": op_kmeans,
+    "txt_lm_score": op_lm_score,
 }
 
 
