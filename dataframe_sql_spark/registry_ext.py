@@ -2782,3 +2782,29 @@ _reg(
     "6dp-rounded trajectory) over the top-3 cosine kNN graph — the "
     "oracle replays the exact power iteration in SQL",
 )
+
+
+def _x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import profile_frame
+
+    return profile_frame(
+        _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+_reg(
+    "x_profile",
+    _x_profile,
+    # one UNION ALL arm per column; DuckDB may scan per arm — the
+    # Spark side is the single-scan formulation being certified
+    " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, cast(count(*) AS BIGINT) AS n_rows, "
+        f"cast(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_null, cast(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"min(cast({c} AS VARCHAR)) AS min_val, "
+        f"max(cast({c} AS VARCHAR)) AS max_val FROM documents"
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    ),
+    "single-scan per-column profile (rows/nulls/distincts/min/max) — "
+    "the ANALYZE TABLE shape; N columns, one read",
+)

@@ -361,3 +361,20 @@ def test_pq_topk_recall_and_code_shape(spark, engine):
         assert len(r["__pq"]) == 8 and all(0 <= c < 16 for c in r["__pq"])
     # determinism: retrain gives identical codebooks (bounded md5 sample)
     assert books == pq_train(emb, "embedding", "vec_id", dim=64, n_sub=8, n_codes=16)
+
+
+def test_profile_frame_single_scan_and_values(spark):
+    from dataframe_sql_spark.operators.profile import profile_frame
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.0)],
+        ["id", "s", "x"],
+    )
+    out = {r.col_name: r for r in profile_frame(df).collect()}
+    assert out["id"].n_rows == 3 and out["id"].n_distinct == 2
+    assert out["s"].n_null == 1 and out["s"].min_val == "a"
+    assert out["x"].n_null == 1 and out["x"].max_val == "7.0"
+    # single scan: exactly one parquet/LocalTableScan feeding one
+    # aggregate — no union of per-column subplans
+    plan = profile_frame(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 2  # partial+final agg over ONE scan
