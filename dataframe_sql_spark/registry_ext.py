@@ -2808,3 +2808,130 @@ _reg(
     "single-scan per-column profile (rows/nulls/distincts/min/max) — "
     "the ANALYZE TABLE shape; N columns, one read",
 )
+
+
+def _pipe_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-tier dedup funnel — the production corpus-dedup stack,
+    composed from certified parts, reporting oracle-checkable funnel
+    counts per stage:
+
+    1. exact (hash-keyed min-id survivors),
+    2. near-dup via the prefix-filter similarity join (recall 1.0 BY
+       THEOREM, so the SQL oracle's brute-force pair set is identical
+       — a probabilistic LSH stage here would not be oracle-able),
+    3. semantic (SemDeDup: k-means-blocked embedding cosine).
+
+    Every stage's survivor rule is greedy min-id (drop every id_b of a
+    qualifying pair), so the whole funnel is deterministic and the
+    DuckDB oracle replays it end-to-end: exact grouping, complete
+    Jaccard pairs, the 2-iteration k-means trajectory, and the
+    cosine pair set. Output: (stage, method, n_in, n_removed, n_out).
+
+    Scale: stages share no state; each is the already-audited operator
+    (see SCALE.md). The funnel ordering is the cost-correct one —
+    cheapest filter first, the quadratic-per-block semantic stage last
+    when the corpus is smallest.
+    """
+    from .operators.dedup import (
+        exact_dedup,
+        embedding_cosine_pairs,
+        prefix_filter_pairs,
+    )
+    from .operators.similarity import kmeans_assign
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = _emb(spark, sf_dir)
+    s1 = exact_dedup(docs, ["text"], "doc_id")
+    losers2 = (
+        prefix_filter_pairs(s1, "doc_id", "text", t_num=7, t_den=10)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(losers2, "doc_id", "left_anti")
+    emb2 = emb.join(s2.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    clustered = kmeans_assign(emb2, "vec_id", "embedding", k=8, n_iters=2)
+    losers3 = (
+        embedding_cosine_pairs(
+            clustered, "vec_id", "embedding", "cluster", threshold=0.4
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(losers3, "doc_id", "left_anti")
+
+    c0 = docs.agg(F.count("*").cast("bigint").alias("c0"))
+    c1 = s1.agg(F.count("*").cast("bigint").alias("c1"))
+    c2 = s2.agg(F.count("*").cast("bigint").alias("c2"))
+    c3 = s3.agg(F.count("*").cast("bigint").alias("c3"))
+    row = c0.crossJoin(c1).crossJoin(c2).crossJoin(c3)
+    stages = F.array(
+        F.struct(
+            F.lit(1).cast("bigint").alias("stage"),
+            F.lit("exact").alias("method"),
+            F.col("c0").alias("n_in"),
+            (F.col("c0") - F.col("c1")).alias("n_removed"),
+            F.col("c1").alias("n_out"),
+        ),
+        F.struct(
+            F.lit(2).cast("bigint").alias("stage"),
+            F.lit("near_dup").alias("method"),
+            F.col("c1").alias("n_in"),
+            (F.col("c1") - F.col("c2")).alias("n_removed"),
+            F.col("c2").alias("n_out"),
+        ),
+        F.struct(
+            F.lit(3).cast("bigint").alias("stage"),
+            F.lit("semantic").alias("method"),
+            F.col("c2").alias("n_in"),
+            (F.col("c2") - F.col("c3")).alias("n_removed"),
+            F.col("c3").alias("n_out"),
+        ),
+    )
+    return row.select(F.explode(stages).alias("p")).select("p.*")
+
+
+_reg(
+    "pipe_dedup_funnel",
+    _pipe_dedup_funnel,
+    r"WITH d AS (SELECT doc_id, text FROM documents), "
+    r"s1 AS (SELECT d.* FROM d WHERE doc_id IN "
+    r"(SELECT min(doc_id) FROM d GROUP BY text)), "
+    r"w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') "
+    r"AS ws FROM s1), "
+    r"sh AS (SELECT doc_id, list_transform(range(1, greatest(len(ws) - 2, 1) "
+    r"+ 1), i -> array_to_string(ws[i:i+2], ' ')) AS s FROM w), "
+    r"p2 AS (SELECT DISTINCT b.doc_id AS id_b FROM sh a JOIN sh b "
+    r"ON a.doc_id < b.doc_id "
+    r"WHERE len(list_intersect(a.s, b.s)) * 10 >= "
+    r"7 * len(list_distinct(list_cat(a.s, b.s)))), "
+    r"s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT id_b FROM p2)), "
+    r"ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+    r"JOIN s2 ON vec_id = s2.doc_id), "
+    r"init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v "
+    r"FROM ev ORDER BY vec_id LIMIT 8), "
+    r"a1 AS (SELECT ev.vec_id, (SELECT c FROM init "
+    r"ORDER BY list_distance(init.v, ev.v), c LIMIT 1) AS c FROM ev), "
+    r"cd AS (SELECT a1.c, r.i AS dim, round(avg(ev.v[r.i + 1]), 4) AS m "
+    r"FROM a1 JOIN ev USING (vec_id), range(64) r(i) GROUP BY a1.c, r.i), "
+    r"cent2 AS (SELECT c, list(m ORDER BY dim) AS v FROM cd GROUP BY c), "
+    r"a2 AS (SELECT ev.vec_id, (SELECT c FROM cent2 "
+    r"ORDER BY list_distance(cent2.v, ev.v), c LIMIT 1) AS c FROM ev), "
+    r"p3 AS (SELECT DISTINCT bb.vec_id AS id_b FROM "
+    r"(SELECT ev.vec_id, ev.v, a2.c FROM ev JOIN a2 USING (vec_id)) aa JOIN "
+    r"(SELECT ev.vec_id, ev.v, a2.c FROM ev JOIN a2 USING (vec_id)) bb "
+    r"ON aa.c = bb.c AND aa.vec_id < bb.vec_id "
+    r"WHERE list_cosine_similarity(aa.v, bb.v) >= 0.4), "
+    r"s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT id_b FROM p3)), "
+    r"n AS (SELECT (SELECT count(*) FROM d) AS c0, "
+    r"(SELECT count(*) FROM s1) AS c1, (SELECT count(*) FROM s2) AS c2, "
+    r"(SELECT count(*) FROM s3) AS c3) "
+    r"SELECT cast(1 AS BIGINT) AS stage, 'exact' AS method, "
+    r"cast(c0 AS BIGINT) AS n_in, cast(c0 - c1 AS BIGINT) AS n_removed, "
+    r"cast(c1 AS BIGINT) AS n_out FROM n "
+    r"UNION ALL SELECT 2, 'near_dup', cast(c1 AS BIGINT), "
+    r"cast(c1 - c2 AS BIGINT), cast(c2 AS BIGINT) FROM n "
+    r"UNION ALL SELECT 3, 'semantic', cast(c2 AS BIGINT), "
+    r"cast(c2 - c3 AS BIGINT), cast(c3 AS BIGINT) FROM n",
+    "three-tier dedup funnel (exact -> complete-recall near-dup -> "
+    "SemDeDup), per-stage counts oracle-replayed end-to-end",
+)
