@@ -60,6 +60,9 @@ _CARTESIAN_OK = {
     # pipeline); the rank iteration itself attaches 1-row scalars via
     # broadcast cross join (operators/graph.py::pagerank docstring)
     "x_pagerank",
+    # funnel counts are four 1-row aggregates cross-joined into one
+    # constant-width row — the lazy alternative to collecting counts
+    "pipe_dedup_funnel",
 }
 
 # BatchEvalPython = row-at-a-time Python UDF — never acceptable in this
