@@ -28,6 +28,8 @@ __all__ = [
     "bloom_positions",
     "bloom_build",
     "bloom_probe",
+    "hist_partials",
+    "hist_quantile_rollup",
 ]
 
 
@@ -173,4 +175,98 @@ def bloom_probe(
     )
     return hit.groupBy(id_col).agg(
         (F.count("*") == F.count(F.col("__set"))).alias("maybe_seen")
+    )
+
+
+# --------------------------------------------------------------------------
+# fixed-range histogram partials → mergeable quantile estimates
+# --------------------------------------------------------------------------
+#
+# The quantile analog of the HLL rollup above: exact percentiles at
+# 100 TB cost a sort-per-group EVERY time someone asks; histogram
+# partials are built once per (group, segment), persisted as a few
+# hundred (bin, count) rows, and every later quantile query is a merge
+# + cumulative scan over bin counts — no rescan, no sort. Unlike
+# t-digest/KLL the estimate path is pure integer/double arithmetic on
+# fixed bin edges, so a SQL oracle replays it EXACTLY (the HLL
+# certificate can only bound its error; this one hash-matches).
+
+
+def hist_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    segment_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Per (group, segment) fixed-range histogram: (…, bin, n).
+
+    Values outside [lo, hi) clamp into the edge bins (documented
+    semantics — the estimate degrades gracefully instead of erroring
+    when a late segment exceeds the planned range). One shuffle with
+    map-side partial aggregation; output size is bounded by
+    groups × segments × bins, independent of row count.
+    """
+    width = (hi - lo) / bins
+    idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+        ),
+    ).cast("int")
+    return df.groupBy(*group_cols, segment_col, idx.alias("bin")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def hist_quantile_rollup(
+    partials: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Merge partials across segments and estimate quantiles.
+
+    For each q, the estimate is the RIGHT EDGE of the first bin whose
+    cumulative count reaches ``q·total`` — deterministic integer
+    arithmetic on merged counts, error ≤ one bin width by
+    construction. Returns (group_cols…, q, est_q).
+
+    The merge shuffles (group, bin) count rows only; the cumulative
+    window runs over ≤ ``bins`` rows per group.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    merged = partials.groupBy(*group_cols, "bin").agg(F.sum("n").alias("n"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = merged.select(
+        *group_cols,
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("tot"),
+    )
+    qdf = cum.crossJoin(
+        F.broadcast(
+            cum.sparkSession.createDataFrame([(q,) for q in qs], ["q"])
+        )
+    )
+    hit = (
+        qdf.filter(F.col("cum") >= F.col("q") * F.col("tot"))
+        .groupBy(*group_cols, "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        *group_cols,
+        "q",
+        F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 4).alias("est_q"),
     )

@@ -2935,3 +2935,72 @@ _reg(
     "three-tier dedup funnel (exact -> complete-recall near-dup -> "
     "SemDeDup), per-stage counts oracle-replayed end-to-end",
 )
+
+
+def _a_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile certificate: build per-(returnflag,
+    linestatus) l_quantity histogram partials (the persistable
+    pre-aggregate), merge across linestatus segments, estimate
+    p50/p90, and set within_tol iff the estimate is within 2 bin
+    widths of the exact interpolated percentile. The whole estimate
+    path is integer arithmetic on fixed bin edges, so the oracle
+    replays it EXACTLY (bin counts, crossing bin, right edge) — unlike
+    the HLL certificate, the estimate itself hash-matches."""
+    from .functions.sketches import hist_partials, hist_quantile_rollup
+
+    li = engine_for(spark, sf_dir).spark.table("lineitem")
+    parts = hist_partials(
+        li, ["l_returnflag"], "l_linestatus", "l_quantity", 0.0, 51.0, 50
+    )
+    est = hist_quantile_rollup(
+        parts, ["l_returnflag"], [0.5, 0.9], 0.0, 51.0, 50
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("ex50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("ex90"),
+    )
+    width = 51.0 / 50
+    joined = est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "q",
+        "est_q",
+        F.when(F.col("q") == 0.5, F.col("ex50"))
+        .otherwise(F.col("ex90"))
+        .alias("exact_q"),
+    )
+    return joined.withColumn(
+        "within_tol",
+        F.abs(F.col("est_q") - F.col("exact_q")) <= F.lit(2 * width),
+    )
+
+
+_reg(
+    "a_hist_quantile_rollup",
+    _a_hist_quantile,
+    r"WITH p AS (SELECT l_returnflag, l_linestatus, "
+    r"least(49, greatest(0, cast(floor((l_quantity - 0.0) / 1.02) AS INT))) "
+    r"AS bin, cast(count(*) AS BIGINT) AS n FROM lineitem "
+    r"GROUP BY l_returnflag, l_linestatus, bin), "
+    r"m AS (SELECT l_returnflag, bin, cast(sum(n) AS BIGINT) AS n FROM p "
+    r"GROUP BY l_returnflag, bin), "
+    r"c AS (SELECT l_returnflag, bin, "
+    r"sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum, "
+    r"sum(n) OVER (PARTITION BY l_returnflag) AS tot FROM m), "
+    r"qs AS (SELECT unnest([0.5, 0.9]) AS q), "
+    r"hit AS (SELECT l_returnflag, q, min(bin) AS bin FROM c CROSS JOIN qs "
+    r"WHERE cum >= q * tot GROUP BY l_returnflag, q), "
+    r"est AS (SELECT l_returnflag, q, "
+    r"round(0.0 + (bin + 1) * 1.02, 4) AS est_q FROM hit), "
+    r"ex AS (SELECT l_returnflag, "
+    r"round(quantile_cont(l_quantity, 0.5), 4) AS ex50, "
+    r"round(quantile_cont(l_quantity, 0.9), 4) AS ex90 FROM lineitem "
+    r"GROUP BY l_returnflag) "
+    r"SELECT est.l_returnflag, q, est_q, "
+    r"CASE WHEN q = 0.5 THEN ex50 ELSE ex90 END AS exact_q, "
+    r"abs(est_q - CASE WHEN q = 0.5 THEN ex50 ELSE ex90 END) <= 2.04 "
+    r"AS within_tol "
+    r"FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag",
+    "mergeable histogram-quantile rollup (per-segment partials -> "
+    "merged p50/p90): estimate replayed EXACTLY by the oracle, "
+    "tolerance vs exact interpolated percentile certified",
+)

@@ -55,3 +55,54 @@ def test_hll_partials_are_bounded_binary(spark):
     assert dict(p.dtypes)["hll"] == "binary"
     sizes = p.select(F.max(F.length("hll")).alias("m")).collect()[0].m
     assert sizes <= (1 << 12) * 8  # well under lgk bound
+
+
+def test_hist_quantile_rollup_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.functions.sketches import (
+        hist_partials,
+        hist_quantile_rollup,
+    )
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 2).alias("g"),
+        (F.col("id") % 5).alias("seg"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    parts = hist_partials(df, ["g"], "seg", "v", 0.0, 100.0, bins=100)
+    est = {
+        (r.g, r.q): r.est_q
+        for r in hist_quantile_rollup(
+            parts, ["g"], [0.5, 0.9], 0.0, 100.0, bins=100
+        ).collect()
+    }
+    # v uniform over 0..99 in each group: p50 ~ 49.x, p90 ~ 89.x;
+    # estimate error bounded by one bin (width 1)
+    for g in (0, 1):
+        assert abs(est[(g, 0.5)] - 50.0) <= 1.0
+        assert abs(est[(g, 0.9)] - 90.0) <= 1.0
+    # merging partials segment-by-segment == building over the union
+    half_a = hist_partials(
+        df.filter("seg < 2"), ["g"], "seg", "v", 0.0, 100.0, bins=100
+    )
+    half_b = hist_partials(
+        df.filter("seg >= 2"), ["g"], "seg", "v", 0.0, 100.0, bins=100
+    )
+    merged = {
+        (r.g, r.q): r.est_q
+        for r in hist_quantile_rollup(
+            half_a.union(half_b), ["g"], [0.5, 0.9], 0.0, 100.0, bins=100
+        ).collect()
+    }
+    assert merged == est
+
+
+def test_hist_partials_clamp_out_of_range(spark):
+    from dataframe_sql_spark.functions.sketches import hist_partials
+
+    df = spark.createDataFrame(
+        [(1, "s", -5.0), (1, "s", 500.0), (1, "s", 50.0)], ["g", "seg", "v"]
+    )
+    rows = {r.bin: r.n for r in hist_partials(df, ["g"], "seg", "v", 0.0, 100.0, bins=10).collect()}
+    assert rows[0] == 1 and rows[9] == 1 and rows[5] == 1
