@@ -30,6 +30,9 @@ __all__ = [
     "bloom_probe",
     "hist_partials",
     "hist_quantile_rollup",
+    "cms_partials",
+    "cms_merge",
+    "cms_estimate",
 ]
 
 
@@ -269,4 +272,105 @@ def hist_quantile_rollup(
         *group_cols,
         "q",
         F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 4).alias("est_q"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch: mergeable heavy-hitter / frequency partials
+# --------------------------------------------------------------------------
+#
+# Completes the mergeable-sketch triad: HLL (distinct counts),
+# histogram (quantiles), CMS (per-key frequencies). Counters are
+# (depth, idx, n) rows — persisted per segment, merged by summing,
+# probed without touching raw data. The hash is the repo's
+# cross-engine md5 convention (sampling.py uses the same trick), so a
+# SQL oracle replays estimates EXACTLY, and the no-underestimate
+# property (est >= true count, always, by construction) is certifiable.
+
+
+def _cms_bucket(key, j, width: int):
+    """Row index for hash function ``j``: first 8 md5 hex chars of
+    ``key:j`` as an int, mod width — engine-portable (DuckDB:
+    ``('0x' || substr(md5(key || ':' || j), 1, 8))::BIGINT % width``)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key, F.lit(":"), j.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_partials(
+    df: DataFrame,
+    segment_col: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-segment CMS counters: (segment, d, idx, n).
+
+    One corpus shuffle onto (segment, d, idx) — at most
+    segments × depth × width distinct keys, with map-side partial
+    aggregation. Output is the persistable pre-aggregate; row count is
+    bounded by the counter grid, independent of input size.
+    """
+    pos = df.select(
+        F.col(segment_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda j: F.struct(
+                    j.alias("d"),
+                    _cms_bucket(F.col(key_col), j, width).alias("idx"),
+                ),
+            )
+        ).alias("p"),
+    ).select(segment_col, F.col("p.d").alias("d"), F.col("p.idx").alias("idx"))
+    return pos.groupBy(segment_col, "d", "idx").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Sum counters across segments → (d, idx, n). The merge shuffles
+    at most depth × width rows per segment — sketch-sized, not
+    data-sized."""
+    return partials.groupBy("d", "idx").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate each key: min over depth of its counter cells.
+
+    Returns (key, cms_est). Collisions only ever ADD counts, so
+    ``cms_est >= true count`` unconditionally — the property the
+    certificate entry pins. Probe cost: |keys| × depth lookups via one
+    join against the counter table (broadcast — it is sketch-sized).
+    """
+    pos = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda j: F.struct(
+                    j.alias("d"),
+                    _cms_bucket(F.col(key_col), j, width).alias("idx"),
+                ),
+            )
+        ).alias("p"),
+    ).select(key_col, F.col("p.d").alias("d"), F.col("p.idx").alias("idx"))
+    joined = pos.join(F.broadcast(counters), ["d", "idx"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("cms_est")
     )

@@ -3004,3 +3004,67 @@ _reg(
     "merged p50/p90): estimate replayed EXACTLY by the oracle, "
     "tolerance vs exact interpolated percentile certified",
 )
+
+
+def _a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter certificate: build per-source CMS
+    partials over the word stream, merge, probe the exact top-10 words
+    (count desc, word tiebreak — deterministic), and certify the
+    no-underestimate property. Both the estimate and the property are
+    oracle-replayed exactly (md5 bucket hash is engine-portable)."""
+    from pyspark.sql import Window
+
+    from .functions.sketches import cms_estimate, cms_merge, cms_partials
+    from .operators.relevance import doc_words
+
+    docs = _docs(spark, sf_dir)
+    words = doc_words(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    counters = cms_merge(cms_partials(words, "source", "word"))
+    exact = words.groupBy("word").agg(F.count("*").cast("bigint").alias("exact_n"))
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("word"))
+    top = (
+        exact.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .drop("__rn")
+    )
+    est = cms_estimate(top.select("word"), counters, "word")
+    return top.join(est, "word").select(
+        "word",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("no_underestimate"),
+    )
+
+
+_reg(
+    "a_cms_heavy_hitters",
+    _a_cms_heavy_hitters,
+    "WITH "
+    + _W_CTE
+    + r", wsrc AS (SELECT wds.doc_id, word, source FROM wds "
+    r"JOIN documents USING (doc_id)), "
+    r"buck AS (SELECT word, j, "
+    r"('0x' || substr(md5(word || ':' || j), 1, 8))::BIGINT % 1024 AS idx "
+    r"FROM wsrc CROSS JOIN range(4) t(j)), "
+    r"counters AS (SELECT j, idx, cast(count(*) AS BIGINT) AS n "
+    r"FROM buck GROUP BY j, idx), "
+    r"exact AS (SELECT word, cast(count(*) AS BIGINT) AS exact_n "
+    r"FROM wsrc GROUP BY word), "
+    r"top AS (SELECT word, exact_n FROM ("
+    r"SELECT word, exact_n, row_number() OVER ("
+    r"ORDER BY exact_n DESC, word) AS rn FROM exact) WHERE rn <= 10), "
+    r"probe AS (SELECT word, j, "
+    r"('0x' || substr(md5(word || ':' || j), 1, 8))::BIGINT % 1024 AS idx "
+    r"FROM top CROSS JOIN range(4) t(j)), "
+    r"est AS (SELECT probe.word, cast(min(coalesce(n, 0)) AS BIGINT) "
+    r"AS cms_est FROM probe LEFT JOIN counters "
+    r"ON probe.j = counters.j AND probe.idx = counters.idx "
+    r"GROUP BY probe.word) "
+    r"SELECT top.word, exact_n, cms_est, cms_est >= exact_n "
+    r"AS no_underestimate FROM top JOIN est ON top.word = est.word",
+    "Count-Min heavy hitters (4x1024 md5 counters, per-source "
+    "partials merged): exact top-10 probed, estimate AND "
+    "no-underestimate property oracle-replayed exactly",
+)

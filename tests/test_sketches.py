@@ -106,3 +106,40 @@ def test_hist_partials_clamp_out_of_range(spark):
     )
     rows = {r.bin: r.n for r in hist_partials(df, ["g"], "seg", "v", 0.0, 100.0, bins=10).collect()}
     assert rows[0] == 1 and rows[9] == 1 and rows[5] == 1
+
+
+def test_cms_no_underestimate_and_merge_equivalence(spark):
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.functions.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_partials,
+    )
+
+    # skewed stream: key0 x 500, key1 x 100, 400 distinct rare keys
+    rows = (
+        [("a", "key0")] * 300
+        + [("b", "key0")] * 200
+        + [("a", "key1")] * 100
+        + [("b", f"rare{i}") for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, ["seg", "k"])
+    counters = cms_merge(cms_partials(df, "seg", "k", depth=4, width=256))
+    keys = spark.createDataFrame(
+        [("key0",), ("key1",), ("rare7",), ("unseen",)], ["k"]
+    )
+    est = {r.k: r.cms_est for r in cms_estimate(keys, counters, "k", 4, 256).collect()}
+    exact = {"key0": 500, "key1": 100, "rare7": 1, "unseen": 0}
+    for k, n in exact.items():
+        assert est[k] >= n  # never underestimates
+    # heavy hitters stay sharp: collisions add at most the rare tail
+    assert est["key0"] <= 500 + 400
+    assert est["key0"] >= 2 * est["rare7"]
+    # building per-segment then merging == building unsegmented
+    one_seg = cms_merge(
+        cms_partials(df.withColumn("seg", F.lit("x")), "seg", "k", 4, 256)
+    )
+    a = {(r.d, r.idx): r.n for r in counters.collect()}
+    b = {(r.d, r.idx): r.n for r in one_seg.collect()}
+    assert a == b
