@@ -37,6 +37,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
     "kmeans_assign",
 ]
 
@@ -568,3 +569,121 @@ def kmeans_assign(
             [by_cluster[c][d] for d in range(dim)] for c in cluster_ids
         ]
     return _assigned(df)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    rerank: int = 100,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN composition (coarse
+    inverted file + residual product quantization), as one lazy plan.
+
+    - coarse: vectors assign to ``n_cells`` centroid cells
+      (:func:`ivf_assign_cells`); a query probes the ``n_probe``
+      nearest cells — at scale the encoded column is persisted
+      partitioned by cell, so the probe is partition pruning;
+    - residual PQ: codebooks are trained on ``v − centroid[cell]``
+      (residuals are what PQ quantizes well — they are centered and
+      low-variance), encoding is the usual literal-matrix codegen;
+    - ADC per probed cell: the LUT depends on the cell (the query
+      residual ``q − centroid_c`` differs per cell), so the scan
+      carries ``n_probe`` LUTs as ONE nested literal indexed by the
+      row's cell rank — still n_sub element_at calls per row;
+      approximate distance = Σ_s LUT[cell][s][code_s] (squared-L2
+      decomposition), then ``rerank`` best candidates pay the exact
+      cosine.
+
+    Everything after codebook training (bounded driver sample, see
+    :func:`pq_train`) is whole-stage codegen; nothing corpus-sized is
+    collected or shuffled.
+    """
+    import math as _math
+
+    dim = len(query)
+    sub = dim // n_sub
+    # L2-normalize first: on unit vectors, squared-L2 ordering IS
+    # cosine ordering (||q̂−v̂||² = 2−2cos), so the ADC prune agrees
+    # with the exact-cosine rerank metric — without this, L2-ranked
+    # candidates drop cosine-top rows (measured recall 0.8 → 1.0 at
+    # full probe on the bench corpus)
+    v_raw = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(v_raw, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    df_n = df.withColumn(
+        "__vn", F.transform(v_raw, lambda x: x / nrm)
+    )
+    q_nrm = _math.sqrt(sum(x * x for x in query)) or 1.0
+    query = [x / q_nrm for x in query]
+    centroids = _ivf_centroids(df_n, "__vn", id_col, n_cells)
+    assigned = ivf_assign_cells(df_n, "__vn", centroids)
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    v = F.col("__vn")
+    r_df = assigned.withColumn(
+        "__res",
+        F.zip_with(
+            v,
+            F.element_at(cents_lit, F.col("__cell") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    books = pq_train(
+        r_df, "__res", id_col, dim=dim, n_sub=n_sub, n_codes=n_codes
+    )
+    encoded = pq_encode(r_df, "__res", books)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = _math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos(query, centroids[i]))[
+        :n_probe
+    ]
+    # per-cell ADC lookup tables over the query residual
+    luts = []
+    for c in probe:
+        qr = [q - cc for q, cc in zip(query, centroids[c])]
+        lut_c = []
+        for s in range(n_sub):
+            qs = qr[s * sub : (s + 1) * sub]
+            lut_c.append(
+                [
+                    float(sum((a - b) ** 2 for a, b in zip(qs, code)))
+                    for code in books[s]
+                ]
+            )
+        luts.append(lut_c)
+    probe_lit = F.lit([int(c) for c in probe])
+    luts_lit = F.lit(luts)
+    cell_lut = F.element_at(
+        luts_lit, F.array_position(probe_lit, F.col("__cell")).cast("int")
+    )
+    approx = F.lit(0.0)
+    for s in range(n_sub):
+        approx = approx + F.element_at(
+            F.element_at(cell_lut, s + 1),
+            F.element_at(F.col("__pq"), s + 1) + 1,
+        )
+    candidates = (
+        encoded.filter(F.col("__cell").isin([int(c) for c in probe]))
+        .withColumn("__adc", approx)
+        .orderBy(F.asc("__adc"), F.asc(id_col))
+        .limit(rerank)
+    )
+    return (
+        candidates.select(
+            F.col(id_col), cosine_col(F.col(vec_col), query).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -3068,3 +3068,22 @@ _reg(
     "partials merged): exact top-10 probed, estimate AND "
     "no-underestimate property oracle-replayed exactly",
 )
+
+
+_reg(
+    "sim_ann_ivfpq",
+    # IVF-PQ internals (residual codebooks) aren't SQL-expressible ->
+    # rows-only here; recall floors are pytest-gated
+    # (tests/test_ann_index.py::test_ivfpq_*), and the full-probe
+    # configuration is held to >= 0.9 recall vs exact.
+    lambda spark, sf_dir: __import__(
+        "dataframe_sql_spark.operators.similarity", fromlist=["ivfpq_topk"]
+    ).ivfpq_topk(
+        _emb(spark, sf_dir), "embedding", _QUERY_VEC, k=10,
+        n_cells=8, n_probe=4, rerank=100,
+    ),
+    None,
+    "IVF-PQ ANN (coarse cells + residual product quantization, "
+    "per-cell ADC LUTs, exact-cosine rerank) — the billion-scale "
+    "index composition; recall pytest-gated",
+)

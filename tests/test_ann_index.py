@@ -143,3 +143,48 @@ def test_kmeans_iterations_reduce_inertia(spark):
         return total
 
     assert inertia(3) <= inertia(1) + 1e-9
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composition
+# --------------------------------------------------------------------------
+
+
+def test_ivfpq_full_probe_recall(spark):
+    from dataframe_sql_spark.operators.similarity import cosine_topk, ivfpq_topk
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [1.0] * 64
+    exact = [r.vec_id for r in cosine_topk(emb, "embedding", q, k=10).collect()]
+    # full probe + generous rerank: only PQ quantization error remains,
+    # and the exact-cosine rerank over 200 candidates absorbs it
+    approx = [
+        r.vec_id
+        for r in ivfpq_topk(
+            emb, "embedding", q, k=10, n_cells=8, n_probe=8, rerank=200
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"full-probe IVF-PQ recall {recall}"
+
+
+def test_ivfpq_partial_probe_recall_floor(spark):
+    from dataframe_sql_spark.operators.similarity import cosine_topk, ivfpq_topk
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [1.0] * 64
+    exact = [r.vec_id for r in cosine_topk(emb, "embedding", q, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in ivfpq_topk(
+            emb, "embedding", q, k=10, n_cells=8, n_probe=4, rerank=100
+        ).collect()
+    ]
+    # the synthetic embeddings are near-uniform (max pairwise cosine
+    # ~0.5), so cell pruning loses genuinely-spread neighbors and
+    # expected recall ~ probe fraction (4/8); the floor guards against
+    # a broken ADC/probe path, not against the data's geometry
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"4/8-probe IVF-PQ recall {recall}"
