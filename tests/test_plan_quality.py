@@ -399,3 +399,21 @@ def test_global_rank_matches_sql_window(engine):
         ).collect()
     }
     assert got == want
+
+
+def test_relevance_family_vocab_joins_broadcast(spark):
+    """TF-IDF/BM25/LM-score vocab-statistics joins must be
+    BroadcastHashJoin (the post-agg vocab tables are Zipf-bounded),
+    never SortMergeJoin — a sort-merge here would shuffle the exploded
+    token stream a second time at 100 TB."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    qs = entrymod.queries()
+    for name in ("txt_tfidf", "txt_bm25", "txt_lm_score", "dd_lines"):
+        df = qs[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" not in plan, f"{name} fell back to SMJ"
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcasts"
