@@ -216,3 +216,83 @@ def test_fuzz_set_operations(engine, duck, sql):
 @given(sql=window_q)
 def test_fuzz_window_ranks(engine, duck, sql):
     _check(engine, duck, sql)
+
+
+# String-function expressions: compositions of upper/lower/trim/
+# reverse/substr/replace/||/lpad that are byte-identical in both
+# engines on ASCII inputs (the string columns are single ASCII chars;
+# concat via || keeps ANSI NULL semantics — irrelevant here, the
+# columns are non-null, but it keeps the subset portable).
+def _strexpr(depth: int) -> st.SearchStrategy[str]:
+    leaf = st.one_of(
+        st.sampled_from(STR_COLS),
+        st.sampled_from(STR_VALS).map(lambda v: f"'{v}'"),
+    )
+    if depth <= 0:
+        return leaf
+    sub = _strexpr(depth - 1)
+    return st.one_of(
+        leaf,
+        sub.map(lambda e: f"upper({e})"),
+        sub.map(lambda e: f"lower({e})"),
+        sub.map(lambda e: f"trim({e})"),
+        sub.map(lambda e: f"reverse({e})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} || {t[1]})"),
+        st.tuples(
+            sub,
+            st.integers(min_value=1, max_value=3).map(str),
+            st.integers(min_value=0, max_value=4).map(str),
+        ).map(lambda t: f"substr({t[0]}, {t[1]}, {t[2]})"),
+        st.tuples(sub, st.sampled_from(STR_VALS)).map(
+            lambda t: f"replace({t[0]}, '{t[1]}', '_')"
+        ),
+        st.tuples(sub, st.integers(min_value=1, max_value=6).map(str)).map(
+            lambda t: f"lpad({t[0]}, {t[1]}, '.')"
+        ),
+    )
+
+
+string_q = st.lists(_strexpr(2), min_size=1, max_size=3).flatmap(
+    lambda es: _pred(1).map(
+        lambda p: "select "
+        + ", ".join(f"{e} as s{i}, length({e}) as n{i}" for i, e in enumerate(es))
+        + f" from lineitem where {p}"
+    )
+)
+
+
+# IN lists / BETWEEN / NOT IN over integral and string domains — the
+# membership-predicate surface (P11–P12) under composition.
+inlist_q = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=5),
+    st.lists(st.sampled_from(STR_VALS), min_size=1, max_size=3),
+    st.integers(min_value=0, max_value=30),
+    st.integers(min_value=20, max_value=60),
+    st.sampled_from(["in", "not in"]),
+).map(
+    lambda t: "select cast(l_orderkey as bigint) as k, "
+    "cast(l_quantity as bigint) as q from lineitem "
+    f"where (l_quantity {t[4]} ({', '.join(map(str, t[0]))}) "
+    f"or l_returnflag in ({', '.join(repr(v) for v in t[1])})) "
+    f"and l_quantity between {t[2]} and {t[3]}"
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=string_q)
+def test_fuzz_string_functions(engine, duck, sql):
+    _check(engine, duck, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=inlist_q)
+def test_fuzz_in_between(engine, duck, sql):
+    _check(engine, duck, sql)
