@@ -63,6 +63,10 @@ _CARTESIAN_OK = {
     # funnel counts are four 1-row aggregates cross-joined into one
     # constant-width row — the lazy alternative to collecting counts
     "pipe_dedup_funnel",
+    # the quantile list (|qs| rows, here 2) attaches to the bounded
+    # counter table via broadcast cross join (sketches.py::
+    # hist_quantile_rollup) — sketch-sized on both sides
+    "a_hist_quantile_rollup",
 }
 
 # BatchEvalPython = row-at-a-time Python UDF — never acceptable in this
