@@ -3103,3 +3103,32 @@ _reg(
     "per-cell ADC LUTs, exact-cosine rerank) — the billion-scale "
     "index composition; recall pytest-gated",
 )
+
+
+_reg_sql(
+    "ts_ohlc_resample",
+    # hypertable-style rollup: downsample the raw event stream to
+    # hourly OHLC bars per event type. open/close pick the earliest/
+    # latest row with a (ts, event_id) tiebreak so the result is
+    # deterministic under concurrent timestamps; one shuffle on
+    # (event_type, hour) shared by the windows and the aggregate —
+    # the continuous-aggregate shape persisted per segment at scale
+    # (st_rollup_multires is the streaming twin).
+    "with e as (select event_type, date_trunc('hour', ts) as h, "
+    "ts, event_id, value from events), "
+    "rn as (select *, "
+    "row_number() over (partition by event_type, h "
+    "order by ts, event_id) as rno, "
+    "row_number() over (partition by event_type, h "
+    "order by ts desc, event_id desc) as rnc from e) "
+    "select event_type, h, "
+    "max(case when rno = 1 then value end) as open, "
+    "max(value) as high, min(value) as low, "
+    "max(case when rnc = 1 then value end) as close, "
+    "cast(count(*) as bigint) as n_events "
+    "from rn group by event_type, h",
+    None,  # identical ANSI text runs on DuckDB
+    "hourly OHLC downsampling (hypertable continuous-aggregate "
+    "shape): deterministic open/close via tie-broken row_number, "
+    "raw-value doubles so the compare is bit-exact",
+)
