@@ -3132,3 +3132,45 @@ _reg_sql(
     "shape): deterministic open/close via tie-broken row_number, "
     "raw-value doubles so the compare is bit-exact",
 )
+
+
+_reg_sql(
+    "x_weighted_sample",
+    # Quality-weighted deterministic sampling: each doc keeps with
+    # probability proportional to its length share (stand-in for any
+    # quality weight, e.g. the x_pagerank centrality or txt_lm_score).
+    # The coin is the repo's engine-portable md5 fraction — no RNG, so
+    # reruns and the oracle agree bit-for-bit; the max-weight scalar
+    # attaches via a subquery (1-row broadcast). Map-side except the
+    # 1-row aggregate: the 100 TB shape for importance sampling.
+    "select doc_id, n_chars from documents "
+    "where cast(conv(substring(md5(concat(cast(doc_id as string), ':ws42')), "
+    "1, 8), 16, 10) as double) / 4294967296.0 "
+    "< cast(n_chars as double) / (select max(n_chars) from documents)",
+    "SELECT doc_id, n_chars FROM documents "
+    "WHERE ('0x' || substr(md5(doc_id || ':ws42'), 1, 8))::BIGINT "
+    "/ 4294967296.0 "
+    "< cast(n_chars AS DOUBLE) / (SELECT max(n_chars) FROM documents)",
+    "deterministic importance sampling (keep-probability proportional "
+    "to a per-row weight, md5 coin) — authority/quality-weighted "
+    "corpus subsetting with a bit-exact oracle",
+)
+
+_reg_sql(
+    "f_edit_distance",
+    # Edit-distance function surface over adjacent-id doc pairs (the
+    # fuzzy-matching primitive for record linkage); truncated to 25
+    # chars because Levenshtein is O(len^2) per pair — at scale this
+    # runs AFTER a candidate generator (LSH/prefix-filter), never as
+    # a raw cross product.
+    "select a.doc_id as id_a, b.doc_id as id_b, "
+    "cast(levenshtein(substring(a.text, 1, 25), substring(b.text, 1, 25)) "
+    "as bigint) as dist "
+    "from documents a join documents b on b.doc_id = a.doc_id + 1",
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "cast(levenshtein(substr(a.text, 1, 25), substr(b.text, 1, 25)) "
+    "AS BIGINT) AS dist "
+    "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1",
+    "Levenshtein edit distance over candidate pairs — integer output, "
+    "bit-exact differential",
+)
