@@ -3174,3 +3174,63 @@ _reg_sql(
     "Levenshtein edit distance over candidate pairs — integer output, "
     "bit-exact differential",
 )
+
+
+def _x_split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: after the engine's own deterministic
+    train/val hash split, flag every val document sharing an exact
+    word 8-gram with ANY train document — the thing you must measure
+    before trusting a held-out set built from a near-dup-ridden
+    corpus. Composes x_hash_split and the dd_decontaminate semi-join;
+    the only corpus-wide exchange is the gram-hash semi-join."""
+    from .operators.dedup import kgram_positions
+    from .operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    split = hash_split(docs, "doc_id", {"train": 0.9, "val": 0.1}, seed=42)
+    train = split.filter(F.col("split") == "train")
+    val = split.filter(F.col("split") == "val")
+    train_grams = (
+        kgram_positions(train, "doc_id", "text", k=8).select("gh").distinct()
+    )
+    val_hits = (
+        kgram_positions(val, "doc_id", "text", k=8)
+        .join(train_grams, on="gh", how="left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        val.select("doc_id")
+        .join(val_hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated")
+        )
+    )
+
+
+_reg(
+    "x_split_decontaminate",
+    _x_split_decontaminate,
+    f"WITH s AS (SELECT doc_id, text, CASE WHEN {_BUCKET_SQL} < "
+    f"'{hex_threshold(0.9)}' THEN 'train' ELSE 'val' END AS split "
+    "FROM documents), "
+    r"words AS (SELECT doc_id, split, "
+    r"string_split_regex(trim(lower(text)), '\s+') AS w FROM s), "
+    r"grams AS (SELECT doc_id, split, "
+    r"w[pos] || ' ' || w[least(pos+1, len(w))] || ' ' || "
+    r"w[least(pos+2, len(w))] || ' ' || w[least(pos+3, len(w))] || ' ' || "
+    r"w[least(pos+4, len(w))] || ' ' || w[least(pos+5, len(w))] || ' ' || "
+    r"w[least(pos+6, len(w))] || ' ' || w[least(pos+7, len(w))] AS g "
+    r"FROM (SELECT doc_id, split, w, "
+    r"unnest(generate_series(1, greatest(len(w) - 7, 1))) AS pos "
+    r"FROM words) p), "
+    r"tg AS (SELECT DISTINCT g FROM grams WHERE split = 'train'), "
+    r"hit AS (SELECT DISTINCT doc_id FROM grams "
+    r"WHERE split = 'val' AND g IN (SELECT g FROM tg)) "
+    r"SELECT doc_id, doc_id IN (SELECT doc_id FROM hit) AS contaminated "
+    r"FROM s WHERE split = 'val'",
+    "cross-split leakage audit: val docs sharing an exact 8-gram with "
+    "the train split (hash split + gram semi-join composed), the "
+    "held-out-set trust check",
+)
