@@ -3234,3 +3234,63 @@ _reg(
     "the train split (hash split + gram semi-join composed), the "
     "held-out-set trust check",
 )
+
+
+_reg_sql(
+    "x_bottomk_sample",
+    # Bottom-k sketch: the k smallest md5(fingerprint) values form a
+    # uniform sample of DISTINCT texts that is MERGEABLE (union two
+    # sketches, keep the k smallest again) and consistent (the same
+    # text always carries the same hash, so re-ingestion can't inflate
+    # its chance). The mergeable-distinct-sample primitive behind
+    # KMV/theta cardinality sketches; TakeOrderedAndProject, no global
+    # sort.
+    "select doc_id, h from (select doc_id, "
+    "md5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) as h "
+    "from documents) t order by h, doc_id limit 20",
+    r"SELECT doc_id, h FROM (SELECT doc_id, "
+    r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h "
+    r"FROM documents) t ORDER BY h, doc_id LIMIT 20",
+    "bottom-k (KMV-style) mergeable distinct sample: k smallest "
+    "fingerprint hashes, consistent under re-ingestion",
+)
+
+_reg_sql(
+    "x_quality_buckets",
+    # quality-quartile bucketing over an exact integer signal
+    # (documents' n_chars): ntile(4) with a doc_id tiebreak is
+    # deterministic in both engines; the downstream pattern is
+    # curriculum/mixture decisions per bucket. One global sort of
+    # (signal, id) pairs — at 100 TB use range partitioning exactly
+    # like operators/rank.py::global_rank.
+    "select doc_id, n_chars, "
+    "ntile(4) over (order by n_chars, doc_id) as quality_q "
+    "from documents",
+    None,  # identical ANSI text runs on DuckDB
+    "quality-quartile assignment (ntile with deterministic tiebreak) "
+    "— the bucket-then-mix curation signal",
+)
+
+_reg_sql(
+    "a_mode",
+    # MODE aggregate with a deterministic tiebreak (max count, then
+    # min value) via ranked counting - engines disagree on native
+    # mode() tie behavior, so the portable formulation IS the ranked
+    # window; one (group, value) count shuffle + a per-group top-1.
+    "select lang, word as mode_word, c as n from ("
+    "select lang, word, c, row_number() over ("
+    "partition by lang order by c desc, word) as rn from ("
+    "select lang, word, count(*) as c from ("
+    "select lang, explode(split(trim(lower(text)), '\\\\s+')) as word "
+    "from documents) w group by lang, word) counted"
+    ") ranked where rn = 1",
+    r"SELECT lang, word AS mode_word, c AS n FROM ("
+    r"SELECT lang, word, c, row_number() OVER ("
+    r"PARTITION BY lang ORDER BY c DESC, word) AS rn FROM ("
+    r"SELECT lang, word, count(*) AS c FROM ("
+    r"SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) "
+    r"AS word FROM documents) w GROUP BY lang, word) counted"
+    r") ranked WHERE rn = 1",
+    "per-group MODE (most frequent word per language, deterministic "
+    "max-count/min-value tiebreak)",
+)
