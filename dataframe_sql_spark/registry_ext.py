@@ -3255,20 +3255,50 @@ _reg_sql(
     "fingerprint hashes, consistent under re-ingestion",
 )
 
-_reg_sql(
+def _x_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-quartile bucketing WITHOUT a single-partition window:
+    a naive ``ntile(4) OVER (ORDER BY ...)`` funnels the whole corpus
+    through one task (the pre-round-3 global-rank trap), so this
+    computes the identical tiles from the two-pass range-partitioned
+    :func:`~dataframe_sql_spark.operators.rank.global_rank` plus the
+    closed-form ntile formula (the first ``N mod n`` tiles take
+    ``ceil(N/n)`` rows, the rest ``floor(N/n)``) — pure arithmetic on
+    (rank, N), differential-tested against the oracle's native ntile.
+    """
+    from .operators.rank import global_rank
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    ranked = global_rank(
+        docs, [("n_chars", True), ("doc_id", True)], out_col="__r"
+    )
+    n_total = ranked.agg(F.count("*").alias("__n"))
+    n_tiles = F.lit(4)
+    big = F.ceil(F.col("__n") / n_tiles).cast("bigint")  # rows in big tiles
+    small = F.floor(F.col("__n") / n_tiles).cast("bigint")
+    n_big = (F.col("__n") % n_tiles).cast("bigint")  # how many big tiles
+    cut = n_big * big  # ranks <= cut live in big tiles
+    tile = F.when(
+        F.col("__r") <= cut, F.ceil(F.col("__r") / big)
+    ).otherwise(n_big + F.ceil((F.col("__r") - cut) / small))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "n_chars",
+            tile.cast("int").alias("quality_q"),
+        )
+    )
+
+
+_reg(
     "x_quality_buckets",
-    # quality-quartile bucketing over an exact integer signal
-    # (documents' n_chars): ntile(4) with a doc_id tiebreak is
-    # deterministic in both engines; the downstream pattern is
-    # curriculum/mixture decisions per bucket. One global sort of
-    # (signal, id) pairs — at 100 TB use range partitioning exactly
-    # like operators/rank.py::global_rank.
-    "select doc_id, n_chars, "
-    "ntile(4) over (order by n_chars, doc_id) as quality_q "
-    "from documents",
-    None,  # identical ANSI text runs on DuckDB
-    "quality-quartile assignment (ntile with deterministic tiebreak) "
-    "— the bucket-then-mix curation signal",
+    _x_quality_buckets,
+    "SELECT doc_id, n_chars, "
+    "ntile(4) OVER (ORDER BY n_chars, doc_id) AS quality_q "
+    "FROM documents",
+    "quality-quartile assignment (deterministic tiebreak) via the "
+    "two-pass range-partitioned rank + closed-form ntile arithmetic "
+    "- no SinglePartition window; oracle uses native ntile",
 )
 
 _reg_sql(
