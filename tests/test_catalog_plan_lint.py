@@ -67,6 +67,9 @@ _CARTESIAN_OK = {
     # counter table via broadcast cross join (sketches.py::
     # hist_quantile_rollup) — sketch-sized on both sides
     "a_hist_quantile_rollup",
+    # two-pass ntile attaches the 1-row corpus count via broadcast
+    # cross join (the price of removing the SinglePartition window)
+    "x_quality_buckets",
 }
 
 # BatchEvalPython = row-at-a-time Python UDF — never acceptable in this
