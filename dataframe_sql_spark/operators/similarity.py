@@ -38,6 +38,8 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivfpq_topk",
+    "ivfpq_index_write",
+    "ivfpq_topk_indexed",
     "kmeans_assign",
 ]
 
@@ -571,6 +573,116 @@ def kmeans_assign(
     return _assigned(df)
 
 
+def _ivfpq_build(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    n_sub: int,
+    n_codes: int,
+    dim: int,
+):
+    """Shared IVF-PQ build: L2-normalize, assign coarse cells, train
+    residual codebooks, PQ-encode. Returns (encoded_df, centroids,
+    codebooks); ``encoded_df`` keeps the original columns plus
+    ``__vn`` (unit vector), ``__cell``, ``__pq``.
+
+    Normalization matters: on unit vectors squared-L2 ADC ordering IS
+    cosine ordering (||q̂−v̂||² = 2−2cos) — without it L2-ranked
+    candidates drop cosine-top rows (measured recall 0.8 → 1.0 at
+    full probe on the bench corpus).
+    """
+    v_raw = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v_raw, F.lit(0.0), lambda acc, x: acc + x * x))
+    df_n = df.withColumn("__vn", F.transform(v_raw, lambda x: x / nrm))
+    centroids = _ivf_centroids(df_n, "__vn", id_col, n_cells)
+    assigned = ivf_assign_cells(df_n, "__vn", centroids)
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    r_df = assigned.withColumn(
+        "__res",
+        F.zip_with(
+            F.col("__vn"),
+            F.element_at(cents_lit, F.col("__cell") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    books = pq_train(r_df, "__res", id_col, dim=dim, n_sub=n_sub, n_codes=n_codes)
+    encoded = pq_encode(r_df, "__res", books).drop("__res")
+    return encoded, centroids, books
+
+
+def _ivfpq_scan(
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    query: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    rerank: int,
+    cell_col: str = "__cell",
+    code_col: str = "__pq",
+) -> DataFrame:
+    """Shared IVF-PQ probe: rank cells driver-side, ADC-score the
+    probed cells against per-cell residual LUTs (one nested literal),
+    exact-cosine rerank of the best ``rerank`` candidates."""
+    import math as _math
+
+    dim = len(query)
+    n_sub = len(books)
+    sub = dim // n_sub
+    q_nrm = _math.sqrt(sum(x * x for x in query)) or 1.0
+    qn = [x / q_nrm for x in query]
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = _math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos(qn, centroids[i]))[
+        :n_probe
+    ]
+    luts = []
+    for c in probe:
+        qr = [q - cc for q, cc in zip(qn, centroids[c])]
+        lut_c = []
+        for s in range(n_sub):
+            qs = qr[s * sub : (s + 1) * sub]
+            lut_c.append(
+                [
+                    float(sum((a - b) ** 2 for a, b in zip(qs, code)))
+                    for code in books[s]
+                ]
+            )
+        luts.append(lut_c)
+    probe_lit = F.lit([int(c) for c in probe])
+    luts_lit = F.lit(luts)
+    cell_lut = F.element_at(
+        luts_lit, F.array_position(probe_lit, F.col(cell_col)).cast("int")
+    )
+    approx = F.lit(0.0)
+    for s in range(n_sub):
+        approx = approx + F.element_at(
+            F.element_at(cell_lut, s + 1),
+            F.element_at(F.col(code_col), s + 1) + 1,
+        )
+    candidates = (
+        encoded.filter(F.col(cell_col).isin([int(c) for c in probe]))
+        .withColumn("__adc", approx)
+        .orderBy(F.asc("__adc"), F.asc(id_col))
+        .limit(rerank)
+    )
+    return (
+        candidates.select(
+            F.col(id_col), cosine_col(F.col(vec_col), query).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     vec_col: str,
@@ -589,101 +701,97 @@ def ivfpq_topk(
     - coarse: vectors assign to ``n_cells`` centroid cells
       (:func:`ivf_assign_cells`); a query probes the ``n_probe``
       nearest cells — at scale the encoded column is persisted
-      partitioned by cell, so the probe is partition pruning;
-    - residual PQ: codebooks are trained on ``v − centroid[cell]``
-      (residuals are what PQ quantizes well — they are centered and
+      partitioned by cell (:func:`ivfpq_index_write`), so the probe
+      is partition pruning;
+    - residual PQ: codebooks train on ``v − centroid[cell]``
+      (residuals are what PQ quantizes well — centered,
       low-variance), encoding is the usual literal-matrix codegen;
     - ADC per probed cell: the LUT depends on the cell (the query
-      residual ``q − centroid_c`` differs per cell), so the scan
-      carries ``n_probe`` LUTs as ONE nested literal indexed by the
-      row's cell rank — still n_sub element_at calls per row;
-      approximate distance = Σ_s LUT[cell][s][code_s] (squared-L2
-      decomposition), then ``rerank`` best candidates pay the exact
-      cosine.
+      residual differs per cell), so the scan carries ``n_probe``
+      LUTs as ONE nested literal indexed by the row's cell rank;
+      approximate distance = Σ_s LUT[cell][s][code_s], then
+      ``rerank`` best candidates pay the exact cosine.
 
     Everything after codebook training (bounded driver sample, see
     :func:`pq_train`) is whole-stage codegen; nothing corpus-sized is
     collected or shuffled.
     """
-    import math as _math
+    encoded, centroids, books = _ivfpq_build(
+        df, vec_col, id_col, n_cells, n_sub, n_codes, dim=len(query)
+    )
+    return _ivfpq_scan(
+        encoded, centroids, books, query, k, id_col, vec_col, n_probe, rerank
+    )
 
-    dim = len(query)
-    sub = dim // n_sub
-    # L2-normalize first: on unit vectors, squared-L2 ordering IS
-    # cosine ordering (||q̂−v̂||² = 2−2cos), so the ADC prune agrees
-    # with the exact-cosine rerank metric — without this, L2-ranked
-    # candidates drop cosine-top rows (measured recall 0.8 → 1.0 at
-    # full probe on the bench corpus)
-    v_raw = F.col(vec_col).cast("array<double>")
-    nrm = F.sqrt(
-        F.aggregate(v_raw, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    df_n = df.withColumn(
-        "__vn", F.transform(v_raw, lambda x: x / nrm)
-    )
-    q_nrm = _math.sqrt(sum(x * x for x in query)) or 1.0
-    query = [x / q_nrm for x in query]
-    centroids = _ivf_centroids(df_n, "__vn", id_col, n_cells)
-    assigned = ivf_assign_cells(df_n, "__vn", centroids)
-    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
-    v = F.col("__vn")
-    r_df = assigned.withColumn(
-        "__res",
-        F.zip_with(
-            v,
-            F.element_at(cents_lit, F.col("__cell") + 1),
-            lambda a, b: a - b,
-        ),
-    )
-    books = pq_train(
-        r_df, "__res", id_col, dim=dim, n_sub=n_sub, n_codes=n_codes
-    )
-    encoded = pq_encode(r_df, "__res", books)
 
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = _math.sqrt(sum(x * x for x in a)) or 1.0
-        nb = _math.sqrt(sum(x * x for x in b)) or 1.0
-        return dot / (na * nb)
+def ivfpq_index_write(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+):
+    """Build and persist the IVF-PQ index: PQ codes + unit vectors
+    written parquet PARTITIONED BY cell, centroids and codebooks in
+    ``_ivfpq_meta.json`` alongside (underscore-prefixed so Spark's
+    reader skips it).
 
-    probe = sorted(range(len(centroids)), key=lambda i: -cos(query, centroids[i]))[
-        :n_probe
-    ]
-    # per-cell ADC lookup tables over the query residual
-    luts = []
-    for c in probe:
-        qr = [q - cc for q, cc in zip(query, centroids[c])]
-        lut_c = []
-        for s in range(n_sub):
-            qs = qr[s * sub : (s + 1) * sub]
-            lut_c.append(
-                [
-                    float(sum((a - b) ** 2 for a, b in zip(qs, code)))
-                    for code in books[s]
-                ]
-            )
-        luts.append(lut_c)
-    probe_lit = F.lit([int(c) for c in probe])
-    luts_lit = F.lit(luts)
-    cell_lut = F.element_at(
-        luts_lit, F.array_position(probe_lit, F.col("__cell")).cast("int")
+    Build-once/probe-many: the expensive parts (assignment pass,
+    codebook training, encode) run once; every later query is a
+    partition-pruned scan of ``n_probe`` cell directories scoring
+    n_sub-byte codes. The vector column rides in the same row groups
+    for the rerank — at extreme scale store it in a separate
+    co-partitioned table and join the ``rerank`` candidates only.
+    Returns (centroids, codebooks).
+    """
+    import json
+    import os
+
+    encoded, centroids, books = _ivfpq_build(
+        df, vec_col, id_col, n_cells, n_sub, n_codes, dim
     )
-    approx = F.lit(0.0)
-    for s in range(n_sub):
-        approx = approx + F.element_at(
-            F.element_at(cell_lut, s + 1),
-            F.element_at(F.col("__pq"), s + 1) + 1,
-        )
-    candidates = (
-        encoded.filter(F.col("__cell").isin([int(c) for c in probe]))
-        .withColumn("__adc", approx)
-        .orderBy(F.asc("__adc"), F.asc(id_col))
-        .limit(rerank)
+    out = encoded.withColumnRenamed("__cell", "cell").withColumnRenamed(
+        "__pq", "pq"
     )
-    return (
-        candidates.select(
-            F.col(id_col), cosine_col(F.col(vec_col), query).alias("score")
-        )
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
+    out.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
+        json.dump({"centroids": centroids, "codebooks": books}, f)
+    return centroids, books
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    rerank: int = 100,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: cells ranked driver-side from
+    the stored centroids, ONLY the probed cell partitions scanned
+    (partition filter — unprobed cells never leave the file listing),
+    ADC over stored codes, exact rerank over the stored vectors."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    encoded = spark.read.parquet(path)
+    return _ivfpq_scan(
+        encoded,
+        meta["centroids"],
+        meta["codebooks"],
+        query,
+        k,
+        id_col,
+        vec_col,
+        n_probe,
+        rerank,
+        cell_col="cell",
+        code_col="pq",
     )

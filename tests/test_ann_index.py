@@ -188,3 +188,36 @@ def test_ivfpq_partial_probe_recall_floor(spark):
     # a broken ADC/probe path, not against the data's geometry
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.3, f"4/8-probe IVF-PQ recall {recall}"
+
+
+def test_ivfpq_indexed_parity_and_partition_pruning(spark, tmp_path):
+    from dataframe_sql_spark.operators.similarity import (
+        ivfpq_index_write,
+        ivfpq_topk,
+        ivfpq_topk_indexed,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_idx")
+    ivfpq_index_write(emb, path, n_cells=8, n_sub=4, n_codes=16, dim=64)
+    q = [1.0] * 64
+    inline = [
+        (r.vec_id, r.score)
+        for r in ivfpq_topk(
+            emb, "embedding", q, k=10, n_cells=8, n_probe=4, rerank=100
+        ).collect()
+    ]
+    indexed_df = ivfpq_topk_indexed(spark, path, q, k=10, n_probe=4, rerank=100)
+    indexed = [(r.vec_id, r.score) for r in indexed_df.collect()]
+    # same centroids/codebooks (deterministic build) -> identical result
+    assert [i for i, _ in inline] == [i for i, _ in indexed]
+    # probe must prune partitions at the file listing level
+    plan = indexed_df._sc._jvm.PythonSQLUtils.explainString(
+        indexed_df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "cell" in pf_line
