@@ -316,3 +316,68 @@ def streaming_near_dedup(
             .write.mode("append").parquet(index_path)
 
     run_stream_foreach_batch(docs_stream, batch_fn, checkpoint)
+
+
+def streaming_cms_heavy_hitters(
+    words_stream: DataFrame,
+    counters_path: str,
+    checkpoint: str,
+    key_col: str = "word",
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """Streaming heavy-hitter tracking: fold an unbounded key stream
+    into a persisted Count-Min counter table.
+
+    Each micro-batch computes its OWN CMS partials (sketch-sized:
+    ≤ depth × width rows regardless of batch volume), merges them with
+    the on-disk counters, and rewrites the counter table — the
+    mergeable-sketch property is exactly what makes the state bounded
+    and restart-safe (the table plus the checkpoint recover the
+    stream position; re-merging a replayed batch is the only retry
+    hazard, same caveat as :func:`streaming_near_dedup` — at scale
+    both live in a transactional table and the merge is a MERGE).
+
+    Contrast with stateful aggregation: ``groupBy(key).count()`` with
+    watermarks keeps per-key state that grows with distinct keys; the
+    CMS table NEVER grows past the counter grid, which is the whole
+    point at web vocabulary sizes. Point queries / top-k probes read
+    the table with :func:`...functions.sketches.cms_estimate`.
+    """
+    import os
+
+    from ..functions.sketches import cms_merge, cms_partials
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = cms_partials(
+            batch.withColumn("__seg", F.lit(batch_id)),
+            "__seg",
+            key_col,
+            depth=depth,
+            width=width,
+        )
+        merged = cms_merge(part)
+        if os.path.exists(counters_path):
+            prior = batch.sparkSession.read.parquet(counters_path)
+            merged = cms_merge(merged.unionByName(prior.select("d", "idx", "n")))
+        staging = counters_path.rstrip("/") + ".__staging__"
+        merged.write.mode("overwrite").parquet(staging)
+        old = counters_path.rstrip("/") + ".__old__"
+        if os.path.exists(counters_path):
+            if os.path.exists(old):
+                import shutil
+
+                shutil.rmtree(old)
+            os.rename(counters_path, old)
+        os.rename(staging, counters_path)
+
+    (
+        words_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(batch_fn)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -241,3 +241,65 @@ def test_streaming_near_dedup_across_batches(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()
     )
     assert idx_ids == [1, 3, 11]
+
+
+def test_streaming_cms_accumulates_across_batches(spark, tmp_path):
+    """The persisted CMS counter table must equal a batch-built CMS
+    over the union of all streamed batches — the mergeable-sketch
+    invariant under incremental folding — and estimates from it must
+    never underestimate true stream counts."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.functions.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_partials,
+    )
+    from dataframe_sql_spark.streaming.pipeline import (
+        streaming_cms_heavy_hitters,
+    )
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    counters_path = str(tmp_path / "cms_counters")
+    checkpoint = str(tmp_path / "ckpt")
+
+    all_rows = []
+    for b in range(3):
+        rows = [("hot",)] * 50 + [(f"b{b}_k{i}",) for i in range(30)]
+        all_rows += rows
+        pd.DataFrame(rows, columns=["word"]).to_parquet(
+            src_dir / f"batch_{b}.parquet"
+        )
+        stream = (
+            spark.readStream.schema("word string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src_dir))
+        )
+        streaming_cms_heavy_hitters(
+            stream, counters_path, checkpoint, key_col="word"
+        )
+
+    got = {
+        (r.d, r.idx): r.n
+        for r in spark.read.parquet(counters_path).collect()
+    }
+    ref_df = spark.createDataFrame(all_rows, ["word"]).withColumn(
+        "seg", F.lit("x")
+    )
+    want = {
+        (r.d, r.idx): r.n
+        for r in cms_merge(cms_partials(ref_df, "seg", "word")).collect()
+    }
+    assert got == want
+    est = {
+        r.word: r.cms_est
+        for r in cms_estimate(
+            spark.createDataFrame([("hot",), ("b1_k3",)], ["word"]),
+            spark.read.parquet(counters_path),
+            "word",
+        ).collect()
+    }
+    assert est["hot"] >= 150
+    assert est["b1_k3"] >= 1
