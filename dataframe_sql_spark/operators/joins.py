@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "symmetric_difference"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "symmetric_difference",
+    "best_match_linkage",
+]
 
 
 def asof_join(
@@ -133,3 +138,57 @@ def symmetric_difference(a: DataFrame, b: DataFrame) -> DataFrame:
     (distinct semantics, matching the pandas merge-indicator oracle).
     """
     return a.subtract(b).union(b.subtract(a))
+
+
+def best_match_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Record linkage: best fuzzy match per left record, blocked.
+
+    The classic entity-resolution shape (Fellegi–Sunter blocking +
+    string comparison): candidate pairs come from an equi-join on
+    ``block_cols`` (a cheap, high-recall key — nation, zip prefix,
+    phonetic code), candidates are scored with built-in JVM
+    ``levenshtein`` (no UDF), pairs beyond ``max_distance`` are
+    dropped, and a per-left-record window keeps exactly one best
+    match (min distance, then min ``right_id`` — deterministic).
+
+    Scale: the only shuffles are the block-key equi-join and the
+    per-``left_id`` window; cost is quadratic per block, so at 100 TB
+    the block key must bound group size (compose several — e.g.
+    (zip3, name_initial) — exactly as the dedup family bounds LSH
+    buckets). The levenshtein filter runs inside whole-stage codegen
+    before the window shuffle, so only surviving candidates move.
+    """
+    lhs = left.select(
+        *[F.col(c) for c in block_cols],
+        F.col(left_id).alias("__lid"),
+        F.col(left_text).alias("__ltext"),
+    )
+    rhs = right.select(
+        *[F.col(c) for c in block_cols],
+        F.col(right_id).alias("__rid"),
+        F.col(right_text).alias("__rtext"),
+    )
+    scored = (
+        lhs.join(rhs, on=block_cols)
+        .withColumn("__dist", F.levenshtein(F.col("__ltext"), F.col("__rtext")))
+        .filter(F.col("__dist") <= max_distance)
+    )
+    w = Window.partitionBy("__lid").orderBy(F.col("__dist"), F.col("__rid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias("matched_id"),
+            F.col("__dist").alias("distance"),
+        )
+    )

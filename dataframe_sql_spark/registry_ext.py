@@ -31,13 +31,21 @@ from .operators.dedup import (
     blocked_ngram_jaccard,
     embedding_dedup,
     exact_dedup,
+    hashed_shingle_frame,
     minhash_candidate_pairs,
     minhash_dedup,
     ngram_jaccard_pairs,
+    oph_densify_rotation,
+    oph_raw_lanes,
     shingle_frame,
     simhash_dedup,
 )
-from .operators.joins import asof_join, symmetric_difference
+from .operators.joins import (
+    asof_join,
+    best_match_linkage,
+    range_join,
+    symmetric_difference,
+)
 from .operators.packing import pack_sequences
 from .operators.sampling import (
     dataset_mix,
@@ -3299,6 +3307,219 @@ _reg(
     "quality-quartile assignment (deterministic tiebreak) via the "
     "two-pass range-partitioned rank + closed-form ntile arithmetic "
     "- no SinglePartition window; oracle uses native ntile",
+)
+
+# --------------------------------------------------------------------------
+# round-3c: range-join entry, record linkage, minhash-estimate certificate,
+# skew diagnostics
+# --------------------------------------------------------------------------
+
+
+def _j_range_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join through the bucketed rewrite.
+
+    Incidents are 15-minute windows opened by a deterministic subset of
+    error events; the query counts events (and sums their value) inside
+    each window. ``range_join(..., bucket_granularity='hour')`` rewrites
+    the inequality join as an equi-join on hour buckets (each interval
+    explodes onto ≤ 2 buckets) with the residual range predicate
+    filtering inside the bucket — no BroadcastNestedLoopJoin, plan-gated
+    in test_plan_quality. The DuckDB oracle runs the naive inequality
+    join, pinning the rewrite's semantics.
+    """
+    ev = _events(spark, sf_dir).select("event_id", "ts", "value")
+    inc = (
+        _events(spark, sf_dir)
+        .filter((F.col("event_type") == "error") & (F.col("event_id") % 20 == 0))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end_ts"),
+        )
+    )
+    hits = range_join(ev, inc, "ts", "start_ts", "end_ts", bucket_granularity="hour")
+    return (
+        hits.groupBy("incident_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+_reg(
+    "j_range_incidents",
+    _j_range_incidents,
+    "WITH inc AS (SELECT event_id AS incident_id, ts AS start_ts,"
+    " ts + INTERVAL 15 MINUTE AS end_ts FROM events"
+    " WHERE event_type = 'error' AND event_id % 20 = 0) "
+    "SELECT incident_id, count(*)::BIGINT AS n_events,"
+    " CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
+    "FROM events e JOIN inc ON e.ts >= inc.start_ts AND e.ts < inc.end_ts "
+    "GROUP BY incident_id ORDER BY incident_id",
+    "range join (point-in-interval) via the scalable bucketed rewrite; "
+    "oracle runs the naive inequality join",
+)
+
+
+def _x_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: link dirty records back to a master table.
+
+    The dirty side is derived deterministically (customers with
+    ``c_custkey % 7 = 3``, last character of the name dropped) so both
+    engines build the identical input. Blocking on ``c_nationkey``
+    bounds the candidate quadratic; scoring is built-in JVM
+    ``levenshtein``; one best match per dirty record (min distance,
+    then min key).
+    """
+    cust = engine_for(spark, sf_dir).spark.table("customer")
+    dirty = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        F.col("c_custkey").alias("d_id"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("d_name"),
+        "c_nationkey",
+    )
+    return (
+        best_match_linkage(
+            dirty,
+            cust,
+            ["c_nationkey"],
+            "d_id",
+            "c_custkey",
+            "d_name",
+            "c_name",
+            max_distance=2,
+        )
+        .select(
+            "d_id",
+            "matched_id",
+            F.col("distance").cast("bigint").alias("distance"),
+        )
+        .orderBy("d_id")
+    )
+
+
+_reg(
+    "x_record_linkage",
+    _x_record_linkage,
+    "WITH dirty AS (SELECT c_custkey AS d_id,"
+    " substring(c_name, 1, length(c_name) - 1) AS d_name, c_nationkey"
+    " FROM customer WHERE c_custkey % 7 = 3), "
+    "scored AS (SELECT d.d_id, c.c_custkey AS matched_id,"
+    " levenshtein(d.d_name, c.c_name) AS distance"
+    " FROM dirty d JOIN customer c ON d.c_nationkey = c.c_nationkey"
+    " WHERE levenshtein(d.d_name, c.c_name) <= 2) "
+    "SELECT d_id, matched_id, distance::BIGINT AS distance FROM ("
+    " SELECT *, row_number() OVER (PARTITION BY d_id"
+    "  ORDER BY distance, matched_id) AS rn FROM scored) t "
+    "WHERE rn = 1 ORDER BY d_id",
+    "record linkage: nation-blocked levenshtein best-match per dirty "
+    "record (deterministic truncated-name dirty side)",
+)
+
+
+def _dd_minhash_est_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash ESTIMATION-ACCURACY certificate (hash-checkable).
+
+    ``dd_minhash_verified`` certifies LSH *recall*; this entry certifies
+    the other half of the minhash contract — that lane agreement of the
+    production OPH signature estimates Jaccard. Over every pair with
+    exact word-shingle Jaccard >= 0.5 (the complete shingle-sharing
+    candidate superset, same certificate-only generator as
+    dd_clusters_verified), the 64-lane agreement fraction must sit
+    within ``tol`` of the exact Jaccard. DuckDB recomputes the same
+    pair set and pins ``within_tol = TRUE``; a single out-of-tolerance
+    pair hash-mismatches the entry.
+
+    tol = 0.25 against a 64-lane binomial std of sqrt(J(1-J)/64) <=
+    0.0625 in this J-range (4 sigma per pair) plus OPH densification
+    bias on short docs; the pipeline is fully deterministic, so the
+    margin is verified empirically rather than probabilistic at driver
+    time: measured max |est - exact| is 0.2014 at sf0.001 (28 pairs;
+    one short-doc outlier) and 0.0543 at sf0.01 (25 pairs).
+    """
+    docs = _docs(spark, sf_dir)
+    sh = shingle_frame(docs, "doc_id", "text")
+    ex = sh.select("doc_id", F.explode("__sh").alias("g")).distinct()
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, cand, "doc_id", "text", threshold=0.5)
+    h = hashed_shingle_frame(docs, "doc_id", "text")
+    raw = h.select("doc_id", oph_raw_lanes(F.col("__h"), 64).alias("__raw"))
+    sig = raw.select(
+        "doc_id", oph_densify_rotation(F.col("__raw"), 64).alias("sig")
+    )
+    est = (
+        exact.join(
+            sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .withColumn(
+            "est_j",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            / F.lit(64),
+        )
+    )
+    return est.select(
+        "id_a",
+        "id_b",
+        (F.abs(F.col("est_j") - F.col("jaccard")) <= 0.25).alias("within_tol"),
+    )
+
+
+_reg(
+    "dd_minhash_est_cert",
+    _dd_minhash_est_cert,
+    f"WITH {_SH_CTE}, "
+    r"ex AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh), "
+    r"cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+    r" FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id) "
+    r"SELECT c.id_a, c.id_b, TRUE AS within_tol "
+    r"FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b "
+    r"WHERE len(list_intersect(x.s, y.s))::DOUBLE"
+    r" / len(list_distinct(list_cat(x.s, y.s))) >= 0.5",
+    "minhash estimation-accuracy certificate: 64-lane OPH agreement "
+    "fraction within 0.25 of exact Jaccard on every J>=0.5 pair",
+)
+
+_reg_sql(
+    "x_skew_report",
+    # Key-skew diagnostics: the distribution of per-key group sizes as a
+    # log2 histogram (bucket = bit length of the count — integer-exact in
+    # both engines via bin(), no float log). This is the profile you run
+    # BEFORE choosing join/agg strategies at 100 TB: a long-tailed report
+    # says salt-or-AQE, a flat one says hash-partition and move on. Two
+    # shuffles total (key grouping, then 8-ish histogram rows).
+    "select length(bin(c)) as bucket_bits, count(*) as n_keys, "
+    "min(c) as min_count, max(c) as max_count, "
+    "cast(sum(c) as bigint) as n_rows "
+    "from (select user_id, count(*) as c from events group by user_id) t "
+    "group by length(bin(c)) order by bucket_bits",
+    "SELECT length(bin(c)) AS bucket_bits, count(*) AS n_keys, "
+    "min(c) AS min_count, max(c) AS max_count, "
+    "CAST(sum(c) AS BIGINT) AS n_rows "
+    "FROM (SELECT user_id, count(*) AS c FROM events GROUP BY user_id) t "
+    "GROUP BY length(bin(c)) ORDER BY bucket_bits",
+    "key-skew report: log2 histogram of per-key group sizes "
+    "(integer-exact buckets via binary bit length)",
 )
 
 _reg_sql(

@@ -6,7 +6,12 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from dataframe_sql_spark.operators.joins import asof_join, range_join, symmetric_difference
+from dataframe_sql_spark.operators.joins import (
+    asof_join,
+    best_match_linkage,
+    range_join,
+    symmetric_difference,
+)
 
 
 def _ts(h, m=0):
@@ -69,3 +74,52 @@ def test_symmetric_difference_matches_reference_oracle(spark):
     b = spark.createDataFrame([(2,), (4,)], ["k"])
     got = sorted(r.k for r in symmetric_difference(a, b).collect())
     assert got == [1, 3, 4]  # 2 in both → dropped entirely; dups collapsed
+
+
+def test_best_match_linkage_picks_min_distance(spark):
+    dirty = spark.createDataFrame(
+        [(1, "jon smith", "b1"), (2, "mary jones", "b1"), (3, "zzz", "b2")],
+        ["d_id", "name", "block"],
+    )
+    master = spark.createDataFrame(
+        [
+            (10, "john smith", "b1"),  # dist 1 to "jon smith"
+            (11, "joan smith", "b1"),  # dist 2 to "jon smith"
+            (12, "mary janes", "b1"),  # dist 1 to "mary jones"
+            (13, "totally different", "b2"),
+        ],
+        ["m_id", "name", "block"],
+    )
+    out = {
+        r.d_id: (r.matched_id, r.distance)
+        for r in best_match_linkage(
+            dirty, master, ["block"], "d_id", "m_id", "name", "name", max_distance=2
+        ).collect()
+    }
+    assert out[1] == (10, 1)  # min distance wins over dist-2 candidate
+    assert out[2] == (12, 1)
+    assert 3 not in out  # no candidate within max_distance
+
+
+def test_best_match_linkage_tiebreak_is_min_right_id(spark):
+    dirty = spark.createDataFrame([(1, "abc", "b")], ["d_id", "name", "block"])
+    master = spark.createDataFrame(
+        [(20, "abd", "b"), (10, "abe", "b")], ["m_id", "name", "block"]
+    )
+    out = best_match_linkage(
+        dirty, master, ["block"], "d_id", "m_id", "name", "name", max_distance=2
+    ).collect()
+    # both candidates at distance 1 → deterministic min right-id
+    assert (out[0].matched_id, out[0].distance) == (10, 1)
+
+
+def test_best_match_linkage_respects_blocking(spark):
+    # identical name in a different block must NOT match
+    dirty = spark.createDataFrame([(1, "same", "b1")], ["d_id", "name", "block"])
+    master = spark.createDataFrame([(9, "same", "b2")], ["m_id", "name", "block"])
+    assert (
+        best_match_linkage(
+            dirty, master, ["block"], "d_id", "m_id", "name", "name"
+        ).count()
+        == 0
+    )

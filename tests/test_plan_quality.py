@@ -417,3 +417,33 @@ def test_relevance_family_vocab_joins_broadcast(spark):
         )
         assert "SortMergeJoin" not in plan, f"{name} fell back to SMJ"
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcasts"
+
+
+def test_range_and_linkage_joins_are_hash_joins(spark):
+    """The bucketed range-join rewrite and the blocked record-linkage
+    join must plan as hash equi-joins with residual predicates — a
+    BroadcastNestedLoopJoin or CartesianProduct here would be the
+    all-pairs plan the rewrites exist to avoid (fatal at 100 TB)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    qs = entrymod.queries()
+    for name in ("j_range_incidents", "x_record_linkage"):
+        df = qs[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned BNLJ"
+        assert "CartesianProduct" not in plan, f"{name} planned cartesian"
+
+
+def test_minhash_est_cert_within_tolerance(spark):
+    """Every J>=0.5 pair's OPH lane-agreement estimate must sit within
+    the documented 0.25 tolerance (measured max 0.2014 at sf0.001) —
+    the deterministic guarantee the dd_minhash_est_cert oracle pins."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["dd_minhash_est_cert"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r.within_tol for r in rows)
