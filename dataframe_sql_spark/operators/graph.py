@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "cluster_representatives", "pagerank"]
+__all__ = [
+    "connected_components",
+    "cluster_representatives",
+    "pagerank",
+    "triangle_list",
+]
 
 
 def connected_components(
@@ -162,3 +167,72 @@ def pagerank(
             )
         )
     return pr
+
+
+def triangle_list(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate triangles with degree-oriented wedge joins.
+
+    The pretraining-data use: triangle density over a document
+    similarity graph separates tight near-duplicate cliques from
+    chains of borderline pairs (a clique of s docs has C(s,3)
+    triangles; a chain has none) — a stronger dedup-cluster quality
+    signal than edge count alone.
+
+    The node-iterator-with-orientation formulation (Suri &
+    Vassilvitskii 2011): normalize edges undirected, orient each from
+    the lower- to the higher-(degree, id) endpoint, build wedges by
+    self-joining oriented edges on their source, and close each wedge
+    with one more join. Orientation is the scale trick — out-degree
+    is bounded by O(sqrt(m)) regardless of hub skew, so the wedge
+    self-join cannot explode on a celebrity node the way a naive
+    neighbor join does. Three shuffles total (degree groupBy, wedge
+    join on the pivot vertex, closing join on the (v, w) pair); each
+    triangle is produced exactly once, from its minimum-(degree, id)
+    corner.
+
+    Returns one row per triangle: (a, b, c) sorted by id ascending.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    # orient from lower-(deg, id) to higher-(deg, id)
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select(
+        F.array_sort(F.array("u", "v1", "v2")).alias("t")
+    )
+    return tri.select(
+        F.col("t")[0].alias("a"), F.col("t")[1].alias("b"), F.col("t")[2].alias("c")
+    )

@@ -3500,6 +3500,87 @@ _reg(
     "fraction within 0.25 of exact Jaccard on every J>=0.5 pair",
 )
 
+def _g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the exact-Jaccard similarity graph.
+
+    Edges are the oracle-able J >= 0.5 pairs from the complete
+    shingle-sharing candidate superset (same edge set as
+    ``dd_clusters_verified``); the operator is the degree-oriented
+    wedge join (``operators/graph.py::triangle_list``). DuckDB closes
+    the loop with a 3-way self-join on the same edge CTE — each
+    triangle a < b < c appears exactly once on both sides.
+    """
+    from .operators.graph import triangle_list
+
+    docs = _docs(spark, sf_dir)
+    sh = shingle_frame(docs, "doc_id", "text")
+    ex = sh.select("doc_id", F.explode("__sh").alias("g")).distinct()
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    edges = ngram_jaccard_pairs(docs, cand, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return triangle_list(edges, "id_a", "id_b").orderBy("a", "b", "c")
+
+
+_reg(
+    "g_triangles",
+    _g_triangles,
+    f"WITH {_SH_CTE}, "
+    r"ex AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh), "
+    r"cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+    r" FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id), "
+    r"e AS (SELECT c.id_a, c.id_b"
+    r" FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b"
+    r" WHERE len(list_intersect(x.s, y.s))::DOUBLE"
+    r"  / len(list_distinct(list_cat(x.s, y.s))) >= 0.5) "
+    r"SELECT t1.id_a AS a, t1.id_b AS b, t2.id_b AS c "
+    r"FROM e t1 JOIN e t2 ON t2.id_a = t1.id_b"
+    r" JOIN e t3 ON t3.id_a = t1.id_a AND t3.id_b = t2.id_b "
+    r"ORDER BY a, b, c",
+    "triangle enumeration over exact-Jaccard >= 0.5 similarity edges "
+    "(degree-oriented wedge joins vs a DuckDB 3-way self-join)",
+)
+
+_reg_sql(
+    "a_partial_rollup_merge",
+    # Mergeable-partial certificate for PLAIN aggregates — the
+    # incremental-ETL shape at 100 TB: per-partition partials
+    # (count/sum/min/max) are computed independently (here: two halves
+    # split by event_id parity, standing in for yesterday's persisted
+    # rollup + today's new partition) and MERGED (counts and sums add,
+    # min/max re-minimize, avg re-derives as merged-sum/merged-count).
+    # The oracle aggregates the raw table directly in one pass — a hash
+    # match certifies merge algebra == direct computation, the property
+    # that lets a continuous rollup never rescan history. Companion to
+    # the sketch-partial certificates (a_hll_sketch_rollup,
+    # a_hist_quantile_rollup, a_cms_heavy_hitters) for exact aggregates.
+    "select event_type, cast(sum(n) as bigint) as n_events, "
+    "cast(sum(s) as double) as total_value, "
+    "min(mn) as min_value, max(mx) as max_value, "
+    "cast(sum(s) as double) / sum(n) as avg_value "
+    "from (select event_type, event_id % 2 as half, count(*) as n, "
+    "sum(cast(value as decimal(18,2))) as s, "
+    "min(value) as mn, max(value) as mx "
+    "from events group by event_type, event_id % 2) partials "
+    "group by event_type order by event_type",
+    "SELECT event_type, count(*)::BIGINT AS n_events, "
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value, "
+    "min(value) AS min_value, max(value) AS max_value, "
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) "
+    "AS avg_value "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+    "mergeable-partial rollup certificate: per-half count/sum/min/max "
+    "partials merged == one-pass direct aggregation",
+)
+
 _reg_sql(
     "x_skew_report",
     # Key-skew diagnostics: the distribution of per-key group sizes as a

@@ -8,6 +8,7 @@ import pytest
 from dataframe_sql_spark.operators.graph import (
     cluster_representatives,
     connected_components,
+    triangle_list,
 )
 
 
@@ -76,3 +77,25 @@ def test_pagerank_mass_conserved_and_authority_wins(spark):
     assert abs(total - 1.0) < 1e-4  # stochastic fix conserves mass
     assert rows[0] == max(rows.values())  # the hub outranks everyone
     assert rows[1] > rows[2]  # hub's endorsement beats leaf status
+
+
+def test_triangle_list_k4_chain_and_star(spark):
+    # K4 on {1,2,3,4} -> C(4,3)=4 triangles; chain 10-11-12 -> none;
+    # star 20-(21,22,23) -> none (no closing edges)
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(10, 11), (11, 12), (20, 21), (20, 22), (20, 23)],
+        ["id_a", "id_b"],
+    )
+    got = {(r.a, r.b, r.c) for r in triangle_list(edges, "id_a", "id_b").collect()}
+    assert got == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+
+
+def test_triangle_list_ignores_direction_dupes_and_self_loops(spark):
+    # triangle given with mixed directions, a duplicate edge, and a
+    # self-loop: still exactly one triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 2), (1, 3), (2, 2)], ["s", "d"]
+    )
+    got = [(r.a, r.b, r.c) for r in triangle_list(edges, "s", "d").collect()]
+    assert got == [(1, 2, 3)]
