@@ -18,6 +18,7 @@ __all__ = [
     "range_join",
     "symmetric_difference",
     "best_match_linkage",
+    "sorted_neighborhood_pairs",
 ]
 
 
@@ -192,3 +193,48 @@ def best_match_linkage(
             F.col("__dist").alias("distance"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_cols: list[str],
+    id_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): rank all
+    records by ``sort_cols`` and emit every pair within ``window``
+    positions of each other.
+
+    The complement to equality blocking (:func:`best_match_linkage`):
+    records that should match but disagree on every blocking attribute
+    still sort near each other under a well-chosen key, and candidate
+    volume is exactly ``n * window`` — linear by construction, immune
+    to the oversized-block blowup equality blocking risks.
+
+    Scale: the global order comes from the two-pass range-partitioned
+    rank (``operators/rank.py::global_rank`` — no single-partition
+    window), each record explodes onto its next ``window`` positions,
+    and the pairing is a plain equi-join on the position — hash joins
+    end to end. ``id_col`` is appended to the sort key as a tiebreak so
+    positions are unique (rank == row_number) and the neighborhood is
+    deterministic.
+
+    Returns (id_a, id_b, pos_a, pos_b) with pos_a < pos_b.
+    """
+    from .rank import global_rank
+
+    order = [(c, True) for c in sort_cols] + [(id_col, True)]
+    ranked = global_rank(df, order, out_col="__pos").select(
+        F.col(id_col), F.col("__pos")
+    )
+    probes = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__pos").alias("pos_a"),
+        F.explode(
+            F.sequence(F.col("__pos") + 1, F.col("__pos") + window)
+        ).alias("__nbr"),
+    )
+    return probes.join(
+        ranked.select(F.col(id_col).alias("id_b"), F.col("__pos").alias("__nbr")),
+        "__nbr",
+    ).select("id_a", "id_b", "pos_a", F.col("__nbr").alias("pos_b"))

@@ -44,6 +44,7 @@ from .operators.joins import (
     asof_join,
     best_match_linkage,
     range_join,
+    sorted_neighborhood_pairs,
     symmetric_difference,
 )
 from .operators.packing import pack_sequences
@@ -3499,6 +3500,106 @@ _reg(
     "minhash estimation-accuracy certificate: 64-lane OPH agreement "
     "fraction within 0.25 of exact Jaccard on every J>=0.5 pair",
 )
+
+def _x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation + levenshtein verify.
+
+    Rank customers by name (two-pass global rank — no single-partition
+    window), pair every record with its next 3 neighbors in sort order,
+    keep pairs within edit distance 2. The DuckDB oracle replays the
+    same neighborhood with a native row_number window and a position
+    band join.
+    """
+    cust = engine_for(spark, sf_dir).spark.table("customer")
+    pairs = sorted_neighborhood_pairs(cust, ["c_name"], "c_custkey", window=3)
+    names = cust.select("c_custkey", "c_name")
+    return (
+        pairs.join(
+            names.select(
+                F.col("c_custkey").alias("id_a"), F.col("c_name").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            names.select(
+                F.col("c_custkey").alias("id_b"), F.col("c_name").alias("n_b")
+            ),
+            "id_b",
+        )
+        .withColumn("distance", F.levenshtein("n_a", "n_b"))
+        .filter(F.col("distance") <= 2)
+        .select("id_a", "id_b", F.col("distance").cast("bigint").alias("distance"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_reg(
+    "x_sorted_neighborhood",
+    _x_sorted_neighborhood,
+    "WITH ranked AS (SELECT c_custkey, c_name,"
+    " row_number() OVER (ORDER BY c_name, c_custkey) AS pos FROM customer) "
+    "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,"
+    " levenshtein(a.c_name, b.c_name)::BIGINT AS distance "
+    "FROM ranked a JOIN ranked b"
+    " ON b.pos > a.pos AND b.pos <= a.pos + 3 "
+    "WHERE levenshtein(a.c_name, b.c_name) <= 2 "
+    "ORDER BY id_a, id_b",
+    "sorted-neighborhood blocking (rank by name, pair within 3 "
+    "positions, verify by edit distance) — linear candidate volume",
+)
+
+
+def _dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup pairs.
+
+    Containment |A∩B| / min(|A|, |B|) catches near-SUBSET duplication
+    — a short doc embedded in a longer one — which symmetric Jaccard
+    dilutes below threshold (|A∩B|/|A∪B| shrinks as the size gap
+    grows). Same (lang, source) blocking and integer set-size
+    discipline as ``dd_ngram_jaccard``; the two entries together cover
+    both duplication geometries. Emits every in-block pair's integer
+    stats plus the ``is_dup`` (>= 0.8) flag, so the differential check
+    pins the full computation AND the decision boundary.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = shingle_frame(docs, "doc_id", "text", extra_cols=("lang", "source"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    smaller = F.least(F.size(F.col("a.__sh")), F.size(F.col("b.__sh")))
+    return a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        inter.cast("bigint").alias("inter"),
+        smaller.cast("bigint").alias("smaller"),
+        (inter.cast("double") / smaller >= 0.8).alias("is_dup"),
+    )
+
+
+_reg(
+    "dd_containment",
+    _dd_containment,
+    r"WITH w AS (SELECT doc_id, lang, source,"
+    r" string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents), "
+    r"sh AS (SELECT doc_id, lang, source,"
+    r" list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),"
+    r"  i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w) "
+    r"SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+    r" len(list_intersect(a.s, b.s))::BIGINT AS inter,"
+    r" least(len(a.s), len(b.s))::BIGINT AS smaller,"
+    r" len(list_intersect(a.s, b.s))::DOUBLE"
+    r"  / least(len(a.s), len(b.s)) >= 0.8 AS is_dup "
+    r"FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source"
+    r" AND a.doc_id < b.doc_id",
+    "containment (overlap-coefficient) stats per blocked pair with the "
+    ">= 0.8 near-subset-dup flag: the duplication geometry symmetric "
+    "Jaccard misses",
+)
+
 
 def _g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration over the exact-Jaccard similarity graph.

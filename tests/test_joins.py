@@ -123,3 +123,26 @@ def test_best_match_linkage_respects_blocking(spark):
         ).count()
         == 0
     )
+
+
+def test_sorted_neighborhood_pairs_window_semantics(spark):
+    from dataframe_sql_spark.operators.joins import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aab"), (3, "aac"), (4, "zzz")], ["rid", "name"]
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(df, ["name"], "rid", window=2).collect()
+    }
+    # sort order is aaa,aab,aac,zzz; each pairs with its next 2 neighbors
+    assert got == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
+
+
+def test_sorted_neighborhood_candidate_volume_is_linear(spark):
+    from dataframe_sql_spark.operators.joins import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(i, f"n{i:04d}") for i in range(100)], ["rid", "name"])
+    n = sorted_neighborhood_pairs(df, ["name"], "rid", window=3).count()
+    # exactly n*w - w*(w+1)/2 pairs (tail records have fewer neighbors)
+    assert n == 100 * 3 - 6
