@@ -3601,6 +3601,105 @@ _reg(
 )
 
 
+_BENCH_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_BENCH_SQL = ", ".join(f"'{s}'" for s in _BENCH_SOURCES)
+
+
+def _dd_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (paraphrase-robust) test-set decontamination certificate.
+
+    ``dd_decontaminate`` flags training docs sharing an exact 8-gram
+    with the benchmark; light paraphrase defeats it. The fuzzy variant
+    flags corpus docs with minhash-LSH-found, exact-Jaccard-verified
+    similarity >= 0.8 to any benchmark doc (sources src0-src4 stand in
+    for the held-out benchmark). The production candidate path is the
+    real banded-OPH pipeline; DuckDB independently recomputes ALL
+    cross-side J >= 0.8 pairs over the shingle-sharing superset, so a
+    hash match certifies cross-table LSH recall 1.0 at J >= 0.8 —
+    the same guarantee ``dd_minhash_verified`` gives in-table.
+
+    Returns flagged corpus docs with their benchmark-match counts.
+    """
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs,
+        minhash_candidate_pairs(docs, "doc_id", "text"),
+        "doc_id",
+        "text",
+        threshold=0.8,
+    )
+    side = docs.select(
+        "doc_id", F.col("source").isin(*_BENCH_SOURCES).alias("is_bench")
+    )
+    tagged = (
+        pairs.join(
+            side.select(F.col("doc_id").alias("id_a"), F.col("is_bench").alias("ba")),
+            "id_a",
+        )
+        .join(
+            side.select(F.col("doc_id").alias("id_b"), F.col("is_bench").alias("bb")),
+            "id_b",
+        )
+        .filter(F.col("ba") != F.col("bb"))
+    )
+    corpus_id = F.when(F.col("ba"), F.col("id_b")).otherwise(F.col("id_a"))
+    return (
+        tagged.select(corpus_id.alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_matches"))
+        .orderBy("doc_id")
+    )
+
+
+_reg(
+    "dd_fuzzy_decontaminate",
+    _dd_fuzzy_decontaminate,
+    f"WITH {_SH_CTE}, "
+    r"ex AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh), "
+    r"cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+    r" FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id), "
+    f"p AS (SELECT CASE WHEN x.source IN ({_BENCH_SQL})"
+    r" THEN c.id_b ELSE c.id_a END AS corpus_id"
+    r" FROM cand c JOIN sh x ON x.doc_id = c.id_a"
+    r" JOIN sh y ON y.doc_id = c.id_b"
+    r" WHERE len(list_intersect(x.s, y.s))::DOUBLE"
+    r"  / len(list_distinct(list_cat(x.s, y.s))) >= 0.8"
+    f" AND ((x.source IN ({_BENCH_SQL})) <> (y.source IN ({_BENCH_SQL})))) "
+    r"SELECT corpus_id AS doc_id, count(*)::BIGINT AS n_matches"
+    r" FROM p GROUP BY corpus_id ORDER BY doc_id",
+    "fuzzy decontamination certificate: corpus docs with verified "
+    "J >= 0.8 to any benchmark doc (LSH candidates vs complete DuckDB "
+    "recompute — cross-table recall 1.0)",
+)
+
+_reg_sql(
+    "x_winsorize",
+    # Winsorization (outlier clamping to per-group percentile fences) —
+    # the standard pre-normalization step before quality/length features
+    # feed a sampler. Exact interpolated percentiles per source (one
+    # groupBy), broadcast-joined back (the fence table is
+    # group-cardinality-sized), clamp via least/greatest in codegen.
+    # round(.,4) absorbs interpolation last-ulp noise (a_percentile
+    # convention).
+    "select d.doc_id, d.n_chars, "
+    "cast(greatest(least(cast(d.n_chars as double), q.hi), q.lo) as double) "
+    "as clamped from documents d join ("
+    "select source, round(percentile(n_chars, 0.05), 4) as lo, "
+    "round(percentile(n_chars, 0.95), 4) as hi "
+    "from documents group by source) q on d.source = q.source "
+    "order by d.doc_id",
+    "SELECT d.doc_id, d.n_chars, "
+    "greatest(least(CAST(d.n_chars AS DOUBLE), q.hi), q.lo) AS clamped "
+    "FROM documents d JOIN ("
+    "SELECT source, round(quantile_cont(n_chars, 0.05), 4) AS lo, "
+    "round(quantile_cont(n_chars, 0.95), 4) AS hi "
+    "FROM documents GROUP BY source) q ON d.source = q.source "
+    "ORDER BY d.doc_id",
+    "per-source winsorization: clamp to exact 5th/95th percentile "
+    "fences (outlier-robust length feature)",
+)
+
+
 def _g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration over the exact-Jaccard similarity graph.
 
