@@ -59,6 +59,7 @@ from .operators.sampling import (
 from .operators.similarity import cosine_topk, ivf_topk, knn_join_bruteforce, lsh_topk
 from .registry import CATALOG, QuerySpec, engine_for
 from .streaming.pipeline import (
+    dimension_enriched_counts,
     purchase_attribution,
     session_counts,
     sliding_counts,
@@ -737,6 +738,26 @@ _reg(
     "SELECT min(ts) AS session_start, user_id, count(*) AS n_events "
     "FROM g GROUP BY user_id, sid",
     "session windows (30 min gap) — gaps-and-islands oracle",
+)
+
+
+def _st_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = engine_for(spark, sf_dir)
+    return dimension_enriched_counts(
+        eng.spark.table("events"), eng.spark.table("customer")
+    ).orderBy("segment", "event_type")
+
+
+_reg(
+    "st_static_join",
+    _st_static_join,
+    "SELECT c_mktsegment AS segment, event_type, count(*) AS n, "
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM events JOIN customer ON user_id = c_custkey "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+    "stream-static dimension enrichment (broadcast dim join + per-"
+    "segment aggregate; identical code runs on readStream — batch≡"
+    "stream gate in test_streaming)",
 )
 
 # --------------------------------------------------------------------------

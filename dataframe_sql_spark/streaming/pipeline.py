@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_events_stream",
     "tumbling_counts",
+    "dimension_enriched_counts",
     "sliding_counts",
     "session_counts",
     "dedup_events",
@@ -84,6 +85,43 @@ def tumbling_counts(events: DataFrame, size: str = "1 hour", watermark: str = "1
             "event_type",
             "n",
             "sum_value",
+        )
+    )
+
+
+def dimension_enriched_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    dim_key: str = "c_custkey",
+    seg_col: str = "c_mktsegment",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a slowly-
+    changing dimension, then aggregate per segment.
+
+    The static side is broadcast and re-resolved each micro-batch
+    (stateless — the only streaming state is the aggregation's), which
+    is THE pattern for enriching a high-volume stream with dimension
+    attributes at scale: no stream-side repartition, no join state, and
+    a dimension update is picked up by the next micro-batch without
+    restarting the query. Aggregate sums go through DECIMAL(18,2) so
+    batch and stream (and the DuckDB oracle) agree bit-for-bit.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    d = F.broadcast(
+        dim.select(
+            F.col(dim_key).alias(key_col), F.col(seg_col).alias("segment")
+        )
+    )
+    return (
+        src.join(d, key_col)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 

@@ -303,3 +303,19 @@ def test_streaming_cms_accumulates_across_batches(spark, tmp_path):
     }
     assert est["hot"] >= 150
     assert est["b1_k3"] >= 1
+
+
+def test_stream_static_join_matches_batch(spark, engine, events_stream):
+    from dataframe_sql_spark.streaming.pipeline import dimension_enriched_counts
+
+    dim = engine.spark.table("customer")
+    batch = dimension_enriched_counts(engine.spark.table("events"), dim)
+    streamed = run_stream_to_memory(
+        dimension_enriched_counts(events_stream, dim),
+        "t_static_join",
+        spark,
+        output_mode="complete",
+    )
+    b = {(r.segment, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
+    s = {(r.segment, r.event_type): (r.n, r.sum_value) for r in streamed.collect()}
+    assert b == s and len(b) > 0

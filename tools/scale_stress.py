@@ -217,6 +217,129 @@ def op_lm_score(spark: SparkSession, r: int) -> int:
     return _force(bigram_lm_scores(scaled_documents(spark, r), "doc_id", "text"))
 
 
+def scaled_events(spark: SparkSession, r: int) -> DataFrame:
+    """Events replicated with each replica shifted to a disjoint month:
+    a longer STREAM, not a denser one — intervals per corpus grow R×
+    while events per interval stay constant (the honest range-join
+    workload; un-shifted replicas would grow join output as R²)."""
+    from dataframe_sql_spark.sources.io import read_table
+
+    ev = read_table(spark, SF_DIR, "events")
+    rep = _replicate(ev, r)
+    return rep.select(
+        (F.col("event_id") * r + F.col("__rep")).alias("event_id"),
+        (
+            F.col("ts")
+            + F.make_interval(days=F.col("__rep") * F.lit(31))
+        ).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def scaled_customers(spark: SparkSession, r: int) -> DataFrame:
+    """Customers replicated with replica-salted nation keys: block
+    COUNT grows R×, block SIZE stays constant — modeling a properly
+    configured blocking key (the operator docstrings require block keys
+    that bound group size; an un-salted replica would instead grow each
+    block R× and the per-block quadratic as R²)."""
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    rep = _replicate(cust, r)
+    return rep.select(
+        (F.col("c_custkey") * r + F.col("__rep")).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("__rep")).alias("c_name"),
+        (F.col("c_nationkey") + F.col("__rep") * 25).alias("c_nationkey"),
+    )
+
+
+def op_range_join(spark: SparkSession, r: int) -> int:
+    from dataframe_sql_spark.operators.joins import range_join
+
+    ev = scaled_events(spark, r)
+    inc = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 20 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end_ts"),
+    )
+    hits = range_join(
+        ev.select("event_id", "ts", "value"),
+        inc,
+        "ts",
+        "start_ts",
+        "end_ts",
+        bucket_granularity="hour",
+    )
+    return _force(
+        hits.groupBy("incident_id").agg(F.count("*").alias("n_events"))
+    )
+
+
+def op_record_linkage(spark: SparkSession, r: int) -> int:
+    from dataframe_sql_spark.operators.joins import best_match_linkage
+
+    cust = scaled_customers(spark, r)
+    dirty = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        F.col("c_custkey").alias("d_id"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("d_name"),
+        "c_nationkey",
+    )
+    return _force(
+        best_match_linkage(
+            dirty, cust, ["c_nationkey"], "d_id", "c_custkey", "d_name", "c_name"
+        )
+    )
+
+
+def op_sorted_neighborhood(spark: SparkSession, r: int) -> int:
+    from dataframe_sql_spark.operators.joins import sorted_neighborhood_pairs
+
+    cust = scaled_customers(spark, r)
+    pairs = sorted_neighborhood_pairs(cust, ["c_name"], "c_custkey", window=3)
+    names = cust.select("c_custkey", "c_name")
+    scored = (
+        pairs.join(
+            names.select(
+                F.col("c_custkey").alias("id_a"), F.col("c_name").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            names.select(
+                F.col("c_custkey").alias("id_b"), F.col("c_name").alias("n_b")
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", F.levenshtein("n_a", "n_b").alias("d"))
+    )
+    return _force(scored.filter(F.col("d") <= 2))
+
+
+def op_triangles(spark: SparkSession, r: int) -> int:
+    """Production composition: LSH candidates → exact-verified edges →
+    degree-oriented triangle listing (the certificate entry's complete
+    shingle-sharing generator is certificate-only — quadratic in shingle
+    document frequency, infeasible and unnecessary at stress scale)."""
+    from dataframe_sql_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+    from dataframe_sql_spark.operators.graph import triangle_list
+
+    docs = scaled_documents(spark, r)
+    edges = ngram_jaccard_pairs(
+        docs,
+        minhash_candidate_pairs(docs, "doc_id", "text"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        hashed=True,
+    ).select("id_a", "id_b")
+    return _force(triangle_list(edges, "id_a", "id_b"))
+
+
 OPS = {
     "dd_minhash_pairs": op_minhash_pairs,
     "dd_simhash": op_simhash,
@@ -228,6 +351,10 @@ OPS = {
     "dd_lines": op_line_dedup,
     "emb_kmeans": op_kmeans,
     "txt_lm_score": op_lm_score,
+    "j_range_incidents": op_range_join,
+    "x_record_linkage": op_record_linkage,
+    "x_sorted_neighborhood": op_sorted_neighborhood,
+    "g_triangles": op_triangles,
 }
 
 
