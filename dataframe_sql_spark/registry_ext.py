@@ -3622,6 +3622,114 @@ _reg(
 )
 
 
+def _ewma_sql() -> str:
+    """Shared EWMA text for both engines (alpha=1/2, lookback 8).
+
+    Powers of 1/2 are EXACT doubles, and both engines parse the +
+    chain left-associated, so numerator/denominator bits agree without
+    any decimal detour; round(.,4) guards the division's last ulp.
+    Bounded lookback (8 lags) keeps it a fixed-width window — the
+    streaming/window-function form of smoothing, not the recursive
+    full-history EWMA (which needs a stateful scan and is run through
+    applyInPandasWithState at 100 TB).
+    """
+    w = "over (partition by user_id order by ts, event_id)"
+    num = ["value"]
+    den = ["1.0"]
+    for j in range(1, 8):
+        c = 0.5**j
+        num.append(f"coalesce(lag(value, {j}) {w}, 0) * {c!r}")
+        den.append(f"case when lag(value, {j}) {w} is null then 0 else {c!r} end")
+    return (
+        "select event_id, user_id, ts, round(("
+        + " + ".join(num)
+        + ") / ("
+        + " + ".join(den)
+        + "), 4) as ewma from events"
+    )
+
+
+_reg_sql(
+    "ts_ewma",
+    _ewma_sql(),
+    None,  # identical SQL runs on DuckDB
+    "per-user exponentially-weighted moving average (alpha=1/2, "
+    "8-lag bounded window): exact power-of-two weights, one user_id "
+    "shuffle",
+)
+
+
+def _x_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training.
+
+    Every doc draws 4 pseudo-random partners via the repo's
+    engine-portable md5 coin (no RNG — reruns, retries, and the DuckDB
+    oracle agree exactly): partner position = md5(doc_id:neg:j) mod N,
+    mapped back to a doc through a dense position index built by the
+    two-pass global rank (no SinglePartition window). Self-draws are
+    dropped rather than redrawn, so the expected negatives per doc is
+    4·(N-1)/N — the standard accept-reject simplification.
+
+    Plan: rank (two range-partitioned passes) + 1-row count broadcast +
+    one position equi-join. At 100 TB the index build amortizes across
+    every epoch's sampling pass.
+    """
+    from .operators.rank import global_rank
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    idx = global_rank(docs, [("doc_id", True)], out_col="pos")
+    n1 = idx.agg(F.count("*").alias("__n"))
+    probes = idx.crossJoin(F.broadcast(n1)).select(
+        "doc_id",
+        "pos",
+        "__n",
+        F.explode(F.array(*[F.lit(j) for j in range(1, 5)])).alias("j"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":neg:"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    probes = probes.withColumn("tpos", (h % F.col("__n")) + 1).filter(
+        F.col("tpos") != F.col("pos")
+    )
+    return (
+        probes.join(
+            idx.select(F.col("pos").alias("tpos"), F.col("doc_id").alias("neg_id")),
+            "tpos",
+        )
+        .select("doc_id", F.col("j").cast("bigint").alias("j"), "neg_id")
+        .orderBy("doc_id", "j")
+    )
+
+
+_reg(
+    "x_negative_pairs",
+    _x_negative_pairs,
+    "WITH idx AS (SELECT doc_id,"
+    " row_number() OVER (ORDER BY doc_id) AS pos FROM documents), "
+    "probes AS (SELECT doc_id, pos, j,"
+    " (('0x' || substr(md5(doc_id || ':neg:' || j), 1, 8))::BIGINT"
+    "  % (SELECT count(*) FROM documents)) + 1 AS tpos"
+    " FROM idx, (VALUES (1), (2), (3), (4)) AS js(j)) "
+    "SELECT p.doc_id, p.j::BIGINT AS j, t.doc_id AS neg_id "
+    "FROM probes p JOIN idx t ON t.pos = p.tpos "
+    "WHERE p.tpos <> p.pos ORDER BY p.doc_id, p.j",
+    "deterministic contrastive negative sampling (md5 coin mod N onto "
+    "a dense position index; ~4 negatives per doc, bit-exact oracle)",
+)
+
+
 _BENCH_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 _BENCH_SQL = ", ".join(f"'{s}'" for s in _BENCH_SOURCES)
 

@@ -35,6 +35,7 @@ _RUNS_JOBS = {
     "x_dataset_mix",
     "x_global_shuffle",
     "pipe_curation",
+    "x_negative_pairs",
 }
 
 # CROSS JOIN is these entries' declared semantics (reference grammar
@@ -70,6 +71,9 @@ _CARTESIAN_OK = {
     # two-pass ntile attaches the 1-row corpus count via broadcast
     # cross join (the price of removing the SinglePartition window)
     "x_quality_buckets",
+    # negative sampling attaches the 1-row corpus count the same way
+    # before the md5-mod-N position draw
+    "x_negative_pairs",
 }
 
 # BatchEvalPython = row-at-a-time Python UDF — never acceptable in this
