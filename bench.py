@@ -108,6 +108,12 @@ PIPELINE_OPS = [
     "a_hist_quantile_rollup",
     "a_cms_heavy_hitters",
     "sim_ann_ivfpq",
+    # round-3c additions: range join, sorted-neighborhood linkage,
+    # stream-static enrichment, EWMA smoothing
+    "j_range_incidents",
+    "x_sorted_neighborhood",
+    "st_static_join",
+    "ts_ewma",
 ]
 
 
