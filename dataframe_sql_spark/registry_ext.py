@@ -3730,6 +3730,39 @@ _reg(
 )
 
 
+_reg_sql(
+    "x_snapshot_diff",
+    # CDC snapshot diff: classify every key as added / removed /
+    # changed / unchanged between two table versions via one full
+    # outer join on the key — the incremental-sync primitive (feeds
+    # merge_upsert and the SCD2 builder). v2 is derived
+    # deterministically from v1 so both engines see identical inputs:
+    # doc_id % 11 == 0 rows are dropped (deletes), % 7 == 0 rows get
+    # re-sourced (updates), and fresh keys are appended (inserts).
+    # Comparing a content hash (md5 of the row's business columns)
+    # instead of column-by-column equality is the 100 TB form: one
+    # fixed-width comparison regardless of schema width.
+    "with v1 as (select doc_id, md5(concat(text, '|', source)) as h "
+    "from documents), "
+    "v2 as (select doc_id, md5(concat(text, '|', "
+    "case when doc_id % 7 = 0 then 'moved' else source end)) as h "
+    "from documents where doc_id % 11 <> 0 "
+    "union all select doc_id + 1000000 as doc_id, md5(concat(text, '|new')) "
+    "as h from documents where doc_id % 13 = 0), "
+    "j as (select coalesce(v1.doc_id, v2.doc_id) as doc_id, "
+    "v1.h as h1, v2.h as h2 from v1 full outer join v2 "
+    "on v1.doc_id = v2.doc_id) "
+    "select doc_id, case when h1 is null then 'added' "
+    "when h2 is null then 'removed' "
+    "when h1 <> h2 then 'changed' else 'unchanged' end as change "
+    "from j order by doc_id",
+    None,  # identical SQL runs on DuckDB
+    "CDC snapshot diff: added/removed/changed/unchanged per key via "
+    "one full outer join on content hashes (fixed-width compare, "
+    "schema-independent)",
+)
+
+
 _BENCH_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 _BENCH_SQL = ", ".join(f"'{s}'" for s in _BENCH_SOURCES)
 
