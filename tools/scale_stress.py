@@ -317,6 +317,99 @@ def op_sorted_neighborhood(spark: SparkSession, r: int) -> int:
     return _force(scored.filter(F.col("d") <= 2))
 
 
+def op_containment(spark: SparkSession, r: int) -> int:
+    """Blocked containment with replica-salted block keys: block count
+    grows R×, block size constant — the configured-blocking contract
+    (un-salted, the fixed 100-block (lang, source) space would grow
+    each block R× and the in-block quadratic as R²)."""
+    from dataframe_sql_spark.operators.dedup import shingle_frame
+
+    # replica id recovered from the remapped key (doc_id = orig*r + rep)
+    docs = scaled_documents(spark, r).withColumn(
+        "lang", F.concat(F.col("lang"), F.lit("#"), F.col("doc_id") % r)
+    )
+    sh = shingle_frame(docs, "doc_id", "text", extra_cols=("lang", "source"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    smaller = F.least(F.size(F.col("a.__sh")), F.size(F.col("b.__sh")))
+    return _force(
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            inter.alias("inter"),
+            smaller.alias("smaller"),
+        )
+    )
+
+
+def op_ewma(spark: SparkSession, r: int) -> int:
+    """Per-user 8-lag EWMA over the time-shifted replicated stream:
+    rows per user grow R×; one user_id shuffle + per-user sort."""
+    ev = scaled_events(spark, r)
+    w = "over (partition by user_id order by ts, event_id)"
+    num = ["value"] + [
+        f"coalesce(lag(value, {j}) {w}, 0) * {0.5 ** j!r}" for j in range(1, 8)
+    ]
+    den = ["1.0"] + [
+        f"case when lag(value, {j}) {w} is null then 0 else {0.5 ** j!r} end"
+        for j in range(1, 8)
+    ]
+    ev.createOrReplaceTempView("__ewma_src")
+    out = spark.sql(
+        "select event_id, user_id, (("
+        + " + ".join(num)
+        + ") / ("
+        + " + ".join(den)
+        + ")) as ewma from __ewma_src"
+    )
+    return _force(out)
+
+
+def op_negative_pairs(spark: SparkSession, r: int) -> int:
+    """md5-mod-N negative draws over a replicated doc index: rank build
+    + 1-row count broadcast + position equi-join, all linear."""
+    from dataframe_sql_spark.operators.rank import global_rank
+
+    docs = scaled_documents(spark, r).select("doc_id")
+    idx = global_rank(docs, [("doc_id", True)], out_col="pos")
+    n1 = idx.agg(F.count("*").alias("__n"))
+    probes = idx.crossJoin(F.broadcast(n1)).select(
+        "doc_id",
+        "pos",
+        "__n",
+        F.explode(F.array(*[F.lit(j) for j in range(1, 5)])).alias("j"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":neg:"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    probes = probes.withColumn("tpos", (h % F.col("__n")) + 1).filter(
+        F.col("tpos") != F.col("pos")
+    )
+    return _force(
+        probes.join(
+            idx.select(F.col("pos").alias("tpos"), F.col("doc_id").alias("neg_id")),
+            "tpos",
+        ).select("doc_id", "j", "neg_id")
+    )
+
+
 def op_triangles(spark: SparkSession, r: int) -> int:
     """Production composition: LSH candidates → exact-verified edges →
     degree-oriented triangle listing (the certificate entry's complete
@@ -355,6 +448,9 @@ OPS = {
     "x_record_linkage": op_record_linkage,
     "x_sorted_neighborhood": op_sorted_neighborhood,
     "g_triangles": op_triangles,
+    "dd_containment": op_containment,
+    "ts_ewma": op_ewma,
+    "x_negative_pairs": op_negative_pairs,
 }
 
 
