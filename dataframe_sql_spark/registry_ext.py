@@ -3730,6 +3730,50 @@ _reg(
 )
 
 
+def _dd_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix — the corpus diagnostic
+    behind mixture design and leakage audits: two sources sharing a
+    large fraction of their 3-gram vocabulary double-count under naive
+    mixing weights. Shuffles on the 8-byte shingle identity (distinct
+    (source, gram) first, so the join input is vocabulary-sized, not
+    corpus-sized); least/greatest is unnecessary because the a < b
+    join direction already folds each pair once.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = shingle_frame(docs, "doc_id", "text", extra_cols=("source",))
+    sg = sh.select("source", F.explode("__sh").alias("g")).distinct()
+    return (
+        sg.alias("a")
+        .join(
+            sg.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+_reg(
+    "dd_overlap_matrix",
+    _dd_overlap_matrix,
+    r"WITH w AS (SELECT doc_id, source,"
+    r" string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents), "
+    r"sh AS (SELECT doc_id, source,"
+    r" list_transform(range(1, greatest(len(ws) - 2, 1) + 1),"
+    r"  i -> array_to_string(ws[i:i+2], ' ')) AS s FROM w), "
+    r"sg AS (SELECT DISTINCT source, unnest(s) AS g FROM sh) "
+    r"SELECT a.source AS src_a, b.source AS src_b,"
+    r" count(*)::BIGINT AS n_shared_grams "
+    r"FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source "
+    r"GROUP BY a.source, b.source ORDER BY src_a, src_b",
+    "cross-source 3-gram vocabulary overlap matrix (distinct-first "
+    "join is vocabulary-sized) — mixture/leakage diagnostic",
+)
+
 _reg_sql(
     "x_snapshot_diff",
     # CDC snapshot diff: classify every key as added / removed /
