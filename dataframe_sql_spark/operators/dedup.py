@@ -589,6 +589,61 @@ def substring_span_stats(
     )
 
 
+def substring_span_remove(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Exact substring-span REMOVAL (the action behind
+    :func:`substring_span_stats`'s measurement): rewrite every document
+    with corpus-duplicated k-gram spans cut out, keeping the globally
+    first occurrence of each gram (Lee et al. 2022 keep-one policy —
+    deterministic: first = min (id, pos) over the corpus).
+
+    Plan shape: positional gram hashes (map-side) → one row_number
+    window on the 8-byte gram hash (THE corpus-wide shuffle — same key
+    and volume as the stats aggregate) → non-first occurrences explode
+    to their k covered token positions (bounded ×k fan-out) → tokens
+    anti-join coverage → per-doc ordered rebuild (collect_list +
+    array_sort, deterministic because positions are unique). Documents
+    whose every token is covered survive with empty text, so row count
+    is input-stable.
+
+    Returns (id, clean_text, kept_tokens).
+    """
+    from pyspark.sql import Window
+
+    grams = kgram_positions(df, id_col, text_col, k)
+    w = Window.partitionBy("gh").orderBy(F.col(id_col), F.col("pos"))
+    dup_occ = grams.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") > 1
+    )
+    covered = dup_occ.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+    ).distinct()
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__p0", "__w"),
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("p"), "__w")
+    kept = words.join(covered, on=[id_col, "p"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "__w"))),
+                lambda x: x["__w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return df.select(F.col(id_col)).join(rebuilt, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("__n", F.lit(0)).cast("bigint").alias("kept_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # simhash
 # --------------------------------------------------------------------------

@@ -2142,6 +2142,50 @@ _reg(
 )
 
 
+def _dd_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import substring_span_remove
+
+    return substring_span_remove(_docs(spark, sf_dir), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+_reg(
+    "dd_substring_remove",
+    _dd_substring_remove,
+    # Same gram construction as the dd_substring_spans oracle; keep-one
+    # = global first occurrence per gram by (doc_id, pos).
+    r"WITH words AS (SELECT doc_id, "
+    r"string_split_regex(trim(lower(text)), '\s+') AS w FROM documents), "
+    r"pos AS (SELECT doc_id, w, "
+    r"unnest(generate_series(1, greatest(len(w) - 4, 1))) AS pos FROM words), "
+    r"grams AS (SELECT doc_id, pos, "
+    r"w[pos] || ' ' || w[least(pos+1, len(w))] || ' ' || "
+    r"w[least(pos+2, len(w))] || ' ' || w[least(pos+3, len(w))] || ' ' || "
+    r"w[least(pos+4, len(w))] AS g FROM pos), "
+    r"occ AS (SELECT doc_id, pos, row_number() OVER "
+    r"(PARTITION BY g ORDER BY doc_id, pos) AS rn FROM grams), "
+    r"cov AS (SELECT DISTINCT doc_id, pos + o.o AS p FROM occ "
+    r"CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o) o "
+    r"WHERE rn > 1), "
+    r"tok AS (SELECT doc_id, w, "
+    r"unnest(generate_series(1, len(w))) AS p FROM words), "
+    r"tok2 AS (SELECT doc_id, p, w[p] AS word FROM tok), "
+    r"kept AS (SELECT t.doc_id, t.p, t.word FROM tok2 t "
+    r"LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p "
+    r"WHERE c.p IS NULL), "
+    r"reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text, "
+    r"count(*) AS n FROM kept GROUP BY doc_id) "
+    r"SELECT d.doc_id, coalesce(reb.clean_text, '') AS clean_text, "
+    r"coalesce(reb.n, 0)::BIGINT AS kept_tokens "
+    r"FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id "
+    r"ORDER BY d.doc_id",
+    "exact substring-span REMOVAL (keep-one policy: globally first "
+    "occurrence per duplicated 5-gram survives; covered spans cut, "
+    "text rebuilt) — the action behind dd_substring_spans' measurement",
+)
+
+
 def _dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: drop training docs sharing any exact
     word 8-gram with the benchmark set (docs < 50 stand in for the

@@ -161,3 +161,37 @@ def test_simhash_multiprobe_improves_recall_vs_default(spark):
     }
     assert base <= probed
     assert len(probed) > len(base)
+
+
+def test_substring_span_remove_keep_one_policy(spark):
+    import pandas as pd
+
+    from dataframe_sql_spark.operators.dedup import substring_span_remove
+
+    boiler = "subscribe to our newsletter for updates every single day thanks"  # 10 words
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta " + boiler,
+                "one two three four five six seven eight nine " + boiler,
+                "totally unique words without any repeated gram content at all",
+                boiler,  # exact copy of the boilerplate only
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_span_remove(
+            spark.createDataFrame(rows), "doc_id", "text", k=5
+        ).collect()
+    }
+    # doc 1 holds the globally first occurrence of every boiler gram ->
+    # keeps ALL its tokens (18); docs 2 and 4 lose the covered span
+    assert out[1]["kept_tokens"] == 18 and boiler in out[1]["clean_text"]
+    assert out[2]["kept_tokens"] == 9  # own prefix survives, boiler cut
+    assert boiler not in out[2]["clean_text"]
+    assert out[2]["clean_text"] == "one two three four five six seven eight nine"
+    # doc 3 untouched; doc 4 fully covered -> empty but still a row
+    assert out[3]["kept_tokens"] == 10
+    assert out[4]["kept_tokens"] == 0 and out[4]["clean_text"] == ""
