@@ -607,6 +607,13 @@ def substring_span_remove(
     whose every token is covered survive with empty text, so row count
     is input-stable.
 
+    The text is deliberately tokenized TWICE (once per scan: gram
+    branch and rebuild branch). The alternative — one positional
+    explode feeding both branches — would need either a materialized
+    intermediate larger than the input or a lead(k-1) window adding a
+    second per-doc shuffle; at scale a repeated codegen split in an
+    extra scan is cheaper than an extra exchange.
+
     Returns (id, clean_text, kept_tokens).
     """
     from pyspark.sql import Window

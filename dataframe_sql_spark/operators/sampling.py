@@ -31,6 +31,7 @@ __all__ = [
     "stratified_hash_sample",
     "dataset_mix",
     "global_shuffle",
+    "negative_pairs",
 ]
 
 _HEX_SPACE = 16**8
@@ -204,3 +205,54 @@ def dataset_mix(
     return stratified_hash_sample(
         df, id_col, source_col, fractions, seed=seed, default_fraction=0.0
     )
+
+
+def negative_pairs(df: DataFrame, id_col: str, k: int = 4) -> DataFrame:
+    """Deterministic negative sampling for contrastive training.
+
+    Every row draws ``k`` pseudo-random partners via the repo's
+    engine-portable md5 coin (no RNG — reruns, retries, and a SQL
+    oracle agree exactly): partner position = md5(id:neg:j) mod N,
+    mapped back to a row through a dense position index built by the
+    two-pass global rank (no SinglePartition window). Self-draws are
+    dropped rather than redrawn, so the expected negatives per row is
+    k·(N-1)/N — the standard accept-reject simplification.
+
+    Plan: rank (two range-partitioned passes) + 1-row count broadcast +
+    one position equi-join. At 100 TB the index build amortizes across
+    every epoch's sampling pass.
+
+    Returns (id_col, j, neg_id) with j in 1..k (bigint).
+    """
+    from .rank import global_rank
+
+    idx = global_rank(df.select(id_col), [(id_col, True)], out_col="pos")
+    n1 = idx.agg(F.count("*").alias("__n"))
+    probes = idx.crossJoin(F.broadcast(n1)).select(
+        id_col,
+        "pos",
+        "__n",
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":neg:"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    probes = probes.withColumn("tpos", (h % F.col("__n")) + 1).filter(
+        F.col("tpos") != F.col("pos")
+    )
+    return probes.join(
+        idx.select(F.col("pos").alias("tpos"), F.col(id_col).alias("neg_id")),
+        "tpos",
+    ).select(id_col, F.col("j").cast("bigint").alias("j"), "neg_id")

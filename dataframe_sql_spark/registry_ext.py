@@ -184,6 +184,38 @@ _reg(
     "min-id survivor per cluster (closes A~B~C chains pairwise dedup misses)",
 )
 
+def _shingle_sharing_candidates(docs: DataFrame) -> DataFrame:
+    """Complete shingle-sharing candidate superset (id_a < id_b): a
+    pair with any word-shingle Jaccard > 0 must share a shingle, so
+    every positive pair is a candidate. CERTIFICATE-ONLY generator —
+    quadratic in shingle document frequency; the production path is
+    LSH banding. Shared by the clusters/estimation/triangle/fuzzy
+    certificates so the construction cannot drift between them.
+    """
+    ex = (
+        shingle_frame(docs, "doc_id", "text")
+        .select("doc_id", F.explode("__sh").alias("g"))
+        .distinct()
+    )
+    return (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _verified_edges(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard >= threshold edges over the complete candidate
+    superset — the oracle-able edge set for the graph certificates."""
+    return ngram_jaccard_pairs(
+        docs, _shingle_sharing_candidates(docs), "doc_id", "text", threshold=threshold
+    ).select("id_a", "id_b")
+
+
 # Shared DuckDB CTE text: word-shingle (k=3) lists per doc, identical to
 # the dd_ngram_jaccard oracle's formulation (which hash-matches the Spark
 # shingle_frame path).
@@ -265,24 +297,7 @@ def _dd_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators.graph import connected_components
 
-    docs = _docs(spark, sf_dir)
-    ex = (
-        shingle_frame(docs, "doc_id", "text")
-        .select("doc_id", F.explode("__sh").alias("g"))
-        .distinct()
-    )
-    cand = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    edges = ngram_jaccard_pairs(docs, cand, "doc_id", "text", threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    edges = _verified_edges(_docs(spark, sf_dir), threshold=0.5)
     return connected_components(edges).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
@@ -3507,18 +3522,9 @@ def _dd_minhash_est_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     one short-doc outlier) and 0.0543 at sf0.01 (25 pairs).
     """
     docs = _docs(spark, sf_dir)
-    sh = shingle_frame(docs, "doc_id", "text")
-    ex = sh.select("doc_id", F.explode("__sh").alias("g")).distinct()
-    cand = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    exact = ngram_jaccard_pairs(
+        docs, _shingle_sharing_candidates(docs), "doc_id", "text", threshold=0.5
     )
-    exact = ngram_jaccard_pairs(docs, cand, "doc_id", "text", threshold=0.5)
     h = hashed_shingle_frame(docs, "doc_id", "text")
     raw = h.select("doc_id", oph_raw_lanes(F.col("__h"), 64).alias("__raw"))
     sig = raw.select(
@@ -3666,13 +3672,14 @@ _reg(
 )
 
 
-def _ewma_sql() -> str:
-    """Shared EWMA text for both engines (alpha=1/2, lookback 8).
+def _ewma_sql(table: str = "events", round4: bool = True, with_ts: bool = True) -> str:
+    """Shared EWMA text for both engines AND the scale-stress harness
+    (alpha=1/2, current row + 7 lags = an 8-term bounded window).
 
     Powers of 1/2 are EXACT doubles, and both engines parse the +
     chain left-associated, so numerator/denominator bits agree without
     any decimal detour; round(.,4) guards the division's last ulp.
-    Bounded lookback (8 lags) keeps it a fixed-width window — the
+    The bounded window keeps it a fixed-width window function — the
     streaming/window-function form of smoothing, not the recursive
     full-history EWMA (which needs a stateful scan and is run through
     applyInPandasWithState at 100 TB).
@@ -3684,13 +3691,11 @@ def _ewma_sql() -> str:
         c = 0.5**j
         num.append(f"coalesce(lag(value, {j}) {w}, 0) * {c!r}")
         den.append(f"case when lag(value, {j}) {w} is null then 0 else {c!r} end")
-    return (
-        "select event_id, user_id, ts, round(("
-        + " + ".join(num)
-        + ") / ("
-        + " + ".join(den)
-        + "), 4) as ewma from events"
-    )
+    expr = "(" + " + ".join(num) + ") / (" + " + ".join(den) + ")"
+    if round4:
+        expr = f"round({expr}, 4)"
+    cols = "event_id, user_id, ts, " if with_ts else "event_id, user_id, "
+    return f"select {cols}{expr} as ewma from {table}"
 
 
 _reg_sql(
@@ -3698,62 +3703,19 @@ _reg_sql(
     _ewma_sql(),
     None,  # identical SQL runs on DuckDB
     "per-user exponentially-weighted moving average (alpha=1/2, "
-    "8-lag bounded window): exact power-of-two weights, one user_id "
-    "shuffle",
+    "current row + 7 lags: 8-term bounded window): exact power-of-two "
+    "weights, one user_id shuffle",
 )
 
 
 def _x_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic negative sampling for contrastive training.
+    """Catalog wrapper for :func:`operators.sampling.negative_pairs`
+    (the md5-mod-N contrastive negative sampler; see its docstring for
+    the plan shape and determinism argument)."""
+    from .operators.sampling import negative_pairs
 
-    Every doc draws 4 pseudo-random partners via the repo's
-    engine-portable md5 coin (no RNG — reruns, retries, and the DuckDB
-    oracle agree exactly): partner position = md5(doc_id:neg:j) mod N,
-    mapped back to a doc through a dense position index built by the
-    two-pass global rank (no SinglePartition window). Self-draws are
-    dropped rather than redrawn, so the expected negatives per doc is
-    4·(N-1)/N — the standard accept-reject simplification.
-
-    Plan: rank (two range-partitioned passes) + 1-row count broadcast +
-    one position equi-join. At 100 TB the index build amortizes across
-    every epoch's sampling pass.
-    """
-    from .operators.rank import global_rank
-
-    docs = _docs(spark, sf_dir).select("doc_id")
-    idx = global_rank(docs, [("doc_id", True)], out_col="pos")
-    n1 = idx.agg(F.count("*").alias("__n"))
-    probes = idx.crossJoin(F.broadcast(n1)).select(
-        "doc_id",
-        "pos",
-        "__n",
-        F.explode(F.array(*[F.lit(j) for j in range(1, 5)])).alias("j"),
-    )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("doc_id").cast("string"),
-                    F.lit(":neg:"),
-                    F.col("j").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    probes = probes.withColumn("tpos", (h % F.col("__n")) + 1).filter(
-        F.col("tpos") != F.col("pos")
-    )
-    return (
-        probes.join(
-            idx.select(F.col("pos").alias("tpos"), F.col("doc_id").alias("neg_id")),
-            "tpos",
-        )
-        .select("doc_id", F.col("j").cast("bigint").alias("j"), "neg_id")
-        .orderBy("doc_id", "j")
+    return negative_pairs(_docs(spark, sf_dir), "doc_id", k=4).orderBy(
+        "doc_id", "j"
     )
 
 
@@ -3826,7 +3788,10 @@ _reg_sql(
     # merge_upsert and the SCD2 builder). v2 is derived
     # deterministically from v1 so both engines see identical inputs:
     # doc_id % 11 == 0 rows are dropped (deletes), % 7 == 0 rows get
-    # re-sourced (updates), and fresh keys are appended (inserts).
+    # re-sourced (updates), and fresh keys are appended (inserts —
+    # mapped to -doc_id - 1, disjoint from the non-negative base key
+    # space at ANY row count; an additive offset would collide once
+    # the table outgrows it).
     # Comparing a content hash (md5 of the row's business columns)
     # instead of column-by-column equality is the 100 TB form: one
     # fixed-width comparison regardless of schema width.
@@ -3835,7 +3800,7 @@ _reg_sql(
     "v2 as (select doc_id, md5(concat(text, '|', "
     "case when doc_id % 7 = 0 then 'moved' else source end)) as h "
     "from documents where doc_id % 11 <> 0 "
-    "union all select doc_id + 1000000 as doc_id, md5(concat(text, '|new')) "
+    "union all select -doc_id - 1 as doc_id, md5(concat(text, '|new')) "
     "as h from documents where doc_id % 13 = 0), "
     "j as (select coalesce(v1.doc_id, v2.doc_id) as doc_id, "
     "v1.h as h1, v2.h as h2 from v1 full outer join v2 "
@@ -3962,21 +3927,7 @@ def _g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators.graph import triangle_list
 
-    docs = _docs(spark, sf_dir)
-    sh = shingle_frame(docs, "doc_id", "text")
-    ex = sh.select("doc_id", F.explode("__sh").alias("g")).distinct()
-    cand = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    edges = ngram_jaccard_pairs(docs, cand, "doc_id", "text", threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    edges = _verified_edges(_docs(spark, sf_dir), threshold=0.5)
     return triangle_list(edges, "id_a", "id_b").orderBy("a", "b", "c")
 
 

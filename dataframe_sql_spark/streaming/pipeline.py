@@ -96,6 +96,7 @@ def dimension_enriched_counts(
     dim_key: str = "c_custkey",
     seg_col: str = "c_mktsegment",
     watermark: str = "1 hour",
+    time_col: str = "ts",
 ) -> DataFrame:
     """Stream-static join: enrich the event stream with a slowly-
     changing dimension, then aggregate per segment.
@@ -108,7 +109,9 @@ def dimension_enriched_counts(
     restarting the query. Aggregate sums go through DECIMAL(18,2) so
     batch and stream (and the DuckDB oracle) agree bit-for-bit.
     """
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = (
+        events.withWatermark(time_col, watermark) if events.isStreaming else events
+    )
     d = F.broadcast(
         dim.select(
             F.col(dim_key).alias(key_col), F.col(seg_col).alias("segment")

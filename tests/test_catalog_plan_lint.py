@@ -20,8 +20,11 @@ from tests.conftest import SF_DIR
 
 # Entries whose construction itself runs Spark jobs (bounded: offset
 # collects, codebook/merge training, recall joins). They still get
-# linted — building them is just slower.
+# linted — building them is just slower. Documentation-only (no
+# assertion reads this set); keep it current so a slow lint build has
+# a named explanation.
 _RUNS_JOBS = {
+    "x_sorted_neighborhood",  # global_rank: eager checkpoint + offsets collect
     "w_rank",
     "w_rank_multi",
     "w_dense_rank",

@@ -348,65 +348,24 @@ def op_containment(spark: SparkSession, r: int) -> int:
 
 
 def op_ewma(spark: SparkSession, r: int) -> int:
-    """Per-user 8-lag EWMA over the time-shifted replicated stream:
-    rows per user grow R×; one user_id shuffle + per-user sort."""
-    ev = scaled_events(spark, r)
-    w = "over (partition by user_id order by ts, event_id)"
-    num = ["value"] + [
-        f"coalesce(lag(value, {j}) {w}, 0) * {0.5 ** j!r}" for j in range(1, 8)
-    ]
-    den = ["1.0"] + [
-        f"case when lag(value, {j}) {w} is null then 0 else {0.5 ** j!r} end"
-        for j in range(1, 8)
-    ]
-    ev.createOrReplaceTempView("__ewma_src")
-    out = spark.sql(
-        "select event_id, user_id, (("
-        + " + ".join(num)
-        + ") / ("
-        + " + ".join(den)
-        + ")) as ewma from __ewma_src"
+    """Per-user bounded-window EWMA over the time-shifted replicated
+    stream: rows per user grow R×; one user_id shuffle + per-user
+    sort. Query text is the SAME builder the catalog entry uses."""
+    from dataframe_sql_spark.registry_ext import _ewma_sql
+
+    scaled_events(spark, r).createOrReplaceTempView("__ewma_src")
+    return _force(
+        spark.sql(_ewma_sql(table="__ewma_src", round4=False, with_ts=False))
     )
-    return _force(out)
 
 
 def op_negative_pairs(spark: SparkSession, r: int) -> int:
-    """md5-mod-N negative draws over a replicated doc index: rank build
-    + 1-row count broadcast + position equi-join, all linear."""
-    from dataframe_sql_spark.operators.rank import global_rank
+    """md5-mod-N negative draws over a replicated doc index — the SAME
+    operator the catalog entry runs (shared via operators/sampling)."""
+    from dataframe_sql_spark.operators.sampling import negative_pairs
 
-    docs = scaled_documents(spark, r).select("doc_id")
-    idx = global_rank(docs, [("doc_id", True)], out_col="pos")
-    n1 = idx.agg(F.count("*").alias("__n"))
-    probes = idx.crossJoin(F.broadcast(n1)).select(
-        "doc_id",
-        "pos",
-        "__n",
-        F.explode(F.array(*[F.lit(j) for j in range(1, 5)])).alias("j"),
-    )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("doc_id").cast("string"),
-                    F.lit(":neg:"),
-                    F.col("j").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    probes = probes.withColumn("tpos", (h % F.col("__n")) + 1).filter(
-        F.col("tpos") != F.col("pos")
-    )
     return _force(
-        probes.join(
-            idx.select(F.col("pos").alias("tpos"), F.col("doc_id").alias("neg_id")),
-            "tpos",
-        ).select("doc_id", "j", "neg_id")
+        negative_pairs(scaled_documents(spark, r).select("doc_id"), "doc_id", k=4)
     )
 
 
