@@ -134,3 +134,17 @@ def test_global_shuffle_matches_naive_rank(engine):
     assert got == want
     # dense permutation 1..N
     assert sorted(got.values()) == list(range(1, len(got) + 1))
+
+
+def test_negative_pairs_deterministic_and_bounded(spark):
+    from dataframe_sql_spark.operators.sampling import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(40)], ["rid"])
+    a = {(r.rid, r.j, r.neg_id) for r in negative_pairs(df, "rid", k=3).collect()}
+    b = {(r.rid, r.j, r.neg_id) for r in negative_pairs(df, "rid", k=3).collect()}
+    assert a == b and len(a) > 0  # hash-deterministic across runs
+    assert all(1 <= j <= 3 for _, j, _ in a)
+    assert all(rid != neg for rid, _, neg in a)  # self-draws dropped
+    assert all(0 <= neg < 40 for _, _, neg in a)  # draws land in the corpus
+    # each row draws at most k, and most draws survive the self-filter
+    assert len(a) >= 40 * 3 * 0.9
