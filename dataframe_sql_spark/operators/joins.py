@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "asof_join",
     "range_join",
+    "interval_overlap_join",
     "symmetric_difference",
     "best_match_linkage",
     "sorted_neighborhood_pairs",
@@ -125,6 +126,56 @@ def range_join(
         .drop("__bs")
     )
     return lb.join(rb, (lb["__b"] == rb["__b"]) & range_cond).drop("__b")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_granularity: str | None = None,
+) -> DataFrame:
+    """Interval-overlap join: pairs where ``[ls, le) ∩ [rs, re) ≠ ∅``
+    (the condition ``ls < re AND rs < le``) — the second classic
+    temporal-join shape next to :func:`range_join`'s point-in-interval.
+
+    A naive overlap condition plans as a nested-loop join; with
+    ``bucket_granularity`` both sides explode onto the coarse time
+    buckets they span and the join becomes a bucket equi-join with the
+    residual overlap predicate — same rewrite (and same interval-width
+    ≲ few-buckets applicability note) as :func:`range_join`. A pair
+    overlapping several buckets matches in each, so the caller-visible
+    result is made distinct; pass inputs with key columns so the
+    distinct is well-defined.
+    """
+    cond = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    if bucket_granularity is None:
+        return left.join(right, cond)
+    g = bucket_granularity
+
+    def spanned(df: DataFrame, start: str, end: str) -> DataFrame:
+        return (
+            df.withColumn(
+                "__bs",
+                F.sequence(
+                    F.date_trunc(g, F.col(start)),
+                    F.date_trunc(g, F.col(end)),
+                    F.expr(f"INTERVAL 1 {g}"),
+                ),
+            )
+            .withColumn("__b", F.explode("__bs"))
+            .drop("__bs")
+        )
+
+    lb = spanned(left, left_start, left_end)
+    rb = spanned(right, right_start, right_end)
+    return (
+        lb.join(rb, (lb["__b"] == rb["__b"]) & cond).drop("__b").distinct()
+    )
 
 
 def symmetric_difference(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -3446,6 +3446,89 @@ _reg(
 )
 
 
+def _j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via the bucketed rewrite: which incident
+    windows (15 min after sampled error events) overlap which
+    maintenance windows (20 min after sampled signup events). The
+    DuckDB oracle runs the naive overlap inequality join."""
+    from .operators.joins import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    inc = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 5 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("i_end"),
+    )
+    mnt = ev.filter(
+        (F.col("event_type") == "signup") & (F.col("event_id") % 5 == 0)
+    ).select(
+        F.col("event_id").alias("maint_id"),
+        F.col("ts").alias("m_start"),
+        (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("m_end"),
+    )
+    out = interval_overlap_join(
+        inc, mnt, "i_start", "i_end", "m_start", "m_end", bucket_granularity="hour"
+    )
+    return out.select("incident_id", "maint_id").orderBy("incident_id", "maint_id")
+
+
+_reg(
+    "j_interval_overlap",
+    _j_interval_overlap,
+    "WITH inc AS (SELECT event_id AS incident_id, ts AS i_start,"
+    " ts + INTERVAL 60 MINUTE AS i_end FROM events"
+    " WHERE event_type = 'error' AND event_id % 5 = 0), "
+    "mnt AS (SELECT event_id AS maint_id, ts AS m_start,"
+    " ts + INTERVAL 60 MINUTE AS m_end FROM events"
+    " WHERE event_type = 'signup' AND event_id % 5 = 0) "
+    "SELECT incident_id, maint_id FROM inc JOIN mnt"
+    " ON i_start < m_end AND m_start < i_end "
+    "ORDER BY incident_id, maint_id",
+    "interval-overlap join (the second temporal-join shape) via the "
+    "bucketed equi-join rewrite; oracle runs the naive inequality join",
+)
+
+_reg_sql(
+    "x_score_calibration",
+    # Cross-source score calibration: replace a raw quality score with
+    # its within-source quantile (percent_rank) so a global threshold
+    # means the same thing for every source — the step before mixing
+    # when sources have incomparable score scales (a FineWeb-style
+    # classifier score on web text vs code). One shuffle on source;
+    # deterministic tiebreak by doc_id. percent_rank = (rank-1)/(n-1)
+    # is a ratio of small ints — bit-identical across engines.
+    "select doc_id, source, n_chars, "
+    "percent_rank() over (partition by source "
+    "order by n_chars, doc_id) as q "
+    "from documents order by doc_id",
+    None,  # identical SQL runs on DuckDB
+    "cross-source score calibration: within-source percent_rank "
+    "quantile replaces the raw score (comparable thresholds across "
+    "heterogeneous sources)",
+)
+
+_reg_sql(
+    "x_source_cap",
+    # Per-source volume cap: keep at most N docs per source,
+    # deterministically chosen by the md5 coin (not arrival order, so
+    # reruns and engines agree and no partition-order bias). The
+    # anti-skew guard for dominant domains before mixing: one shuffle
+    # on source, per-group top-N via ranked window.
+    "select doc_id, source from ("
+    "select doc_id, source, row_number() over (partition by source "
+    "order by md5(concat(cast(doc_id as string), ':cap42')), doc_id) as rn "
+    "from documents) t where rn <= 20 order by doc_id",
+    "SELECT doc_id, source FROM ("
+    "SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+    "ORDER BY md5(doc_id || ':cap42'), doc_id) AS rn "
+    "FROM documents) t WHERE rn <= 20 ORDER BY doc_id",
+    "per-source volume cap (keep <= N per source, md5-deterministic "
+    "choice) — dominant-domain anti-skew before mixing",
+)
+
+
 def _x_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: link dirty records back to a master table.
 

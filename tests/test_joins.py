@@ -146,3 +146,32 @@ def test_sorted_neighborhood_candidate_volume_is_linear(spark):
     n = sorted_neighborhood_pairs(df, ["name"], "rid", window=3).count()
     # exactly n*w - w*(w+1)/2 pairs (tail records have fewer neighbors)
     assert n == 100 * 3 - 6
+
+
+def test_interval_overlap_bucketed_equals_naive(spark):
+    from dataframe_sql_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(9), _ts(11)), (2, _ts(13), _ts(13, 30)), (3, _ts(20), _ts(21))],
+        ["lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts(10, 30), _ts(12)),  # overlaps 1
+            (20, _ts(11), _ts(13)),      # touches 1 at 11:00 -> half-open, no
+            (30, _ts(13, 15), _ts(14)),  # overlaps 2
+            (40, _ts(22), _ts(23)),      # overlaps nothing
+        ],
+        ["rid", "rs", "re"],
+    )
+    naive = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(left, right, "ls", "le", "rs", "re").collect()
+    }
+    bucketed = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_granularity="hour"
+        ).collect()
+    }
+    assert naive == bucketed == {(1, 10), (2, 30)}

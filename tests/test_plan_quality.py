@@ -428,7 +428,7 @@ def test_range_and_linkage_joins_are_hash_joins(spark):
     from tests.conftest import SF_DIR
 
     qs = entrymod.queries()
-    for name in ("j_range_incidents", "x_record_linkage"):
+    for name in ("j_range_incidents", "j_interval_overlap", "x_record_linkage"):
         df = qs[name](spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
