@@ -131,6 +131,24 @@ class SparkSqlEngine:
         self.spark.udf.register(name, udf)
         return udf
 
+    def register_table_function(self, name: str, cls, return_type: str):
+        """Register a Python UDTF (table function) for use in
+        ``query()`` SQL — the one-row-in/many-rows-out surface
+        (``SELECT ... FROM my_udtf(col)`` or LATERAL), complementing
+        the scalar/vectorized path of :meth:`register_function`.
+
+        ``cls`` is a class with an ``eval(self, *args)`` generator
+        method (Spark 3.5+ Python UDTF contract). UDTFs run row-at-a-
+        time in Python — fine for low-volume explode-like helpers; for
+        hot paths prefer built-in ``explode``/``transform`` or
+        Arrow-batched ``mapInPandas`` (see SCALE.md's UDF ladder).
+        """
+        from pyspark.sql.functions import udtf as _udtf
+
+        wrapped = _udtf(cls, returnType=return_type)
+        self.spark.udtf.register(name, wrapped)
+        return wrapped
+
 
 # -- module-level convenience API (drop-in for the reference import style) --
 _DEFAULT: SparkSqlEngine | None = None

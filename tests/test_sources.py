@@ -145,3 +145,33 @@ def test_synthetic_source_streams_deterministic_batches(spark, tmp_path):
     assert rows.count() >= 1000  # ≥2 micro-batches landed
     # event_ids unique across batches: offset ranges are disjoint
     assert rows.select("event_id").distinct().count() == rows.count()
+
+
+def test_register_table_function_udtf(engine):
+    """Python UDTF surface (§2.11 ext): one row in, many rows out,
+    callable from SQL as a table function with a correlated LATERAL."""
+
+    class SplitWords:
+        def eval(self, text: str, doc_id: int):
+            for i, w in enumerate(str(text).split()):
+                yield (doc_id, i, w)
+
+    engine.register_table_function(
+        "split_words", SplitWords, "doc_id bigint, idx int, word string"
+    )
+    out = engine.spark.sql(
+        "SELECT t.doc_id, t.idx, t.word FROM documents d, "
+        "LATERAL split_words(d.text, d.doc_id) t WHERE d.doc_id < 3"
+    ).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in engine.spark.sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 3"
+        ).collect()
+    }
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append((r.idx, r.word))
+    for did, text in docs.items():
+        words = text.split()
+        assert [w for _, w in sorted(got[did])] == words
