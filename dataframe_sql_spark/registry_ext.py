@@ -1710,6 +1710,97 @@ _reg_sql(
     "componentwise from the synthesized URL",
 )
 _reg_sql(
+    "f_url_canonicalize",
+    # Crawl-URL canonicalization — the normalization pass before
+    # dedup-by-URL: drop the fragment, strip utm_* tracking params
+    # (repairing the first separator if '?utm_' led the query string),
+    # lowercase the host but NOT the path (paths are case-significant).
+    # The messy URL is synthesized from columns so both engines see
+    # identical input. Spark regexp_replace is global by default;
+    # DuckDB needs the 'g' flag and \1 backreferences — hence two
+    # dialect texts for the same recipe.
+    "with u as (select doc_id, concat('https://', upper(source), "
+    "'.Example.COM/Docs/', cast(doc_id as string), "
+    "'?utm_source=x&lang=', lang, '&utm_campaign=y#frag') as url "
+    "from documents), "
+    "s as (select doc_id, url, regexp_replace(regexp_replace("
+    "regexp_replace(url, '#.*$', ''), '[?&]utm_[^&]*', ''), "
+    r"'^([^?]+)&', '$1?') as noq from u) "
+    "select doc_id, url, concat('https://', "
+    "lower(regexp_extract(noq, 'https://([^/]+)', 1)), "
+    "regexp_replace(noq, '^https://[^/]+', '')) as canonical_url "
+    "from s order by doc_id",
+    "WITH u AS (SELECT doc_id, 'https://' || upper(source) || "
+    "'.Example.COM/Docs/' || CAST(doc_id AS VARCHAR) || "
+    "'?utm_source=x&lang=' || lang || '&utm_campaign=y#frag' AS url "
+    "FROM documents), "
+    "s AS (SELECT doc_id, url, regexp_replace(regexp_replace("
+    "regexp_replace(url, '#.*$', ''), '[?&]utm_[^&]*', '', 'g'), "
+    r"'^([^?]+)&', '\1?') AS noq FROM u) "
+    "SELECT doc_id, url, 'https://' || "
+    "lower(regexp_extract(noq, 'https://([^/]+)', 1)) || "
+    "regexp_replace(noq, '^https://[^/]+', '') AS canonical_url "
+    "FROM s ORDER BY doc_id",
+    "URL canonicalization (fragment strip, utm param removal with "
+    "separator repair, host lowercased, path case preserved) — the "
+    "normalization before dedup-by-URL",
+)
+
+_reg_sql(
+    "ts_anomaly",
+    # Per-user z-score anomaly flags with EXACT cross-engine bits: the
+    # mean/variance come from DECIMAL-exact sums (sum v and sum v²),
+    # so mu, sd, and the |v - mu| > 2sd comparison evaluate the same
+    # IEEE expression tree in both engines — no rounding, no tolerance.
+    # Two shuffles (per-user moments, broadcast-sized stats join back).
+    # The streaming twin would keep (n, sv, sv2) as mergeable state.
+    "with s as (select user_id, count(*) as n, "
+    "cast(sum(cast(value as decimal(18,2))) as double) as sv, "
+    "cast(sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2)))"
+    " as double) as sv2 from events group by user_id), "
+    "m as (select user_id, n, sv / n as mu, "
+    "sqrt(greatest((sv2 - sv * sv / n) / (n - 1), 0)) as sd "
+    "from s where n >= 2) "
+    "select e.event_id, e.user_id, e.value, "
+    "abs(e.value - m.mu) > 2 * m.sd as is_anomaly "
+    "from events e join m on e.user_id = m.user_id order by e.event_id",
+    None,  # identical SQL runs on DuckDB
+    "per-user z-score anomaly flags (mean/std from decimal-exact "
+    "moment sums — bit-identical across engines, no tolerance)",
+)
+
+_reg_sql(
+    "txt_char_entropy",
+    # Character-level Shannon entropy per doc — the gibberish /
+    # base64-blob detector quality signal (natural text sits ~4 bits,
+    # uniform noise near log2(alphabet)). Positional explode differs
+    # by dialect; round(4) absorbs the summation-order last-ulp of
+    # the ~30-term -sum(p log2 p).
+    "with ch as (select doc_id, substr(text, p, 1) as c from ("
+    "select doc_id, text, explode(sequence(1, length(text))) as p "
+    "from documents)), "
+    "counts as (select doc_id, c, count(*) as cnt from ch "
+    "group by doc_id, c), "
+    "tot as (select doc_id, cast(sum(cnt) as double) as nn from counts "
+    "group by doc_id) "
+    "select t.doc_id, round(-sum((cnt / nn) * log2(cnt / nn)), 4) "
+    "as entropy from counts c join tot t on c.doc_id = t.doc_id "
+    "group by t.doc_id order by t.doc_id",
+    "WITH ch AS (SELECT doc_id, substr(text, p, 1) AS c FROM ("
+    "SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p "
+    "FROM documents)), "
+    "counts AS (SELECT doc_id, c, count(*) AS cnt FROM ch "
+    "GROUP BY doc_id, c), "
+    "tot AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS nn FROM counts "
+    "GROUP BY doc_id) "
+    "SELECT t.doc_id, round(-sum((cnt / nn) * log2(cnt / nn)), 4) "
+    "AS entropy FROM counts c JOIN tot t ON c.doc_id = t.doc_id "
+    "GROUP BY t.doc_id ORDER BY t.doc_id",
+    "character-level Shannon entropy per doc (gibberish/base64 "
+    "detector; ~4 bits for natural text)",
+)
+
+_reg_sql(
     "x_scd2_intervals",
     "select user_id, event_type, event_id, ts as valid_from, "
     "lead(ts) over (partition by user_id order by ts, event_id) as valid_to, "
