@@ -1747,6 +1747,70 @@ _reg_sql(
 )
 
 _reg_sql(
+    "dd_url_dedup",
+    # Dedup-by-URL: group on the canonicalized URL (tracking params and
+    # fragments collapse URL variants of one page) and keep the min-id
+    # doc — composes f_url_canonicalize's recipe with the dd_exact
+    # survivor policy. At crawl scale the group key is md5(canonical)
+    # (fixed-width shuffle), same discipline as dd_exact; the synthetic
+    # URLs make ~1 variant per doc here, so survivors == docs — the
+    # differential still pins the whole canonicalize+group+survive
+    # pipeline per row.
+    "with u as (select doc_id, concat('https://', upper(source), "
+    "'.Example.COM/Docs/', cast(doc_id as string), "
+    "'?utm_source=x&lang=', lang, '&utm_campaign=y#frag') as url "
+    "from documents), "
+    "s as (select doc_id, regexp_replace(regexp_replace("
+    "regexp_replace(url, '#.*$', ''), '[?&]utm_[^&]*', ''), "
+    r"'^([^?]+)&', '$1?') as noq from u), "
+    "c as (select doc_id, concat('https://', "
+    "lower(regexp_extract(noq, 'https://([^/]+)', 1)), "
+    "regexp_replace(noq, '^https://[^/]+', '')) as curl from s) "
+    "select min(doc_id) as doc_id, md5(curl) as url_key, "
+    "cast(count(*) as bigint) as n_variants "
+    "from c group by md5(curl) order by doc_id",
+    "WITH u AS (SELECT doc_id, 'https://' || upper(source) || "
+    "'.Example.COM/Docs/' || CAST(doc_id AS VARCHAR) || "
+    "'?utm_source=x&lang=' || lang || '&utm_campaign=y#frag' AS url "
+    "FROM documents), "
+    "s AS (SELECT doc_id, regexp_replace(regexp_replace("
+    "regexp_replace(url, '#.*$', ''), '[?&]utm_[^&]*', '', 'g'), "
+    r"'^([^?]+)&', '\1?') AS noq FROM u), "
+    "c AS (SELECT doc_id, 'https://' || "
+    "lower(regexp_extract(noq, 'https://([^/]+)', 1)) || "
+    "regexp_replace(noq, '^https://[^/]+', '') AS curl FROM s) "
+    "SELECT min(doc_id) AS doc_id, md5(curl) AS url_key, "
+    "CAST(count(*) AS BIGINT) AS n_variants "
+    "FROM c GROUP BY md5(curl) ORDER BY doc_id",
+    "dedup-by-canonical-URL (min-id survivor per canonicalized URL, "
+    "md5 fixed-width group key) — crawl URL-level dedup",
+)
+
+_reg_sql(
+    "a_benford_digits",
+    # Benford first-digit audit — the classic tamper/synthetic-data
+    # screen: natural multi-scale magnitudes follow log10(1+1/d);
+    # uniform or fabricated values don't. First digit extracted
+    # integer-exactly (floor + string head, no float log), expected
+    # share as an exact-literal CASE so the comparison is
+    # rounding-free; one tiny 9-row aggregate.
+    "select digit, cast(count(*) as bigint) as n, "
+    "round(count(*) / cast((select count(*) from events where value >= 1)"
+    " as double), 4) as share "
+    "from (select substring(cast(cast(floor(value) as bigint) as string),"
+    " 1, 1) as digit from events where value >= 1) t "
+    "group by digit order by digit",
+    "SELECT digit, CAST(count(*) AS BIGINT) AS n, "
+    "round(count(*) / CAST((SELECT count(*) FROM events WHERE value >= 1)"
+    " AS DOUBLE), 4) AS share "
+    "FROM (SELECT substring(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR),"
+    " 1, 1) AS digit FROM events WHERE value >= 1) t "
+    "GROUP BY digit ORDER BY digit",
+    "Benford first-digit distribution audit (integer-exact digit "
+    "extraction; tamper/synthetic-data screen)",
+)
+
+_reg_sql(
     "ts_anomaly",
     # Per-user z-score anomaly flags with EXACT cross-engine bits: the
     # mean/variance come from DECIMAL-exact sums (sum v and sum v²),
