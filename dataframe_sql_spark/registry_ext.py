@@ -1811,6 +1811,56 @@ _reg_sql(
 )
 
 _reg_sql(
+    "x_topk_with_ties",
+    # Per-group top-k WITH TIES (rank, not row_number): the "keep
+    # every row tied with the k-th" semantics ANSI spells FETCH FIRST
+    # k ROWS WITH TIES — subtly different output cardinality from
+    # x_topk_per_group's exactly-k policy; both live in the catalog so
+    # the distinction is pinned. Same single group-key shuffle.
+    "select l_returnflag, l_orderkey, l_linenumber, l_quantity from ("
+    "select l_returnflag, l_orderkey, l_linenumber, l_quantity, "
+    "rank() over (partition by l_returnflag "
+    "order by l_quantity desc) as rk from lineitem) t "
+    "where rk <= 2 order by l_returnflag, l_orderkey, l_linenumber",
+    None,  # identical SQL runs on DuckDB
+    "per-group top-k WITH TIES (rank <= k keeps every row tied at the "
+    "boundary — the FETCH FIRST ... WITH TIES semantics)",
+)
+
+_reg_sql(
+    "ts_anomaly_mad",
+    # Robust (median/MAD) outlier flags — the companion to ts_anomaly's
+    # mean/std z-score: median and MAD ignore the outliers themselves,
+    # so heavy-tailed value columns don't inflate their own threshold
+    # (the 1.4826 factor scales MAD to sigma under normality). Exact
+    # interpolated percentiles rounded to 4 decimals are the
+    # cross-engine contract (a_percentile convention); the flag
+    # comparison then evaluates identical doubles in both engines.
+    "with med as (select user_id, "
+    "round(percentile(value, 0.5), 4) as m from events group by user_id), "
+    "mad as (select e.user_id, "
+    "round(percentile(abs(e.value - med.m), 0.5), 4) as d "
+    "from events e join med on e.user_id = med.user_id "
+    "group by e.user_id) "
+    "select e.event_id, e.user_id, e.value, "
+    "abs(e.value - med.m) > 3 * 1.4826 * mad.d as is_outlier "
+    "from events e join med on e.user_id = med.user_id "
+    "join mad on e.user_id = mad.user_id order by e.event_id",
+    "WITH med AS (SELECT user_id, "
+    "round(quantile_cont(value, 0.5), 4) AS m FROM events GROUP BY user_id), "
+    "mad AS (SELECT e.user_id, "
+    "round(quantile_cont(abs(e.value - med.m), 0.5), 4) AS d "
+    "FROM events e JOIN med ON e.user_id = med.user_id "
+    "GROUP BY e.user_id) "
+    "SELECT e.event_id, e.user_id, e.value, "
+    "abs(e.value - med.m) > 3 * 1.4826 * mad.d AS is_outlier "
+    "FROM events e JOIN med ON e.user_id = med.user_id "
+    "JOIN mad ON e.user_id = mad.user_id ORDER BY e.event_id",
+    "robust per-user outlier flags (median/MAD, 3-sigma-equivalent "
+    "threshold) — heavy-tail-safe companion to ts_anomaly",
+)
+
+_reg_sql(
     "ts_anomaly",
     # Per-user z-score anomaly flags with EXACT cross-engine bits: the
     # mean/variance come from DECIMAL-exact sums (sum v and sum v²),
