@@ -146,9 +146,21 @@ def interval_overlap_join(
     buckets they span and the join becomes a bucket equi-join with the
     residual overlap predicate — same rewrite (and same interval-width
     ≲ few-buckets applicability note) as :func:`range_join`. A pair
-    overlapping several buckets matches in each, so the caller-visible
-    result is made distinct; pass inputs with key columns so the
-    distinct is well-defined.
+    overlapping several buckets would match in each, so the join keeps
+    only the pair's CANONICAL bucket — ``greatest(trunc(ls),
+    trunc(rs))``, the later start's bucket, which lies in both spans
+    whenever the intervals overlap (``rs < le ⇒ trunc(rs) ≤
+    trunc(le)`` and symmetrically) — yielding exactly one output row
+    per matching pair with input multiplicity preserved (duplicate
+    input rows produce duplicate matches, same as the naive path) and
+    no post-join dedup shuffle.
+
+    Malformed intervals (``end < start``, i.e. empty) are dropped
+    before the explode on the bucketed path: ``sequence`` with a +1
+    step raises when start > stop, and an empty interval overlaps
+    nothing under any sane reading. The naive path's raw predicate can
+    vacuously match such rows — callers with dirty data should filter
+    first on either path.
     """
     cond = (F.col(left_start) < F.col(right_end)) & (
         F.col(right_start) < F.col(left_end)
@@ -159,7 +171,8 @@ def interval_overlap_join(
 
     def spanned(df: DataFrame, start: str, end: str) -> DataFrame:
         return (
-            df.withColumn(
+            df.filter(F.col(start) <= F.col(end))
+            .withColumn(
                 "__bs",
                 F.sequence(
                     F.date_trunc(g, F.col(start)),
@@ -173,9 +186,10 @@ def interval_overlap_join(
 
     lb = spanned(left, left_start, left_end)
     rb = spanned(right, right_start, right_end)
-    return (
-        lb.join(rb, (lb["__b"] == rb["__b"]) & cond).drop("__b").distinct()
+    canonical = lb["__b"] == F.greatest(
+        F.date_trunc(g, lb[left_start]), F.date_trunc(g, rb[right_start])
     )
+    return lb.join(rb, (lb["__b"] == rb["__b"]) & cond & canonical).drop("__b")
 
 
 def symmetric_difference(a: DataFrame, b: DataFrame) -> DataFrame:

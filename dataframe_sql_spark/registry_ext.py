@@ -1713,7 +1713,11 @@ _reg_sql(
     "f_url_canonicalize",
     # Crawl-URL canonicalization — the normalization pass before
     # dedup-by-URL: drop the fragment, strip utm_* tracking params
-    # (repairing the first separator if '?utm_' led the query string),
+    # (repairing the FIRST surviving separator if '?utm_' led the
+    # query string — the repair prefix is [^?&]+ because the base URL
+    # contains neither '?' nor '&', so the first remaining '&' is the
+    # one to turn into '?'; a bare [^?]+ prefix would greedily match
+    # through earlier '&'s and rewrite the last one),
     # lowercase the host but NOT the path (paths are case-significant).
     # The messy URL is synthesized from columns so both engines see
     # identical input. Spark regexp_replace is global by default;
@@ -1725,7 +1729,7 @@ _reg_sql(
     "from documents), "
     "s as (select doc_id, url, regexp_replace(regexp_replace("
     "regexp_replace(url, '#.*$', ''), '[?&]utm_[^&]*', ''), "
-    r"'^([^?]+)&', '$1?') as noq from u) "
+    r"'^([^?&]+)&', '$1?') as noq from u) "
     "select doc_id, url, concat('https://', "
     "lower(regexp_extract(noq, 'https://([^/]+)', 1)), "
     "regexp_replace(noq, '^https://[^/]+', '')) as canonical_url "
@@ -1736,7 +1740,7 @@ _reg_sql(
     "FROM documents), "
     "s AS (SELECT doc_id, url, regexp_replace(regexp_replace("
     "regexp_replace(url, '#.*$', ''), '[?&]utm_[^&]*', '', 'g'), "
-    r"'^([^?]+)&', '\1?') AS noq FROM u) "
+    r"'^([^?&]+)&', '\1?') AS noq FROM u) "
     "SELECT doc_id, url, 'https://' || "
     "lower(regexp_extract(noq, 'https://([^/]+)', 1)) || "
     "regexp_replace(noq, '^https://[^/]+', '') AS canonical_url "
@@ -1762,7 +1766,7 @@ _reg_sql(
     "from documents), "
     "s as (select doc_id, regexp_replace(regexp_replace("
     "regexp_replace(url, '#.*$', ''), '[?&]utm_[^&]*', ''), "
-    r"'^([^?]+)&', '$1?') as noq from u), "
+    r"'^([^?&]+)&', '$1?') as noq from u), "
     "c as (select doc_id, concat('https://', "
     "lower(regexp_extract(noq, 'https://([^/]+)', 1)), "
     "regexp_replace(noq, '^https://[^/]+', '')) as curl from s) "
@@ -1775,7 +1779,7 @@ _reg_sql(
     "FROM documents), "
     "s AS (SELECT doc_id, regexp_replace(regexp_replace("
     "regexp_replace(url, '#.*$', ''), '[?&]utm_[^&]*', '', 'g'), "
-    r"'^([^?]+)&', '\1?') AS noq FROM u), "
+    r"'^([^?&]+)&', '\1?') AS noq FROM u), "
     "c AS (SELECT doc_id, 'https://' || "
     "lower(regexp_extract(noq, 'https://([^/]+)', 1)) || "
     "regexp_replace(noq, '^https://[^/]+', '') AS curl FROM s) "
@@ -1796,13 +1800,21 @@ _reg_sql(
     # rounding-free; one tiny 9-row aggregate.
     "select digit, cast(count(*) as bigint) as n, "
     "round(count(*) / cast((select count(*) from events where value >= 1)"
-    " as double), 4) as share "
+    " as double), 4) as share, "
+    "cast(case digit when '1' then 0.3010 when '2' then 0.1761 "
+    "when '3' then 0.1249 when '4' then 0.0969 when '5' then 0.0792 "
+    "when '6' then 0.0669 when '7' then 0.0580 when '8' then 0.0512 "
+    "else 0.0458 end as double) as expected_share "
     "from (select substring(cast(cast(floor(value) as bigint) as string),"
     " 1, 1) as digit from events where value >= 1) t "
     "group by digit order by digit",
     "SELECT digit, CAST(count(*) AS BIGINT) AS n, "
     "round(count(*) / CAST((SELECT count(*) FROM events WHERE value >= 1)"
-    " AS DOUBLE), 4) AS share "
+    " AS DOUBLE), 4) AS share, "
+    "CAST(CASE digit WHEN '1' THEN 0.3010 WHEN '2' THEN 0.1761 "
+    "WHEN '3' THEN 0.1249 WHEN '4' THEN 0.0969 WHEN '5' THEN 0.0792 "
+    "WHEN '6' THEN 0.0669 WHEN '7' THEN 0.0580 WHEN '8' THEN 0.0512 "
+    "ELSE 0.0458 END AS DOUBLE) AS expected_share "
     "FROM (SELECT substring(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR),"
     " 1, 1) AS digit FROM events WHERE value >= 1) t "
     "GROUP BY digit ORDER BY digit",
@@ -1890,9 +1902,13 @@ _reg_sql(
     # uniform noise near log2(alphabet)). Positional explode differs
     # by dialect; round(4) absorbs the summation-order last-ulp of
     # the ~30-term -sum(p log2 p).
+    # length(text) > 0 guard: Spark's sequence(1, 0) steps DOWN and
+    # yields [1, 0] (two bogus positions) where DuckDB's
+    # generate_series(1, 0) is empty — empty docs must be excluded
+    # identically on both sides or they hash-diverge.
     "with ch as (select doc_id, substr(text, p, 1) as c from ("
     "select doc_id, text, explode(sequence(1, length(text))) as p "
-    "from documents)), "
+    "from documents where length(text) > 0)), "
     "counts as (select doc_id, c, count(*) as cnt from ch "
     "group by doc_id, c), "
     "tot as (select doc_id, cast(sum(cnt) as double) as nn from counts "
@@ -1902,7 +1918,7 @@ _reg_sql(
     "group by t.doc_id order by t.doc_id",
     "WITH ch AS (SELECT doc_id, substr(text, p, 1) AS c FROM ("
     "SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p "
-    "FROM documents)), "
+    "FROM documents WHERE length(text) > 0)), "
     "counts AS (SELECT doc_id, c, count(*) AS cnt FROM ch "
     "GROUP BY doc_id, c), "
     "tot AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS nn FROM counts "
@@ -3653,8 +3669,10 @@ _reg(
 
 def _j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join via the bucketed rewrite: which incident
-    windows (15 min after sampled error events) overlap which
-    maintenance windows (20 min after sampled signup events). The
+    windows (60 min after every-5th error event) overlap which
+    maintenance windows (60 min after every-5th signup event) — the
+    %5 sampling + 60-min width is deliberate: sparser selections or
+    shorter windows overlap nothing in the synthetic events. The
     DuckDB oracle runs the naive overlap inequality join."""
     from .operators.joins import interval_overlap_join
 
