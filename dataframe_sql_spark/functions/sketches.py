@@ -258,10 +258,10 @@ def hist_quantile_rollup(
         F.sum("n").over(w_cum).alias("cum"),
         F.sum("n").over(w_tot).alias("tot"),
     )
-    qdf = cum.crossJoin(
-        F.broadcast(
-            cum.sparkSession.createDataFrame([(q,) for q in qs], ["q"])
-        )
+    from ..operators.scalars import broadcast_attach
+
+    qdf = broadcast_attach(
+        cum, cum.sparkSession.createDataFrame([(q,) for q in qs], ["q"])
     )
     hit = (
         qdf.filter(F.col("cum") >= F.col("q") * F.col("tot"))

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scalars import broadcast_attach
+
 __all__ = [
     "connected_components",
     "cluster_representatives",
@@ -134,7 +136,7 @@ def pagerank(
     )
     n_tot = nodes.agg(F.count("*").alias("__n"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
-    pr = nodes.crossJoin(F.broadcast(n_tot)).select(
+    pr = broadcast_attach(nodes, n_tot).select(
         "id", F.round(F.lit(1.0) / F.col("__n"), round_digits).alias("rank")
     )
     for _ in range(n_iters):
@@ -153,9 +155,13 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
         )
         pr = (
-            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(n_tot))
-            .crossJoin(F.broadcast(dangling))
+            broadcast_attach(
+                broadcast_attach(
+                    nodes.join(contrib, nodes["id"] == contrib["dst"], "left"),
+                    n_tot,
+                ),
+                dangling,
+            )
             .select(
                 "id",
                 F.round(

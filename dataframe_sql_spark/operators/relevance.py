@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .scalars import broadcast_attach
+
 __all__ = [
     "doc_words",
     "tfidf_top_terms",
@@ -78,8 +80,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
-        .crossJoin(F.broadcast(n_docs))
+        broadcast_attach(tf.join(F.broadcast(dfreq), "word"), n_docs)
         .withColumn(
             "score",
             F.round(
@@ -138,9 +139,9 @@ def bm25_scores(
     tf = hits.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     per_term = (
-        tf.join(F.broadcast(dfreq), "word")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
+        broadcast_attach(
+            tf.join(F.broadcast(dfreq), "word").join(dl, id_col), corpus
+        )
         .withColumn(
             "idf",
             F.log(
@@ -218,14 +219,17 @@ def pmi_bigrams(
     uni = doc_words(df, id_col, text_col).groupBy("word").agg(
         F.count("*").alias("c")
     )
-    totals = bg.select(F.count("*").alias("b_total")).crossJoin(
-        uni.select(F.sum("c").alias("u_total"))
+    totals = broadcast_attach(
+        bg.select(F.count("*").alias("b_total")),
+        uni.select(F.sum("c").alias("u_total")),
     )
     out = (
-        c_xy.filter(F.col("c_xy") >= min_count)
-        .join(F.broadcast(uni.withColumnRenamed("word", "w1").withColumnRenamed("c", "c_x")), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("word", "w2").withColumnRenamed("c", "c_y")), "w2")
-        .crossJoin(F.broadcast(totals))
+        broadcast_attach(
+            c_xy.filter(F.col("c_xy") >= min_count)
+            .join(F.broadcast(uni.withColumnRenamed("word", "w1").withColumnRenamed("c", "c_x")), "w1")
+            .join(F.broadcast(uni.withColumnRenamed("word", "w2").withColumnRenamed("c", "c_y")), "w2"),
+            totals,
+        )
         .select(
             "w1",
             "w2",
@@ -276,9 +280,11 @@ def bigram_lm_scores(
     )
     vocab = uni.select(F.count("*").alias("v"))
     scored = (
-        bg.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(uni.withColumnRenamed("word", "w1")), "w1")
-        .crossJoin(F.broadcast(vocab))
+        broadcast_attach(
+            bg.join(F.broadcast(c12), ["w1", "w2"])
+            .join(F.broadcast(uni.withColumnRenamed("word", "w1")), "w1"),
+            vocab,
+        )
         .withColumn(
             "logp",
             F.log(

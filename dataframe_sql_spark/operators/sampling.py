@@ -228,7 +228,9 @@ def negative_pairs(df: DataFrame, id_col: str, k: int = 4) -> DataFrame:
 
     idx = global_rank(df.select(id_col), [(id_col, True)], out_col="pos")
     n1 = idx.agg(F.count("*").alias("__n"))
-    probes = idx.crossJoin(F.broadcast(n1)).select(
+    from .scalars import broadcast_attach
+
+    probes = broadcast_attach(idx, n1).select(
         id_col,
         "pos",
         "__n",

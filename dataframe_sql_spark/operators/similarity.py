@@ -34,6 +34,8 @@ __all__ = [
     "ivf_index_write",
     "ivf_topk_indexed",
     "knn_join_bruteforce",
+    "ivf_probe_cells",
+    "knn_join_ivf",
     "pq_train",
     "pq_encode",
     "pq_topk",
@@ -268,6 +270,138 @@ def knn_join_bruteforce(
     )
     w = Window.partitionBy(left_id).orderBy(F.desc("score"), F.asc(right_id))
     return pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def ivf_probe_cells(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    n_probe: int,
+    cell_col: str = "__cell",
+) -> DataFrame:
+    """Per-row top-``n_probe`` nearest centroid cells, EXPLODED to one
+    row per (row, probed cell) — the query-side assignment of the
+    cell-keyed kNN join (:func:`knn_join_ivf`).
+
+    Pure codegen, no UDF: the normalized centroid matrix enters as a
+    single nested-array literal (same matrix-literal convention as the
+    PQ codebooks — one literal, not a per-element expression tree),
+    per-cell dot products are a ``transform``/``aggregate`` pass, and
+    the top-``n_probe`` pick is an ``array_sort`` over (sim, cell)
+    structs with a deterministic comparator (higher sim first, lower
+    cell id on ties). The similarity array is materialized in its own
+    projection first — lambda-bearing expressions are excluded from
+    Spark's subexpression elimination, so referencing it twice
+    unmaterialized would recompute every dot product.
+    """
+
+    def _normed(c: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        return [x / n for x in c]
+
+    v = F.col(vec_col).cast("array<double>")
+    cents_lit = F.lit([_normed(c) for c in centroids])
+    sims = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    )
+    idxed = F.transform(
+        F.col("__sims"), lambda s, i: F.struct(s.alias("s"), i.alias("i"))
+    )
+    comp = lambda a, b: (  # noqa: E731
+        F.when(a["s"] > b["s"], F.lit(-1))
+        .when(a["s"] < b["s"], F.lit(1))
+        .otherwise(
+            F.signum(a["i"].cast("double") - b["i"].cast("double")).cast("int")
+        )
+    )
+    top = F.slice(F.array_sort(idxed, comp), 1, n_probe)
+    return (
+        df.withColumn("__sims", sims)
+        .withColumn("__probe", top)
+        .withColumn(
+            cell_col,
+            F.explode(F.transform("__probe", lambda st: st["i"].cast("int"))),
+        )
+        .drop("__sims", "__probe")
+    )
+
+
+def knn_join_ivf(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Cell-keyed kNN join: for every left row, its ``k`` nearest
+    right rows by cosine, computed as an EQUI-join on IVF cells —
+    never a cartesian product.
+
+    The 100-TB shape of the kNN join: right rows are assigned to their
+    nearest of ``n_cells`` centroids (one cell each), left rows
+    explode onto their ``n_probe`` nearest cells, and candidates are
+    the cell-key equi-join of the two — a hash join whose shuffle
+    moves (id, vector, cell) rows keyed by cell, with per-left top-k
+    by window. Candidate volume is ~``n_probe/n_cells`` of all pairs;
+    at scale, cells also serve as the partition key for the persisted
+    index (:func:`ivf_index_write`), so the probe side prunes
+    partitions.
+
+    With ``n_probe == n_cells`` (the default) every query probes every
+    cell, the candidate set is EXACTLY all pairs (each right row lives
+    in exactly one cell, so no pair duplicates either), and the result
+    is provably identical to :func:`knn_join_bruteforce` — while the
+    plan is still the hash equi-join. The differential oracle
+    certifies the full-probe config; partial-probe recall is
+    pytest-gated like :func:`ivf_topk`'s.
+
+    ``exclude_self`` drops ``left_id == right_id`` candidate pairs
+    before ranking (the self-join kNN-graph build).
+    """
+    n_probe = n_cells if n_probe is None else n_probe
+    centroids = _ivf_centroids(right, vec_col, right_id, n_cells)
+    rv = ivf_assign_cells(
+        right.select(
+            F.col(right_id), F.col(vec_col).cast("array<double>").alias("__rv")
+        ),
+        "__rv",
+        centroids,
+    )
+    lv = ivf_probe_cells(
+        left.select(
+            F.col(left_id), F.col(vec_col).cast("array<double>").alias("__lv")
+        ),
+        "__lv",
+        centroids,
+        n_probe,
+    )
+    pairs = lv.join(rv, "__cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col(left_id) != F.col(right_id))
+    dot = F.aggregate(
+        F.zip_with("__lv", "__rv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = pairs.withColumn(
+        "score", dot / (norm(F.col("__lv")) * norm(F.col("__rv")))
+    ).select(left_id, right_id, "score")
+    w = Window.partitionBy(left_id).orderBy(F.desc("score"), F.asc(right_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 # --------------------------------------------------------------------------

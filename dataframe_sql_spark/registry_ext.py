@@ -56,7 +56,7 @@ from .operators.sampling import (
     hex_threshold,
     stratified_hash_sample,
 )
-from .operators.similarity import cosine_topk, ivf_topk, knn_join_bruteforce, lsh_topk
+from .operators.similarity import cosine_topk, ivf_topk, knn_join_ivf, lsh_topk
 from .registry import CATALOG, QuerySpec, engine_for
 from .streaming.pipeline import (
     dimension_enriched_counts,
@@ -369,7 +369,14 @@ _reg(
 
 _reg(
     "sim_knn_join",
-    lambda spark, sf_dir: knn_join_bruteforce(
+    # cell-keyed kNN join (knn_join_ivf): candidates come from an IVF
+    # cell EQUI-join, never a cartesian product — the plan here is the
+    # 100-TB plan (the brute-force all-pairs form stays available as
+    # similarity.py::knn_join_bruteforce for pytest baselines). Full
+    # probe (n_probe == n_cells) is provably exact, so the brute-force
+    # DuckDB oracle below certifies it; partial-probe recall is
+    # pytest-gated (test_operators.py::test_knn_join_ivf_partial_probe).
+    lambda spark, sf_dir: knn_join_ivf(
         _emb(spark, sf_dir).filter(F.col("label") == 0).select(
             F.col("vec_id").alias("id_a"), "embedding"
         ),
@@ -377,6 +384,7 @@ _reg(
             F.col("vec_id").alias("id_b"), "embedding"
         ),
         k=3,
+        n_cells=16,
     ).select("id_a", "id_b", F.round("score", 8).alias("score")),
     "SELECT id_a, id_b, score FROM ("
     " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
@@ -387,7 +395,8 @@ _reg(
     "   b.vec_id) AS rn"
     " FROM embeddings a JOIN embeddings b ON b.label != 0"
     " WHERE a.label = 0) t WHERE rn <= 3",
-    "k-NN join: 3 nearest corpus vectors per query vector (broadcast right side)",
+    "k-NN join: 3 nearest corpus vectors per query vector via the IVF "
+    "cell-keyed equi-join (exact at full probe; no cartesian product)",
 )
 
 _reg(
@@ -3044,36 +3053,26 @@ _reg(
 def _x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the embedding kNN graph (top-3 cosine neighbors
     per vector, self excluded) — centrality as a quality-weighting
-    signal. The graph build is a broadcast all-pairs join (fine at
-    catalog scale; at 100 TB the edge list comes from the IVF/LSH
-    candidate pipeline instead) and the rank iteration is the fully
-    lazy :func:`~dataframe_sql_spark.operators.graph.pagerank`."""
-    from pyspark.sql import Window
-
+    signal. The graph build is the IVF cell-keyed kNN join
+    (:func:`~dataframe_sql_spark.operators.similarity.knn_join_ivf` —
+    candidate pairs from a cell equi-join, exactly the at-scale edge
+    pipeline, no cartesian product; full probe makes it exact so the
+    SQL oracle's brute-force top-3 edge list is identical) and the
+    rank iteration is the fully lazy
+    :func:`~dataframe_sql_spark.operators.graph.pagerank`."""
     from .operators.graph import pagerank
+    from .operators.similarity import knn_join_ivf
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a = emb.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("src") != F.col("dst"))
-        .withColumn("score", dot / (nrm(F.col("va")) * nrm(F.col("vb"))))
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-    edges = (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 3)
-        .select("src", "dst")
-    )
+    emb = _emb(spark, sf_dir)
+    edges = knn_join_ivf(
+        emb.select(F.col("vec_id").alias("src"), "embedding"),
+        emb.select(F.col("vec_id").alias("dst"), "embedding"),
+        k=3,
+        left_id="src",
+        right_id="dst",
+        n_cells=16,
+        exclude_self=True,
+    ).select("src", "dst")
     return pagerank(edges, n_iters=2)
 
 
@@ -3189,7 +3188,9 @@ def _pipe_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = s1.agg(F.count("*").cast("bigint").alias("c1"))
     c2 = s2.agg(F.count("*").cast("bigint").alias("c2"))
     c3 = s3.agg(F.count("*").cast("bigint").alias("c3"))
-    row = c0.crossJoin(c1).crossJoin(c2).crossJoin(c3)
+    from .operators.scalars import broadcast_attach
+
+    row = broadcast_attach(broadcast_attach(broadcast_attach(c0, c1), c2), c3)
     stages = F.array(
         F.struct(
             F.lit(1).cast("bigint").alias("stage"),
@@ -3590,13 +3591,12 @@ def _x_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile = F.when(
         F.col("__r") <= cut, F.ceil(F.col("__r") / big)
     ).otherwise(n_big + F.ceil((F.col("__r") - cut) / small))
-    return (
-        ranked.crossJoin(F.broadcast(n_total))
-        .select(
-            "doc_id",
-            "n_chars",
-            tile.cast("int").alias("quality_q"),
-        )
+    from .operators.scalars import broadcast_attach
+
+    return broadcast_attach(ranked, n_total).select(
+        "doc_id",
+        "n_chars",
+        tile.cast("int").alias("quality_q"),
     )
 
 

@@ -41,42 +41,22 @@ _RUNS_JOBS = {
     "x_negative_pairs",
 }
 
-# CROSS JOIN is these entries' declared semantics (reference grammar
-# J5-J7 / comma-FROM) or a documented bounded-side pattern.
+# CROSS JOIN is these entries' DECLARED SEMANTICS (reference grammar
+# J5-J7 / comma-FROM) — nothing else in the catalog is allowed to plan
+# a BroadcastNestedLoopJoin or CartesianProduct. The former whitelist
+# of benign 1-row scalar attachments (relevance family, pagerank
+# iteration, funnel counts, quantile lists, ntile/negative-sampling
+# corpus counts) is gone: those now go through
+# operators/scalars.py::broadcast_attach, which plans the same
+# broadcast as a constant-key BroadcastHashJoin, and the two formerly
+# all-pairs entries (sim_knn_join, x_pagerank's edge build) now run
+# the IVF cell-keyed equi-join (similarity.py::knn_join_ivf). A BNLJ
+# anywhere outside the three grammar entries is therefore an actual
+# accidental cartesian product.
 _CARTESIAN_OK = {
     "j_cross",
     "j_comma_implicit",
     "j_self_alias",
-    # brute-force kNN join is all-pairs BY DESIGN with the small side
-    # broadcast (BroadcastNestedLoopJoin); the large-large path takes
-    # explicit block columns instead (similarity.py::knn_join_bruteforce)
-    "sim_knn_join",
-    # relevance family: crossJoin(broadcast(<1-row aggregate>)) attaches
-    # corpus scalars (N docs, avgdl, token totals) — a BroadcastNestedLoop
-    # over exactly one broadcast row, the lazy alternative to collecting
-    # the scalar to the driver (operators/relevance.py module docstring)
-    "txt_tfidf",
-    "txt_bm25",
-    "txt_pmi",
-    "txt_lm_score",
-    # kNN graph build is a broadcast all-pairs join at catalog scale
-    # (at 100 TB the edge list comes from the IVF/LSH candidate
-    # pipeline); the rank iteration itself attaches 1-row scalars via
-    # broadcast cross join (operators/graph.py::pagerank docstring)
-    "x_pagerank",
-    # funnel counts are four 1-row aggregates cross-joined into one
-    # constant-width row — the lazy alternative to collecting counts
-    "pipe_dedup_funnel",
-    # the quantile list (|qs| rows, here 2) attaches to the bounded
-    # counter table via broadcast cross join (sketches.py::
-    # hist_quantile_rollup) — sketch-sized on both sides
-    "a_hist_quantile_rollup",
-    # two-pass ntile attaches the 1-row corpus count via broadcast
-    # cross join (the price of removing the SinglePartition window)
-    "x_quality_buckets",
-    # negative sampling attaches the 1-row corpus count the same way
-    # before the md5-mod-N position draw
-    "x_negative_pairs",
 }
 
 # BatchEvalPython = row-at-a-time Python UDF — never acceptable in this

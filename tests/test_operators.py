@@ -123,6 +123,39 @@ def test_ivf_topk_full_probe_exact_partial_probe_recall(spark, engine):
     assert len(set(exact) & set(part)) >= 5
 
 
+def test_knn_join_ivf_partial_probe(spark, engine):
+    """Cell-keyed kNN join: full probe must equal brute force pair-for-
+    pair (the exactness the oracle relies on); partial probe keeps
+    majority recall; the plan must contain no cartesian/BNLJ."""
+    from dataframe_sql_spark.operators.similarity import (
+        knn_join_bruteforce,
+        knn_join_ivf,
+    )
+
+    emb = engine.spark.table("embeddings")
+    left = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("id_a"), "embedding"
+    )
+    right = emb.filter(F.col("label") != 0).select(
+        F.col("vec_id").alias("id_b"), "embedding"
+    )
+    brute = {
+        (r.id_a, r.id_b) for r in knn_join_bruteforce(left, right, k=3).collect()
+    }
+    full_df = knn_join_ivf(left, right, k=3, n_cells=16)
+    plan = full_df._sc._jvm.PythonSQLUtils.explainString(
+        full_df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    full = {(r.id_a, r.id_b) for r in full_df.collect()}
+    assert full == brute
+    part = {
+        (r.id_a, r.id_b)
+        for r in knn_join_ivf(left, right, k=3, n_cells=16, n_probe=4).collect()
+    }
+    assert len(part & brute) >= len(brute) // 2
+
+
 def test_approx_agg_relative_error(engine):
     li = engine.spark.table("lineitem")
     exact = {
