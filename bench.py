@@ -84,7 +84,12 @@ TPCH_SHAPES = [
 # LLM-data-pipeline north-star ops, tracked round-over-round.
 PIPELINE_OPS = [
     "dd_minhash_pairs",
+    # simhash twice: the default one-key-per-doc config (its actual
+    # memory-constrained niche, hamming<=3 complete) and the ×17-key
+    # multi-probed high-recall config — separate keys so the
+    # recall/cost trade is tracked explicitly round-over-round
     "dd_simhash",
+    "dd_simhash_probed",
     "dd_substring_spans",
     "dd_decontaminate",
     "sim_topk",
@@ -156,6 +161,36 @@ def main() -> None:
     pipeline = _bench_callables(
         {n: qs[n] for n in PIPELINE_OPS if n in qs}, spark, sf_dir
     )
+
+    # Persisted-index ANN probe path: the inline sim_ann_ivfpq number
+    # above retrains codebooks on every call (build cost); production
+    # is build-once/probe-many, so the index is built ONCE untimed and
+    # only the partition-pruned probe is timed — same parameters as
+    # the inline entry so the two keys decompose build vs probe.
+    import shutil
+    import tempfile
+
+    from dataframe_sql_spark.operators.similarity import (
+        ivfpq_index_write,
+        ivfpq_topk_indexed,
+    )
+    from dataframe_sql_spark.registry_ext import _QUERY_VEC, _emb
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_ivfpq_")
+    try:
+        ivfpq_index_write(
+            _emb(spark, sf_dir), idx_dir, n_cells=8, n_sub=4, n_codes=16, dim=64
+        )
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            ivfpq_topk_indexed(
+                spark, idx_dir, _QUERY_VEC, k=10, n_probe=4, rerank=100
+            ).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        pipeline["sim_ann_ivfpq_probe"] = round(best, 4)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
 
     print(
         json.dumps(

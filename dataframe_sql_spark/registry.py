@@ -596,21 +596,23 @@ def _make_runner(spec: QuerySpec) -> Callable[[SparkSession, str], DataFrame]:
 # curation), and a representative slice of the reference's §2 grammar.
 # Everything else follows in definition order; nothing is dropped.
 PRIORITY: list[str] = [
-    # TPC-H shapes (join/agg/subquery integration, the perf headliners)
+    # TPC-H shapes (join/agg/subquery integration, the perf
+    # headliners). Round-4 rotation: q6/q14/q12 (single-table /
+    # single-join shapes whose plans are subsumed by the multi-join
+    # entries, all driver-green for 2+ rounds) moved to the 51+ tier
+    # to free scoreable slots for round-3 flagships that had only
+    # local attestation.
     "tpch_q1_pricing",
     "tpch_q2_min_supplier",
     "tpch_q3_shipping",
     "tpch_q4_priority",
     "tpch_q5_revenue",
-    "tpch_q6_forecast",
     "tpch_q7_volume",
     "tpch_q8_mktshare",
     "tpch_q9_profit",
     "tpch_q10_returns",
     "tpch_q11_value_parts",
-    "tpch_q12_priority_counts",
     "tpch_q13_custdist",
-    "tpch_q14_promo",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
     "tpch_q17_small_qty",
@@ -635,7 +637,10 @@ PRIORITY: list[str] = [
     "dd_embedding",
     "dd_substring_spans",
     "dd_decontaminate",
+    "dd_prefix_pairs",
+    "dd_fuzzy_decontaminate",
     "a_hll_sketch_rollup",
+    "a_cms_heavy_hitters",
     # similarity search
     "sim_topk",
     "sim_ann_ivf",
@@ -646,6 +651,12 @@ PRIORITY: list[str] = [
     "txt_pii_scrub",
     "txt_chunks",
     "txt_word_rarity",
+    "txt_bpe_roundtrip",
+    # temporal / linkage / graph joins (round-3 flagships, first
+    # driver attestation in round 4)
+    "j_interval_overlap",
+    "x_record_linkage",
+    "g_triangles",
     # event/session + multimodal + curation pipeline
     "x_sessionize",
     "x_funnel",
@@ -653,19 +664,25 @@ PRIORITY: list[str] = [
     "mm_audio_chunks",
     "mm_video_frames",
     "pipe_curation",
-    # representative reference-grammar slice (§2.2-§2.9); inner join +
-    # grouped HAVING are exercised by every TPC-H shape above
+    "pipe_dedup_funnel",
+    # second tier (positions 51+): the rotated-out grammar
+    # representatives (each subsumed by the TPC-H shapes above:
+    # projection/CASE by every shape, window rank by q15/q18-class
+    # windows, UNION by u_* locals, CTE by q15/q20) and single-join
+    # TPC-H shapes, then o_orderby_limit (top-k ORDER BY is already
+    # exercised by nearly every TPC-H shape above), then the
+    # production LSH/heuristic entries whose
+    # internals aren't SQL-expressible (pytest recall/semantic gates +
+    # the certificate entries above cover them) and further oracle-checked
+    # ops — scored if the driver window ever widens past 50
     "p_select_star",
     "p_case",
     "w_rank_partition",
     "u_union",
     "q_cte",
-    # second tier (positions 51+): o_orderby_limit first (top-k ORDER BY
-    # is already exercised by nearly every TPC-H shape above), then the
-    # production LSH/heuristic entries whose
-    # internals aren't SQL-expressible (pytest recall/semantic gates +
-    # the certificate entries above cover them) and further oracle-checked
-    # ops — scored if the driver window ever widens past 50
+    "tpch_q6_forecast",
+    "tpch_q12_priority_counts",
+    "tpch_q14_promo",
     "o_orderby_limit",
     "dd_minhash",
     "dd_minhash_pairs",

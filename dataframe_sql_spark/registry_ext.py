@@ -328,16 +328,33 @@ _reg(
 
 _reg(
     "dd_simhash",
+    # Default config: probe_bits=0, one 4-chunk pigeonhole key set per
+    # doc, complete for hamming <= 3. This is simhash's actual niche —
+    # the memory-/shuffle-constrained regime where one 8-byte
+    # signature per doc must suffice (banded minhash beats it on both
+    # recall and cost when signatures can be wider; see SCALE.md).
+    lambda spark, sf_dir: simhash_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+    ).select("doc_id", "lang", "source"),
+    None,
+    "simhash near-dup removal (64-bit, pigeonhole chunk blocking, "
+    "complete for hamming ≤ 3 — the one-key-per-doc niche config)",
+)
+
+_reg(
+    "dd_simhash_probed",
     # probe_bits=1 extends the complete radius from 3 to 7 (1-bit
-    # multi-probe per 16-bit chunk) — measured 19/25 -> 22/25 of exact
-    # J>=0.8 pairs on this corpus; the last 3 sit at hamming 8-10,
-    # beyond any practical simhash radius (featurization limit).
+    # multi-probe per 16-bit chunk) at ×17 bucket-key volume —
+    # measured 19/25 -> 22/25 of exact J>=0.8 pairs on this corpus;
+    # the last 3 sit at hamming 8-10, beyond any practical simhash
+    # radius (featurization limit). Tracked as a separate bench key so
+    # the recall/cost trade is explicit round-over-round.
     lambda spark, sf_dir: simhash_dedup(
         _docs(spark, sf_dir), "doc_id", "text", max_hamming=7, probe_bits=1
     ).select("doc_id", "lang", "source"),
     None,
-    "simhash near-dup removal (64-bit, multi-probed pigeonhole "
-    "blocking, complete for hamming ≤ 7)",
+    "simhash near-dup removal (64-bit, 1-bit multi-probed pigeonhole "
+    "blocking, complete for hamming ≤ 7 — the high-recall config)",
 )
 
 _reg(
