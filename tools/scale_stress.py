@@ -392,6 +392,86 @@ def op_triangles(spark: SparkSession, r: int) -> int:
     return _force(triangle_list(edges, "id_a", "id_b"))
 
 
+# ---------------------------------------------------------------------------
+# Zipf-skewed join: salted vs AQE vs unmitigated
+# ---------------------------------------------------------------------------
+
+_SKEW_KEYS = 100_000
+
+
+def _skew_frames(spark: SparkSession, r: int):
+    """Zipf(≈2)-distributed join key via inverse-CDF over an xxhash64
+    uniform draw: key = min(floor(1/u), 100k), so key 1 owns ~50% of
+    probe rows, key 2 ~17%, … — the viral-document / whale-customer
+    shape. Probe 2M·r rows; build one row per key (kept off the
+    broadcast path by the scenario's conf so the shuffle-join skew is
+    actually exercised, as it would be when the build side is TBs)."""
+    n = 2_000_000 * r
+    u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1) / 1_000_000.0
+    probe = spark.range(n).select(
+        F.least(F.floor(F.lit(1.0) / u), F.lit(_SKEW_KEYS)).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    build = spark.range(_SKEW_KEYS + 1).select(
+        F.col("id").alias("k"), (F.col("id") % 31).cast("double").alias("w")
+    )
+    return probe, build
+
+
+def _skew_join_run(spark: SparkSession, r: int, salted: bool, skew_aqe: bool) -> int:
+    """One variant of the skewed join, joined then globally aggregated
+    (partial agg is map-side, so the join task IS the bottleneck).
+
+    Conf, restored after: broadcast disabled (locally the build side
+    would broadcast and hide the skew; at 100 TB it wouldn't fit) and
+    AQE's skew thresholds scaled down to the local data size (the
+    defaults — 256 MB partitions, 5× median — are tuned for real
+    cluster shuffles; a 30 MB local hot partition must still count as
+    'skewed' for the comparison to mean anything)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_aqe).lower())
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB"
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
+        probe, build = _skew_frames(spark, r)
+        if salted:
+            from dataframe_sql_spark.operators.skew import salted_join
+
+            joined = salted_join(probe, build, on=["k"], buckets=16)
+        else:
+            joined = probe.join(build, "k")
+        return _force(joined.agg(F.sum(F.col("v") * F.col("w")).alias("s")))
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+def op_skew_join_unmitigated(spark: SparkSession, r: int) -> int:
+    return _skew_join_run(spark, r, salted=False, skew_aqe=False)
+
+
+def op_skew_join_aqe(spark: SparkSession, r: int) -> int:
+    return _skew_join_run(spark, r, salted=False, skew_aqe=True)
+
+
+def op_skew_join_salted(spark: SparkSession, r: int) -> int:
+    return _skew_join_run(spark, r, salted=True, skew_aqe=False)
+
+
 OPS = {
     "dd_minhash_pairs": op_minhash_pairs,
     "dd_simhash": op_simhash,
@@ -410,6 +490,9 @@ OPS = {
     "dd_containment": op_containment,
     "ts_ewma": op_ewma,
     "x_negative_pairs": op_negative_pairs,
+    "skew_join_unmitigated": op_skew_join_unmitigated,
+    "skew_join_aqe": op_skew_join_aqe,
+    "skew_join_salted": op_skew_join_salted,
 }
 
 
