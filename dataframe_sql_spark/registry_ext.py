@@ -417,6 +417,56 @@ _reg(
 )
 
 _reg(
+    "sim_knn_join_probed",
+    # PARTIAL-probe IVF kNN join, fully oracle-replayed: because the
+    # centroid pick is deterministic (the 16 right vectors with
+    # smallest md5(id) — _ivf_centroids), the ENTIRE approximate
+    # algorithm is SQL-expressible: DuckDB re-derives the same
+    # centroids, the same nearest-cell assignment (argmax cosine ==
+    # argmax dot-with-normalized-centroid for a fixed vector; ties →
+    # lowest cell), the same 4-of-16 probed cells per query, the same
+    # cell equi-join candidates, and the same top-3 — so the hash
+    # match certifies the approximate path ITSELF, not just its
+    # full-probe degenerate. This closes the gap where partial-probe
+    # behavior was only pytest-gated.
+    lambda spark, sf_dir: knn_join_ivf(
+        _emb(spark, sf_dir).filter(F.col("label") == 0).select(
+            F.col("vec_id").alias("id_a"), "embedding"
+        ),
+        _emb(spark, sf_dir).filter(F.col("label") != 0).select(
+            F.col("vec_id").alias("id_b"), "embedding"
+        ),
+        k=3,
+        n_cells=16,
+        n_probe=4,
+    ).select("id_a", "id_b", F.round("score", 8).alias("score")),
+    "WITH r AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS v"
+    " FROM embeddings WHERE label != 0), "
+    "l AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS v"
+    " FROM embeddings WHERE label = 0), "
+    "cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(id_b AS VARCHAR)))"
+    " - 1 AS cell, v FROM (SELECT id_b, v FROM r"
+    " ORDER BY md5(CAST(id_b AS VARCHAR)) LIMIT 16)), "
+    "rs AS (SELECT id_b, v, cell FROM ("
+    " SELECT r.id_b, r.v, c.cell, row_number() OVER (PARTITION BY r.id_b"
+    "  ORDER BY list_cosine_similarity(r.v, c.v) DESC, c.cell) AS rn"
+    " FROM r CROSS JOIN cents c) WHERE rn = 1), "
+    "lp AS (SELECT id_a, v, cell FROM ("
+    " SELECT l.id_a, l.v, c.cell, row_number() OVER (PARTITION BY l.id_a"
+    "  ORDER BY list_cosine_similarity(l.v, c.v) DESC, c.cell) AS rn"
+    " FROM l CROSS JOIN cents c) WHERE rn <= 4), "
+    "cand AS (SELECT lp.id_a, rs.id_b, list_cosine_similarity(lp.v, rs.v) AS s"
+    " FROM lp JOIN rs ON lp.cell = rs.cell) "
+    "SELECT id_a, id_b, round(s, 8) AS score FROM ("
+    " SELECT id_a, id_b, s, row_number() OVER (PARTITION BY id_a"
+    "  ORDER BY s DESC, id_b) AS rn FROM cand) WHERE rn <= 3",
+    "partial-probe (4/16 cells) IVF kNN join with the FULL approximate "
+    "algorithm replayed in the oracle (deterministic centroids make "
+    "assignment/probe/candidates SQL-expressible) — certifies the "
+    "approximate path itself",
+)
+
+_reg(
     "sim_ann_ivf",
     lambda spark, sf_dir: ivf_topk(
         _emb(spark, sf_dir), "embedding", _QUERY_VEC, k=10, n_cells=16, n_probe=16
