@@ -480,6 +480,39 @@ _reg(
 )
 
 _reg(
+    "sim_ann_ivf_probed",
+    # Partial-probe IVF top-k with the approximate algorithm replayed
+    # in the oracle (same construction as sim_knn_join_probed: the
+    # md5-deterministic centroid pick makes assignment + probe
+    # SQL-expressible). The probe-cell ranking for a CONSTANT query is
+    # computed driver-side in Python (ivf_topk) and in SQL by DuckDB —
+    # both argmax cosine with lowest-cell tiebreak.
+    lambda spark, sf_dir: ivf_topk(
+        _emb(spark, sf_dir), "embedding", _QUERY_VEC, k=10, n_cells=16, n_probe=4
+    ).select("vec_id", F.round("score", 8).alias("score")),
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))"
+    " - 1 AS cell, v FROM (SELECT vec_id, v FROM e"
+    " ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)), "
+    "assigned AS (SELECT vec_id, v, cell FROM ("
+    " SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id"
+    "  ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn"
+    " FROM e CROSS JOIN cents c) WHERE rn = 1), "
+    "probe AS (SELECT cell FROM ("
+    f" SELECT cell, row_number() OVER (ORDER BY"
+    f"  list_cosine_similarity(v, {_QUERY_VEC_SQL}) DESC, cell) AS rn"
+    " FROM cents) WHERE rn <= 4) "
+    "SELECT vec_id, round(list_cosine_similarity(v, "
+    f"{_QUERY_VEC_SQL}), 8) AS score "
+    "FROM assigned WHERE cell IN (SELECT cell FROM probe) "
+    "ORDER BY list_cosine_similarity(v, "
+    f"{_QUERY_VEC_SQL}) DESC, vec_id LIMIT 10",
+    "partial-probe (4/16) IVF ANN top-k with the approximate algorithm "
+    "replayed in the oracle — certifies cell pick, assignment, and "
+    "in-cell rerank, not just the full-probe degenerate",
+)
+
+_reg(
     "sim_ann_lsh",
     lambda spark, sf_dir: lsh_topk(
         _emb(spark, sf_dir), "embedding", _QUERY_VEC, k=10, num_bits=16, rerank=100
