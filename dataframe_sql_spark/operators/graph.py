@@ -118,7 +118,9 @@ def pagerank(
 
     Per iteration: one join of the rank vector onto the edge list
     (shuffle on ``src``), one ``groupBy(dst)`` contribution sum, one
-    1-row dangling-mass aggregate attached via broadcast cross join.
+    1-row dangling-mass aggregate attached via
+    :func:`~.scalars.broadcast_attach` (constant-key broadcast hash
+    join — one broadcast row, no nested loop).
     Ranks round to ``round_digits`` each iteration, which pins the
     trajectory across engines/reruns exactly like the k-means
     centroid rounding — a SQL oracle can replay it verbatim. At

@@ -14,7 +14,8 @@ All four share one scale discipline:
   distinct-vocab table is millions of rows while the corpus is
   trillions of tokens, so the post-agg tables are broadcast-able);
 - corpus scalars (N docs, total tokens, avg doc length) are computed
-  as 1-row aggregates and attached via broadcast cross join — never
+  as 1-row aggregates and attached via ``scalars.broadcast_attach``
+  (constant-key broadcast hash join, BNLJ-free) — never
   ``collect()``, so the whole plan stays lazy and restartable;
 - per-document scores join the (small) vocab-statistics tables back
   onto exploded tokens; Catalyst broadcasts them, so the per-doc pass
