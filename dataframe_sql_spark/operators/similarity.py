@@ -36,6 +36,7 @@ __all__ = [
     "knn_join_bruteforce",
     "ivf_probe_cells",
     "knn_join_ivf",
+    "knn_join_cells",
     "pq_train",
     "pq_encode",
     "pq_topk",
@@ -382,6 +383,29 @@ def knn_join_ivf(
         centroids,
         n_probe,
     )
+    return knn_join_cells(lv, rv, k, left_id, right_id, exclude_self=exclude_self)
+
+
+def knn_join_cells(
+    lv: DataFrame,
+    rv: DataFrame,
+    k: int,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """JOIN stage of the cell-keyed kNN join over PRE-ASSIGNED frames:
+    ``lv`` = probe rows exploded onto cells (``__cell`` +
+    ``__lv`` vector), ``rv`` = corpus rows with their cell (``__cell``
+    + ``__rv``). This is the probe-time path when assignments come
+    from a persisted index (:func:`ivf_index_write` stores exactly the
+    ``rv`` shape partitioned by cell) — the per-call centroid scoring
+    in :func:`knn_join_ivf` is the index-BUILD cost, amortized across
+    probes. Cost is candidate volume (|lv|·occupancy) + one window
+    per left id: linear in corpus size when cells ∝ N and n_probe is
+    fixed (see tools/scale_stress.py::op_knn_join_ivf for the
+    measured decomposition and the two quadratic mis-configurations).
+    """
     pairs = lv.join(rv, "__cell")
     if exclude_self:
         pairs = pairs.filter(F.col(left_id) != F.col(right_id))

@@ -39,6 +39,12 @@ _RUNS_JOBS = {
     "x_global_shuffle",
     "pipe_curation",
     "x_negative_pairs",
+    # round 4: IVF centroid pick (bounded n_cells·dim collect) runs at
+    # plan-build time for the cell-keyed kNN join family
+    "sim_knn_join",
+    "sim_knn_join_probed",
+    "sim_ann_ivf_probed",
+    "x_pagerank",
 }
 
 # CROSS JOIN is these entries' DECLARED SEMANTICS (reference grammar

@@ -392,6 +392,78 @@ def op_triangles(spark: SparkSession, r: int) -> int:
     return _force(triangle_list(edges, "id_a", "id_b"))
 
 
+def op_knn_join_ivf(spark: SparkSession, r: int) -> int:
+    """Cell-keyed kNN join at the scale-correct configuration:
+    ``n_cells`` grows with the corpus (cells ∝ N keeps per-cell
+    occupancy CONSTANT) and ``n_probe`` stays FIXED, so candidate
+    volume is |L|·n_probe·occupancy ∝ N — linear. Two traps this
+    configuration dodges, both measured here before being documented:
+    holding the n_probe/n_cells RATIO fixed keeps the probed FRACTION
+    constant, i.e. candidates = |L|·|R|·fraction — quadratic no matter
+    how many cells (measured slope 2.0); holding n_cells fixed makes
+    occupancy ∝ N — also quadratic. The residual superlinear term in
+    the linear config is the probe-side cell RANKING (each row scores
+    all n_cells centroids, ∝ N·cells), which is the tiny-constant
+    coarse-quantizer cost — real billion-scale systems cap it with a
+    hierarchical/indexed coarse quantizer; at these sizes it is noise
+    and the measured slope reflects the candidate term."""
+    from dataframe_sql_spark.operators.similarity import knn_join_ivf
+
+    emb = scaled_embeddings(spark, r)
+    left = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("id_a"), "embedding"
+    )
+    right = emb.filter(F.col("label") != 0).select(
+        F.col("vec_id").alias("id_b"), "embedding"
+    )
+    return _force(knn_join_ivf(left, right, k=3, n_cells=16 * r, n_probe=4))
+
+
+_KNN_PREPARED: dict[int, tuple] = {}
+
+
+def _knn_prepare(spark: SparkSession, r: int):
+    """Untimed index-build proxy for the join-stage measurement: cell
+    assignment + probe explosion materialized via localCheckpoint —
+    exactly what ivf_index_write persists once at scale."""
+    if r in _KNN_PREPARED:
+        return _KNN_PREPARED[r]
+    from dataframe_sql_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_assign_cells,
+        ivf_probe_cells,
+    )
+
+    emb = scaled_embeddings(spark, r)
+    left = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("__lv"),
+    )
+    right = emb.filter(F.col("label") != 0).select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("__rv"),
+    )
+    centroids = _ivf_centroids(right, "__rv", "id_b", 16 * r)
+    rv = ivf_assign_cells(right, "__rv", centroids).localCheckpoint()
+    lv = ivf_probe_cells(left, "__lv", centroids, n_probe=4).localCheckpoint()
+    _KNN_PREPARED[r] = (lv, rv)
+    return _KNN_PREPARED[r]
+
+
+def op_knn_join_ivf_joinstage(spark: SparkSession, r: int) -> int:
+    """The cell equi-join + per-query top-k ONLY, over prebuilt
+    assignments (`knn_join_cells`) — the probe-time cost of the
+    persisted-index deployment, isolated from the per-call centroid
+    scoring that dominates op_knn_join_ivf's end-to-end number."""
+    lv, rv = _knn_prepare(spark, r)
+    from dataframe_sql_spark.operators.similarity import knn_join_cells
+
+    return _force(knn_join_cells(lv, rv, k=3))
+
+
+op_knn_join_ivf_joinstage.prepare = _knn_prepare
+
+
 # ---------------------------------------------------------------------------
 # Zipf-skewed join: salted vs AQE vs unmitigated
 # ---------------------------------------------------------------------------
@@ -490,6 +562,8 @@ OPS = {
     "dd_containment": op_containment,
     "ts_ewma": op_ewma,
     "x_negative_pairs": op_negative_pairs,
+    "sim_knn_join_ivf": op_knn_join_ivf,
+    "sim_knn_join_ivf_joinstage": op_knn_join_ivf_joinstage,
     "skew_join_unmitigated": op_skew_join_unmitigated,
     "skew_join_aqe": op_skew_join_aqe,
     "skew_join_salted": op_skew_join_salted,
@@ -511,6 +585,9 @@ def main() -> None:
         fn(spark, scales[0])  # untimed warm-up: codegen + parquet footers
         times = []
         for r in scales:
+            prepare = getattr(fn, "prepare", None)
+            if prepare is not None:
+                prepare(spark, r)  # untimed index-build proxy
             t0 = time.perf_counter()
             n = fn(spark, r)
             dt = time.perf_counter() - t0
