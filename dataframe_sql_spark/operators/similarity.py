@@ -37,6 +37,7 @@ __all__ = [
     "ivf_probe_cells",
     "knn_join_ivf",
     "knn_join_cells",
+    "knn_join_indexed",
     "pq_train",
     "pq_encode",
     "pq_topk",
@@ -609,6 +610,47 @@ def ivf_index_write(
     with open(os.path.join(path, "_centroids.json"), "w") as f:
         json.dump(centroids, f)
     return centroids
+
+
+def knn_join_indexed(
+    spark,
+    path: str,
+    left: DataFrame,
+    k: int,
+    left_id: str = "id_a",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Batch kNN join served from the persisted IVF index
+    (:func:`ivf_index_write`): left rows rank the STORED centroids
+    (pure expression), explode onto their ``n_probe`` nearest cells,
+    and equi-join the index table on its ``cell`` partition column —
+    so Spark's dynamic partition pruning can skip unprobed cell
+    directories at runtime when the probe set is selective, and the
+    only per-call cost is probe-side (the corpus assignment was paid
+    once at index build). This is the production form of
+    :func:`knn_join_ivf` — identical results for the same centroids
+    and probe count (pytest-gated in test_ann_index.py)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    idx = spark.read.parquet(path).select(
+        F.col(right_id),
+        F.col(vec_col).cast("array<double>").alias("__rv"),
+        F.col("cell").cast("int").alias("__cell"),
+    )
+    lv = ivf_probe_cells(
+        left.select(
+            F.col(left_id), F.col(vec_col).cast("array<double>").alias("__lv")
+        ),
+        "__lv",
+        centroids,
+        n_probe,
+    )
+    return knn_join_cells(lv, idx, k, left_id, right_id)
 
 
 def ivf_topk_indexed(

@@ -50,6 +50,44 @@ def test_indexed_probe_prunes_partitions(spark, tmp_path):
     assert "cell" in pf_line
 
 
+def test_knn_join_indexed_matches_inline(spark, tmp_path):
+    """The batch kNN join served from the persisted index must equal
+    knn_join_ivf pair-for-pair at the same centroids/probe count —
+    both at full probe (== brute force) and at partial probe — since
+    the index stores exactly the assignment knn_join_ivf computes
+    per call."""
+    from dataframe_sql_spark.operators.similarity import (
+        knn_join_indexed,
+        knn_join_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    left = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("id_a"), "embedding"
+    )
+    right = emb.filter(F.col("label") != 0)
+    path = str(tmp_path / "ivf_index_join")
+    ivf_index_write(right, path, "embedding", "vec_id", n_cells=16)
+    for n_probe in (16, 4):
+        inline = {
+            (r.id_a, r.id_b, round(r.score, 9))
+            for r in knn_join_ivf(
+                left,
+                right.select(F.col("vec_id").alias("id_b"), "embedding"),
+                k=3,
+                n_cells=16,
+                n_probe=n_probe,
+            ).collect()
+        }
+        indexed = {
+            (r.id_a, r.vec_id, round(r.score, 9))
+            for r in knn_join_indexed(
+                spark, path, left, k=3, n_probe=n_probe
+            ).collect()
+        }
+        assert indexed == inline, f"n_probe={n_probe}"
+
+
 def test_incremental_append_against_same_centroids(spark, tmp_path):
     from dataframe_sql_spark.operators.similarity import ivf_assign_cells
 
