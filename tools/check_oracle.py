@@ -99,6 +99,14 @@ def main() -> int:
     if "--strict" in args:
         STRICT = True
         args.remove("--strict")
+    # --exclude a,b,c: skip entries whose name contains any of these —
+    # for beyond-driver-SF runs where the certificate-superset
+    # generators (quadratic-by-design sf<=0.01 constructs) must sit out
+    excluded: list[str] = []
+    for a in list(args):
+        if a.startswith("--exclude="):
+            excluded = a.split("=", 1)[1].split(",")
+            args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     name_filter = args[1:]
     if vanilla:
@@ -123,6 +131,9 @@ def main() -> int:
     failures = 0
     for name, fn in qs.items():
         if name_filter and not any(f in name for f in name_filter):
+            continue
+        if excluded and any(e and e in name for e in excluded):
+            print(f"SKIP {name} (excluded)")
             continue
         try:
             sdf = fn(spark, sf_dir)
