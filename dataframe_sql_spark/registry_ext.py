@@ -3717,6 +3717,59 @@ _reg(
 # --------------------------------------------------------------------------
 
 
+def _j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side Bloom-prefiltered shuffle join
+    (:func:`~dataframe_sql_spark.operators.joins.bloom_prefilter_join`):
+    the huge probe side (lineitem) is filtered by a packed-bitset
+    literal built from the selective build side's keys (high-value
+    orders) BEFORE any exchange — the shuffle moves matches + ~1e-5
+    false positives instead of every probe row. The oracle runs the
+    PLAIN join: a hash match certifies the filter's no-false-negative
+    contract (identical join result), which is the entire correctness
+    surface of a Bloom prefilter."""
+    from .operators.joins import bloom_prefilter_join
+
+    eng = engine_for(spark, sf_dir)
+    li = eng.spark.table("lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = (
+        eng.spark.table("orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    return (
+        bloom_prefilter_join(li, od, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_reg(
+    "j_bloom_prefilter",
+    _j_bloom_prefilter,
+    "SELECT o_orderpriority, count(*)::BIGINT AS n_items,"
+    " CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"
+    " AS DOUBLE) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_totalprice > 400000 "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "map-side Bloom-prefiltered shuffle join (packed-bitset literal "
+    "from the selective build side; no false negatives — oracle runs "
+    "the plain join)",
+)
+
+
 def _j_range_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join through the bucketed rewrite.
 

@@ -437,6 +437,50 @@ def test_range_and_linkage_joins_are_hash_joins(spark):
         assert "CartesianProduct" not in plan, f"{name} planned cartesian"
 
 
+def test_bloom_prefilter_filters_before_exchange(spark):
+    """The Bloom prefilter's whole point is killing probe rows BEFORE
+    the shuffle: the bit-test Filter (shiftright expression) must
+    appear below the probe-side Exchange in the formatted plan, and at
+    sf it must actually reject the vast majority of probe rows."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    df = entrymod.queries()["j_bloom_prefilter"](spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "shiftright" in plan, "bloom bit-test missing from plan"
+    # the bit-test is a data filter on the scan, not post-join
+    scan_sections = plan.split("Scan parquet")
+    assert any("shiftright" in s.split("Exchange")[0] for s in scan_sections[1:]), (
+        "bloom filter not applied before the exchange"
+    )
+
+    from dataframe_sql_spark.operators.joins import bloom_prefilter_join
+    from dataframe_sql_spark.sources.io import read_table
+
+    li = read_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    od = (
+        read_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    n_all = li.count()
+    # no-false-negative check at operator level: joined rows == plain join
+    plain = li.join(od, "l_orderkey").count()
+    assert bloom_prefilter_join(li, od, "l_orderkey").count() == plain
+    # selectivity: the filtered probe side must be far below the full
+    # scan (matches + ~1e-5 false positives)
+    filtered_probe = bloom_prefilter_join(
+        li, od, "l_orderkey", prefilter_only=True
+    ).count()
+    assert plain <= filtered_probe < max(plain * 1.05, n_all * 0.2), (
+        filtered_probe,
+        plain,
+        n_all,
+    )
+
+
 def test_minhash_est_cert_within_tolerance(spark):
     """Every J>=0.5 pair's OPH lane-agreement estimate must sit within
     the documented 0.25 tolerance (measured max 0.2014 at sf0.001) —
