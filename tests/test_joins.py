@@ -175,3 +175,32 @@ def test_interval_overlap_bucketed_equals_naive(spark):
         ).collect()
     }
     assert naive == bucketed == {(1, 10), (2, 30)}
+
+
+def test_interval_overlap_bucketed_multiplicity_and_malformed(spark):
+    """Round-4 semantics fixes: (1) the bucketed path emits exactly ONE
+    row per matching pair via the canonical-bucket predicate — and
+    duplicate INPUT rows produce duplicate matches (no all-column
+    distinct collapsing them); (2) malformed (end < start) intervals
+    are dropped before the explode instead of crashing sequence()."""
+    from dataframe_sql_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts(9), _ts(12)),   # spans 3+ hour buckets
+            (1, _ts(9), _ts(12)),   # exact duplicate input row
+            (2, _ts(15), _ts(14)),  # malformed: end < start
+        ],
+        ["lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(10), _ts(11, 30))], ["rid", "rs", "re"]
+    )
+    rows = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_granularity="hour"
+    ).collect()
+    pairs = [(r.lid, r.rid) for r in rows]
+    # the duplicate left row matches twice; the multi-bucket overlap
+    # still yields one row per pair; the malformed row neither crashes
+    # nor matches
+    assert sorted(pairs) == [(1, 10), (1, 10)]
