@@ -119,6 +119,10 @@ PIPELINE_OPS = [
     "x_sorted_neighborhood",
     "st_static_join",
     "ts_ewma",
+    # round-4 additions: map-side Bloom-prefiltered shuffle join and
+    # the partial-probe cell-keyed kNN join (the at-scale ANN join)
+    "j_bloom_prefilter",
+    "sim_knn_join_probed",
 ]
 
 
