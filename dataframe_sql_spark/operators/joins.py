@@ -210,11 +210,16 @@ def bloom_prefilter_join(
 
     Build: the build side's keys hash to ``num_hashes`` positions
     (xxhash64 seeded per hash, mod ``num_bits``), one distinct-position
-    aggregate packs them into int64 words, and the words — a BOUNDED
-    ``num_bits/64``-long array (16K longs at the default 1M bits) —
-    enter the probe filter as a single literal array. Probe: each row
-    tests its k bit positions with shift/mask expressions, pure
-    whole-stage codegen, zero extra joins or broadcasts.
+    aggregate packs them into a DENSE int64-word array — a BOUNDED
+    ``num_bits/64``-long (16K longs / 128 KB at the default 1M bits)
+    single-row frame that attaches to the probe side via constant-key
+    broadcast (:func:`~.scalars.broadcast_attach`). The whole plan is
+    LAZY: no driver collect, no literal (an early version collected
+    the words into an ``F.lit(list)`` — per-element py4j conversion
+    made literal CREATION cost ~0.5 ms/element, 8+ s at 16K words,
+    dwarfing the job itself). Probe: each row tests its k bit
+    positions against the broadcast array with shift/mask expressions
+    in whole-stage codegen, before the join's exchange.
 
     No false negatives by construction (every build key set all its
     bits), so the join RESULT is provably identical to the plain join
@@ -225,8 +230,10 @@ def bloom_prefilter_join(
     applies the same idea adaptively; this operator is the explicit,
     plan-visible form with a documented memory bound).
     """
+    from .scalars import broadcast_attach
+
     m = num_bits
-    words = [0] * ((m + 63) // 64)
+    n_words = (m + 63) // 64
     pos_cols = [
         F.pmod(F.xxhash64(F.col(on), F.lit(i)), F.lit(m)) for i in range(num_hashes)
     ]
@@ -245,14 +252,24 @@ def bloom_prefilter_join(
                 )
             ).alias("__bits")
         )
-        .collect()
     )
-    for r in packed:
-        words[r["__w"]] = r["__bits"]
-    bits_lit = F.lit(words)
+    # densify (absent words = 0) and fold into ONE array row, in-plan
+    bits_row = (
+        probe.sparkSession.range(n_words)
+        .select(F.col("id").cast("int").alias("__wd"))
+        .join(packed, F.col("__wd") == F.col("__w"), "left")
+        .select("__wd", F.coalesce("__bits", F.lit(0).cast("long")).alias("__b"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__wd", "__b"))),
+                lambda s: s["__b"],
+            ).alias("__bloom")
+        )
+    )
 
     def _test(pos):
-        word = F.element_at(bits_lit, (pos / 64).cast("int") + 1)
+        word = F.element_at(F.col("__bloom"), (pos / 64).cast("int") + 1)
         return (
             F.call_function(
                 "shiftright", word, F.pmod(pos, F.lit(64)).cast("int")
@@ -263,9 +280,10 @@ def bloom_prefilter_join(
     cond = _test(pos_cols[0])
     for p in pos_cols[1:]:
         cond = cond & _test(p)
+    filtered = broadcast_attach(probe, bits_row).filter(cond).drop("__bloom")
     if prefilter_only:  # the filtered probe side, for FP-rate inspection
-        return probe.filter(cond)
-    return probe.filter(cond).join(build, on, how)
+        return filtered
+    return filtered.join(build, on, how)
 
 
 def symmetric_difference(a: DataFrame, b: DataFrame) -> DataFrame:

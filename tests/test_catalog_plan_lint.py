@@ -45,8 +45,6 @@ _RUNS_JOBS = {
     "sim_knn_join_probed",
     "sim_ann_ivf_probed",
     "x_pagerank",
-    # bounded num_bits/64-word collect builds the Bloom bitset literal
-    "j_bloom_prefilter",
 }
 
 # CROSS JOIN is these entries' DECLARED SEMANTICS (reference grammar

@@ -447,13 +447,22 @@ def test_bloom_prefilter_filters_before_exchange(spark):
 
     df = entrymod.queries()["j_bloom_prefilter"](spark, SF_DIR)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
+        df._jdf.queryExecution(), "simple"
     )
-    assert "shiftright" in plan, "bloom bit-test missing from plan"
-    # the bit-test is a data filter on the scan, not post-join
-    scan_sections = plan.split("Scan parquet")
-    assert any("shiftright" in s.split("Exchange")[0] for s in scan_sections[1:]), (
-        "bloom filter not applied before the exchange"
+    lines = plan.splitlines()
+    # the bit-test (shiftright over the broadcast word array) must sit
+    # directly on the probe scan path: between the operator evaluating
+    # it and the lineitem scan there may be projections/filters/the
+    # 1-row bitset broadcast, but NO shuffle — that's the entire point
+    bloom_i = next(i for i, l in enumerate(lines) if "shiftright" in l)
+    scan_i = next(
+        i
+        for i, l in enumerate(lines[bloom_i:], start=bloom_i)
+        if "FileScan parquet" in l and "lineitem" in l
+    )
+    between = lines[bloom_i + 1 : scan_i]
+    assert not any("Exchange hashpartitioning" in l for l in between), (
+        "probe rows are shuffled before the bloom bit-test"
     )
 
     from dataframe_sql_spark.operators.joins import bloom_prefilter_join
