@@ -25,6 +25,7 @@ __all__ = [
     "hll_partials",
     "hll_rollup",
     "hll_estimate_exactish",
+    "hll_intersect_estimate",
     "bloom_positions",
     "bloom_build",
     "bloom_probe",
@@ -66,6 +67,43 @@ def hll_rollup(partials: DataFrame, group_cols: list[str]) -> DataFrame:
     """
     return partials.groupBy(*group_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("distinct_est")
+    )
+
+
+def hll_intersect_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    lgk: int = 14,
+) -> DataFrame:
+    """Estimate |A ∩ B| from two HLL sketches by inclusion-exclusion:
+    ``est(A) + est(B) − est(A ∪ B)``, where the union estimate comes
+    from MERGING the two sketches (``hll_union``) — no second scan of
+    either input, the sketch-algebra capability that makes cross-
+    source overlap questions (shared vocabulary, common users, URL
+    overlap between crawls) answerable from persisted per-source
+    sketches alone at 100 TB.
+
+    Returns one row (est_a, est_b, est_union, est_intersect). Error:
+    each estimate carries ~1.04/√2^lgk relative error and inclusion-
+    exclusion ADDS absolute errors, so the intersection estimate is
+    only trustworthy when the overlap is a sizable fraction of the
+    union — certify with a tolerance oracle (a_hll_intersect_cert).
+    """
+    from ..operators.scalars import broadcast_attach
+
+    sa = a.agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias("__ha"))
+    sb = b.agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias("__hb"))
+    both = broadcast_attach(sa, sb)
+    return both.select(
+        F.hll_sketch_estimate("__ha").alias("est_a"),
+        F.hll_sketch_estimate("__hb").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("__ha", "__hb")).alias("est_union"),
+        (
+            F.hll_sketch_estimate("__ha")
+            + F.hll_sketch_estimate("__hb")
+            - F.hll_sketch_estimate(F.hll_union("__ha", "__hb"))
+        ).alias("est_intersect"),
     )
 
 

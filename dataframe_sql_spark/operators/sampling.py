@@ -30,6 +30,7 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "dataset_mix",
+    "temperature_mix",
     "global_shuffle",
     "negative_pairs",
 ]
@@ -202,6 +203,62 @@ def dataset_mix(
         raise ValueError("no target_weights source present in the data")
     t = min(counts[s] / w for s, w in present.items())
     fractions = {s: min(1.0, t * w / counts[s]) for s, w in present.items()}
+    return stratified_hash_sample(
+        df, id_col, source_col, fractions, seed=seed, default_fraction=0.0
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    tau: float = 0.5,
+    seed: int = 42,
+    max_sources: int = 100_000,
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual-
+    pretraining recipe (sample source s with probability ∝ n_s^τ,
+    τ < 1 upweighting low-resource sources; τ=1 is natural
+    proportions, τ→0 is uniform).
+
+    Unlike :func:`dataset_mix` (explicit target weights), the weights
+    derive from the data itself, and the acceptance fraction reduces
+    in closed form: with w_s ∝ n_s^τ the feasible-volume binding
+    source is the SMALLEST one, and ``frac_s = (n_min / n_s)^(1-τ)``
+    — the normalization constant cancels algebraically, so no
+    summation-order float hazard exists. The smallest source is kept
+    whole; larger sources downsample toward balance.
+
+    For τ = 0.5 (the common setting) the fraction is computed as
+    ``sqrt(n_min) / sqrt(n_s)``: both sqrt and the division are
+    correctly-rounded IEEE ops, so a SQL oracle writing the same two
+    ops reproduces the thresholds bit-identically (the engine-portable
+    determinism contract; other τ values work but carry last-ulp
+    ``pow`` risk across engines). Selection is the shared md5
+    hex-threshold mechanism (:func:`stratified_hash_sample`) — map-
+    side after one bounded source-count aggregate.
+    """
+    import math
+
+    rows = df.groupBy(source_col).count().limit(max_sources + 1).collect()
+    if len(rows) > max_sources:
+        raise ValueError(
+            f"source cardinality exceeds max_sources={max_sources}; "
+            "mixing needs a bounded source dimension"
+        )
+    counts = {r[0]: r[1] for r in rows}
+    if not counts:
+        raise ValueError("no rows to mix")
+    n_min = min(counts.values())
+    if tau == 0.5:
+        fractions = {
+            s: min(1.0, math.sqrt(n_min) / math.sqrt(c)) for s, c in counts.items()
+        }
+    else:
+        fractions = {
+            s: min(1.0, (n_min ** (1.0 - tau)) / (c ** (1.0 - tau)))
+            for s, c in counts.items()
+        }
     return stratified_hash_sample(
         df, id_col, source_col, fractions, seed=seed, default_fraction=0.0
     )

@@ -1533,6 +1533,61 @@ _reg(
     "fact-table rescans for distinct counts at 100 TB",
 )
 
+def _hll_intersect_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-ALGEBRA certificate: |A ∩ B| estimated by inclusion-
+    exclusion over two MERGED sketches (est_a + est_b − est_union,
+    union via hll_union — no rescan of either input), checked against
+    the exact intersection. A = users who clicked, B = users who
+    purchased; the overlap is a large fraction of the union, the
+    regime where inclusion-exclusion is trustworthy. Oracle output is
+    the deterministic (exact sizes, certificate flag) tuple; the
+    estimates themselves are implementation-defined and dropped."""
+    from .functions.sketches import hll_intersect_estimate
+    from .operators.scalars import broadcast_attach
+
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    est = hll_intersect_estimate(a, b, "user_id", lgk=14)
+    exact = broadcast_attach(
+        a.agg(F.count_distinct("user_id").alias("exact_a")),
+        b.agg(F.count_distinct("user_id").alias("exact_b")),
+    )
+    exact = broadcast_attach(
+        exact,
+        a.select("user_id")
+        .intersect(b.select("user_id"))
+        .agg(F.count("*").cast("bigint").alias("exact_intersect")),
+    )
+    return broadcast_attach(est, exact).select(
+        "exact_a",
+        "exact_b",
+        "exact_intersect",
+        (
+            F.abs(F.col("est_intersect") - F.col("exact_intersect"))
+            <= 0.05 * F.col("exact_intersect")
+        ).alias("within_tol"),
+    )
+
+
+_reg(
+    "a_hll_intersect_cert",
+    _hll_intersect_entry,
+    "SELECT (SELECT count(DISTINCT user_id) FROM events "
+    "WHERE event_type = 'click')::BIGINT AS exact_a, "
+    "(SELECT count(DISTINCT user_id) FROM events "
+    "WHERE event_type = 'purchase')::BIGINT AS exact_b, "
+    "(SELECT count(*) FROM (SELECT DISTINCT user_id FROM events "
+    "WHERE event_type = 'click' INTERSECT SELECT DISTINCT user_id "
+    "FROM events WHERE event_type = 'purchase'))::BIGINT "
+    "AS exact_intersect, "
+    "true AS within_tol",
+    "HLL set algebra: |A∩B| by inclusion-exclusion over MERGED "
+    "sketches (hll_union, no input rescan) with an exactness "
+    "certificate — answers cross-source overlap questions from "
+    "persisted per-source sketches alone",
+)
+
 _reg(
     "st_dedup",
     lambda spark, sf_dir: _events(spark, sf_dir)
@@ -2368,6 +2423,32 @@ _reg_sql(
     "the corpus-wide window shuffle",
 )
 
+
+_reg(
+    "x_temperature_mix",
+    # Temperature-based source rebalancing (p_s ∝ n_s^τ, the XLM-R
+    # multilingual-sampling recipe) at τ=0.5: acceptance reduces in
+    # closed form to sqrt(n_min)/sqrt(n_s) — smallest source kept
+    # whole, normalization cancels algebraically. sqrt and division
+    # are correctly-rounded IEEE ops, so the oracle writing the SAME
+    # two ops reproduces the md5 hex thresholds bit-identically.
+    lambda spark, sf_dir: __import__(
+        "dataframe_sql_spark.operators.sampling", fromlist=["temperature_mix"]
+    ).temperature_mix(_docs(spark, sf_dir), "doc_id", "lang", tau=0.5, seed=42)
+    .select("doc_id", "lang", "source"),
+    "WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang), "
+    "m AS (SELECT min(cnt) AS mn FROM c), "
+    "f AS (SELECT lang, least(1.0, sqrt(mn) / sqrt(cnt)) AS frac "
+    "FROM c CROSS JOIN m), "
+    "t AS (SELECT lang, CASE WHEN frac >= 1.0 THEN 'g' "
+    "ELSE printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT)) END AS thr "
+    "FROM f) "
+    "SELECT d.doc_id, d.lang, d.source FROM documents d JOIN t ON d.lang = t.lang "
+    "WHERE substr(md5(d.doc_id || ':42'), 1, 8) < t.thr",
+    "temperature-based source rebalancing (p ∝ n^τ, τ=0.5): smallest "
+    "source kept whole, larger sources downsampled toward balance — "
+    "closed-form sqrt fractions, bit-identical cross-engine",
+)
 
 _MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
 
