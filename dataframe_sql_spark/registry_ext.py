@@ -2197,6 +2197,41 @@ _reg_sql(
 )
 
 _reg_sql(
+    "x_cohort_retention",
+    # Classic cohort-retention matrix: users grouped by first-seen
+    # week, distinct-active counts at each week offset. Both engines
+    # Monday-truncate weeks, and the offset is an exact multiple of 7
+    # days, so `days/7.0 -> int` is bit-safe. Two user_id-keyed
+    # shuffles (first-seen, activity) + one grouped count-distinct;
+    # at 100 TB the cohort table persists and each new week appends
+    # one activity slice — the incremental analytics shape.
+    "with f as (select user_id, cast(date_trunc('week', min(ts)) as date) "
+    "as cohort_week from events group by user_id), "
+    "a as (select distinct user_id, cast(date_trunc('week', ts) as date) "
+    "as active_week from events) "
+    "select f.cohort_week, "
+    "cast(datediff(a.active_week, f.cohort_week) / 7.0 as int) as week_offset, "
+    "cast(count(distinct a.user_id) as bigint) as n_active "
+    "from a join f on a.user_id = f.user_id "
+    "group by f.cohort_week, week_offset "
+    "order by cohort_week, week_offset",
+    "WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) "
+    "AS cohort_week FROM events GROUP BY user_id), "
+    "a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) "
+    "AS active_week FROM events) "
+    "SELECT f.cohort_week, "
+    "CAST(date_diff('day', f.cohort_week, a.active_week) / 7.0 AS INT) "
+    "AS week_offset, "
+    "CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active "
+    "FROM a JOIN f ON a.user_id = f.user_id "
+    "GROUP BY f.cohort_week, week_offset "
+    "ORDER BY cohort_week, week_offset",
+    "cohort retention matrix: first-seen-week cohorts x distinct "
+    "active users per week offset — the incremental event-analytics "
+    "shape",
+)
+
+_reg_sql(
     "x_funnel",
     # ordered-funnel analysis: earliest view -> first later click ->
     # first later purchase per user. Each stage is a grouped min over
