@@ -101,6 +101,26 @@ _reg(
 )
 
 _reg(
+    "dd_exact_normalized",
+    # Normalize-then-dedup: survivors keyed on the NORMALIZED-text
+    # fingerprint (lower + trim + whitespace collapse, md5'd to a
+    # fixed-width shuffle key) — catches the case/whitespace variants
+    # raw exact dedup misses, the standard first pass before near-dup.
+    # Same min-id survivor policy as dd_exact.
+    lambda spark, sf_dir: exact_dedup(
+        _docs(spark, sf_dir).withColumn("__fp", fingerprint(F.col("text"))),
+        ["__fp"],
+        "doc_id",
+    ).select("doc_id", "lang", "source"),
+    r"SELECT doc_id, lang, source FROM documents WHERE doc_id IN "
+    r"(SELECT min(doc_id) FROM documents GROUP BY "
+    r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))",
+    "normalize-then-dedup: min-id survivor per normalized-text "
+    "fingerprint (case/whitespace variants collapse; fixed-width "
+    "md5 shuffle key)",
+)
+
+_reg(
     "dd_fingerprint",
     lambda spark, sf_dir: _docs(spark, sf_dir).select(
         "doc_id", fingerprint(F.col("text")).alias("fp")

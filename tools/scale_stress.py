@@ -419,6 +419,26 @@ def op_knn_join_ivf(spark: SparkSession, r: int) -> int:
     return _force(knn_join_ivf(left, right, k=3, n_cells=16 * r, n_probe=4))
 
 
+def op_bloom_prefilter_join(spark: SparkSession, r: int) -> int:
+    """Map-side Bloom-prefiltered join at growing probe scale: lineitem
+    (probe, 600k·r rows) against the selective high-value orders set.
+    Expected ~linear — the per-row cost is k bit tests against the
+    broadcast bitset plus the (shrunken) shuffle; the build side is one
+    bounded aggregate per call."""
+    from dataframe_sql_spark.operators.joins import bloom_prefilter_join
+
+    li, od = scaled_lineitem_orders(spark, r)
+    probe = li.select("l_orderkey", "l_extendedprice")
+    build = od.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return _force(
+        bloom_prefilter_join(probe, build, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_extendedprice").alias("s"))
+    )
+
+
 _KNN_PREPARED: dict[int, tuple] = {}
 
 
@@ -564,6 +584,7 @@ OPS = {
     "x_negative_pairs": op_negative_pairs,
     "sim_knn_join_ivf": op_knn_join_ivf,
     "sim_knn_join_ivf_joinstage": op_knn_join_ivf_joinstage,
+    "j_bloom_prefilter": op_bloom_prefilter_join,
     "skew_join_unmitigated": op_skew_join_unmitigated,
     "skew_join_aqe": op_skew_join_aqe,
     "skew_join_salted": op_skew_join_salted,
