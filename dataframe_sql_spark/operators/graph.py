@@ -145,16 +145,36 @@ def pagerank(
         ranked = pr.join(out_deg, pr["id"] == out_deg["src"], "left").select(
             pr["id"], "rank", "__deg"
         )
-        # mass parked on dangling nodes (no out-edges) this iteration
+        # mass parked on dangling nodes (no out-edges) this iteration.
+        # Both sums below take the package's decimal detour: a plain
+        # double sum's accumulation ORDER differs across engines /
+        # partitionings, and an ulp of drift at a 6dp rounding
+        # boundary forks the whole trajectory (seen at sf0.1 before
+        # this pin). Ranks are exact 6dp decimals and the per-edge
+        # contribution is pre-rounded to 12dp — identical doubles in,
+        # exact decimal addition, identical doubles out.
         dangling = ranked.agg(
             F.coalesce(
-                F.sum(F.when(F.col("__deg").isNull(), F.col("rank"))), F.lit(0.0)
+                F.sum(
+                    F.when(F.col("__deg").isNull(), F.col("rank")).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                F.lit(0.0),
             ).alias("__dang")
         )
         contrib = (
             e.join(ranked.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+            .agg(
+                F.sum(
+                    F.round(F.col("rank") / F.col("__deg"), 12).cast(
+                        "decimal(18,12)"
+                    )
+                )
+                .cast("double")
+                .alias("__in")
+            )
         )
         pr = (
             broadcast_attach(

@@ -222,9 +222,13 @@ def bloom_prefilter_join(
     in whole-stage codegen, before the join's exchange.
 
     No false negatives by construction (every build key set all its
-    bits), so the join RESULT is provably identical to the plain join
-    — only the shuffled volume changes; false positives just ride the
-    shuffle as they always did. With ~1M bits / 5 hashes the FP rate
+    bits), so for ``how`` in ``{'inner', 'left_semi'}`` the join
+    RESULT is provably identical to the plain join — only the
+    shuffled volume changes; false positives just ride the shuffle as
+    they always did. Other modes are REJECTED: dropping probe rows
+    before a left/full outer join would delete the null-extended rows
+    the mode exists to keep (or keep only Bloom false positives), and
+    a left_anti would be nearly inverted. With ~1M bits / 5 hashes the FP rate
     at 50k build keys is ~1e-5. At larger build sides, size num_bits
     at ~10 bits/key (Spark's own runtime row-level bloom filtering
     applies the same idea adaptively; this operator is the explicit,
@@ -232,6 +236,12 @@ def bloom_prefilter_join(
     """
     from .scalars import broadcast_attach
 
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            "bloom_prefilter_join preserves semantics only for "
+            f"how in {{'inner', 'left_semi'}}; got {how!r}. Outer/anti "
+            "modes need the unfiltered probe side — use a plain join."
+        )
     m = num_bits
     n_words = (m + 63) // 64
     pos_cols = [

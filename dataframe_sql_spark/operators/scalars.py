@@ -21,7 +21,7 @@ cross product, still hash-planned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 __all__ = ["broadcast_attach"]
 
@@ -38,13 +38,33 @@ def broadcast_attach(df: DataFrame, small: DataFrame) -> DataFrame:
 
     The key must be constant-valued yet NOT constant-foldable — a
     bare ``lit(1)`` folds and Catalyst degrades the join back to a
-    nested loop. ``pmod(hash(first_col), 1)`` is always 0, types over
-    any column (hash of null is the seed, never null), and references
-    a real attribute, so it survives optimization as an equi-key.
+    nested loop. ``pmod(hash(col), 1)`` is always 0, never null (hash
+    of null is the seed), and references a real attribute, so it
+    survives optimization as an equi-key. The column hashed is the
+    first ATOMIC-typed one (``hash()`` is an analysis error on
+    MapType, and hashing a wide struct/array column does pointless
+    per-row work); a frame with no atomic column hashes
+    ``to_json(struct(first_col))`` instead.
     """
 
+    _ATOMIC = (
+        T.NumericType,
+        T.StringType,
+        T.BooleanType,
+        T.DateType,
+        T.TimestampType,
+        T.TimestampNTZType,
+        T.BinaryType,
+    )
+
     def _key(frame: DataFrame) -> F.Column:
-        return F.pmod(F.hash(frame[frame.columns[0]]), F.lit(1)).cast("int")
+        for fld in frame.schema.fields:
+            if isinstance(fld.dataType, _ATOMIC):
+                return F.pmod(F.hash(frame[fld.name]), F.lit(1)).cast("int")
+        c = frame.columns[0]
+        return F.pmod(
+            F.hash(F.to_json(F.struct(frame[c]))), F.lit(1)
+        ).cast("int")
 
     return (
         df.withColumn(_KEY, _key(df))

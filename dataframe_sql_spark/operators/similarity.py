@@ -29,6 +29,7 @@ __all__ = [
     "cosine_topk",
     "lsh_signature_col",
     "lsh_topk",
+    "ivf_default_cells",
     "ivf_assign_cells",
     "ivf_topk",
     "ivf_index_write",
@@ -152,6 +153,46 @@ def lsh_topk(
     )
 
 
+IVF_TARGET_OCCUPANCY = 32  # rows per cell the default sizing aims for
+
+# Cell-score precision pin: both engines rank cells by cosine ROUNDED
+# to this many decimals (with a deterministic lowest-cell tiebreak), so
+# a few-ulp float divergence between Spark's expression and the
+# oracle's list_cosine_similarity cannot flip a near-tie and cascade
+# into a different probe set / assignment. Residual risk: a true score
+# within ~1e-8 of a rounding boundary (and the engines' half-way
+# rounding modes differ: Spark/DuckDB round half away from zero,
+# Python round() half-to-even) — measure-zero for real-valued cosines.
+CELL_SCORE_DECIMALS = 8
+
+
+def ivf_default_cells(n_rows: int, occupancy: int = IVF_TARGET_OCCUPANCY) -> int:
+    """Scale-correct IVF cell count: cells ∝ corpus size at a fixed
+    per-cell occupancy target, so candidate volume per probe row
+    (n_probe · occupancy) stays CONSTANT as the corpus grows — the
+    linear configuration measured in tools/scale_stress.py::
+    op_knn_join_ivf (a fixed n_cells silently degrades to quadratic
+    occupancy, slope ≈2; a fixed n_probe/n_cells RATIO keeps the
+    probed FRACTION constant, also quadratic).
+
+    Integer ceiling math (``(n + occ - 1) // occ``) so a SQL oracle
+    replays the exact same count. Clamped to [16, 4096]: the floor
+    keeps tiny corpora meaningfully partitioned, the cap bounds the
+    centroid literal / driver collect (4096·dim floats) — beyond that
+    a hierarchical coarse quantizer is the right tool, not more flat
+    cells."""
+    return max(16, min(4096, (n_rows + occupancy - 1) // occupancy))
+
+
+def _cos_py(q: list[float], c: list[float]) -> float:
+    """Driver-side cosine, rounded to the same pinned precision the
+    in-plan cell scoring uses (cross-engine near-tie stability)."""
+    dot = sum(a * b for a, b in zip(q, c))
+    nq = math.sqrt(sum(a * a for a in q)) or 1.0
+    nc = math.sqrt(sum(b * b for b in c)) or 1.0
+    return round(dot / (nq * nc), CELL_SCORE_DECIMALS)
+
+
 def _ivf_centroids(
     df: DataFrame, vec_col: str, id_col: str, n_cells: int
 ) -> list[list[float]]:
@@ -178,10 +219,16 @@ def ivf_assign_cells(
     no shuffle. At scale the result is persisted partitioned by cell so
     probes prune partitions.
 
-    argmax_c cos(v, c) == argmax_c dot(v, c / |c|): the row norm is a
-    positive constant across cells, so centroids are normalized
-    driver-side and each cell costs one dot product — no per-row norm
-    or sqrt at all (~2× less arithmetic than cosine per cell)."""
+    Centroids are normalized driver-side (one dot product per cell),
+    the row norm is computed ONCE per row, and each cell's score is
+    the COSINE rounded to :data:`CELL_SCORE_DECIMALS` — the pinned
+    precision a SQL oracle reproduces exactly with
+    ``round(list_cosine_similarity(...), 8)``, so near-tie
+    assignments cannot flip across engines (ties break to the lowest
+    cell on both sides). The score array is materialized in its own
+    projection first: lambda-bearing expressions are excluded from
+    Spark's subexpression elimination, so the argmax's two references
+    would otherwise recompute every dot product."""
 
     def _normed(c: list[float]) -> list[float]:
         n = math.sqrt(sum(x * x for x in c)) or 1.0
@@ -189,13 +236,27 @@ def ivf_assign_cells(
 
     v = F.col(vec_col).cast("array<double>")
     cents_lit = F.lit([_normed(c) for c in centroids])
+    vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    safe_vn = F.when(F.col("__ivf_vn") == 0, F.lit(1.0)).otherwise(F.col("__ivf_vn"))
     sims = F.transform(
         cents_lit,
-        lambda c: F.aggregate(
-            F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            )
+            / safe_vn,
+            CELL_SCORE_DECIMALS,
         ),
     )
-    return df.withColumn(cell_col, (F.array_position(sims, F.array_max(sims)) - 1).cast("int"))
+    return (
+        df.withColumn("__ivf_vn", vn)
+        .withColumn("__sims", sims)
+        .withColumn(
+            cell_col,
+            (F.array_position(F.col("__sims"), F.array_max("__sims")) - 1).cast("int"),
+        )
+        .drop("__ivf_vn", "__sims")
+    )
 
 
 def ivf_topk(
@@ -204,7 +265,7 @@ def ivf_topk(
     query: list[float],
     k: int = 10,
     id_col: str = "vec_id",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
@@ -212,20 +273,22 @@ def ivf_topk(
     centroids are most similar to the query, exact-cosine rerank inside
     them.
 
-    With ``n_probe == n_cells`` this degenerates to exact brute force
-    (the pytest recall gate exploits that). Scan cost drops by
-    ~n_probe/n_cells; the cell filter is a codegen predicate (and a
-    partition-pruning one once the cell column is persisted).
+    ``n_cells`` defaults to :func:`ivf_default_cells` over a cheap
+    ``count()`` — cells ∝ corpus at fixed occupancy, the configuration
+    whose scan cost stays ~n_probe·occupancy per query at any scale
+    (a hand-fixed cell count silently degrades toward a full scan as
+    the corpus grows). With ``n_probe == n_cells`` this degenerates to
+    exact brute force (the pytest recall gate exploits that). The cell
+    filter is a codegen predicate (and a partition-pruning one once
+    the cell column is persisted). Probe-cell ranking uses the pinned
+    rounded cosine (ties → lowest cell), matching the in-plan scoring.
     """
+    if n_cells is None:
+        n_cells = ivf_default_cells(df.count())
     centroids = _ivf_centroids(df, vec_col, id_col, n_cells)
-
-    def cos(q: list[float], c: list[float]) -> float:
-        dot = sum(a * b for a, b in zip(q, c))
-        nq = math.sqrt(sum(a * a for a in q)) or 1.0
-        nc = math.sqrt(sum(b * b for b in c)) or 1.0
-        return dot / (nq * nc)
-
-    probe = sorted(range(len(centroids)), key=lambda i: -cos(query, centroids[i]))[:n_probe]
+    probe = sorted(
+        range(len(centroids)), key=lambda i: (-_cos_py(query, centroids[i]), i)
+    )[:n_probe]
     assigned = ivf_assign_cells(df, vec_col, centroids)
     return (
         assigned.filter(F.col("__cell").isin(probe))
@@ -291,10 +354,15 @@ def ivf_probe_cells(
     per-cell dot products are a ``transform``/``aggregate`` pass, and
     the top-``n_probe`` pick is an ``array_sort`` over (sim, cell)
     structs with a deterministic comparator (higher sim first, lower
-    cell id on ties). The similarity array is materialized in its own
-    projection first — lambda-bearing expressions are excluded from
-    Spark's subexpression elimination, so referencing it twice
-    unmaterialized would recompute every dot product.
+    cell id on ties). Cell scores are cosines rounded to
+    :data:`CELL_SCORE_DECIMALS` — the same pinned precision
+    :func:`ivf_assign_cells` uses, so an oracle's
+    ``round(list_cosine_similarity(...), 8)`` ranking replays the
+    probe set exactly (near-ties cannot flip across engines). The
+    similarity array is materialized in its own projection first —
+    lambda-bearing expressions are excluded from Spark's subexpression
+    elimination, so referencing it twice unmaterialized would
+    recompute every dot product.
     """
 
     def _normed(c: list[float]) -> list[float]:
@@ -303,10 +371,15 @@ def ivf_probe_cells(
 
     v = F.col(vec_col).cast("array<double>")
     cents_lit = F.lit([_normed(c) for c in centroids])
+    safe_vn = F.when(F.col("__ivf_vn") == 0, F.lit(1.0)).otherwise(F.col("__ivf_vn"))
     sims = F.transform(
         cents_lit,
-        lambda c: F.aggregate(
-            F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            )
+            / safe_vn,
+            CELL_SCORE_DECIMALS,
         ),
     )
     idxed = F.transform(
@@ -320,14 +393,16 @@ def ivf_probe_cells(
         )
     )
     top = F.slice(F.array_sort(idxed, comp), 1, n_probe)
+    vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     return (
-        df.withColumn("__sims", sims)
+        df.withColumn("__ivf_vn", vn)
+        .withColumn("__sims", sims)
         .withColumn("__probe", top)
         .withColumn(
             cell_col,
             F.explode(F.transform("__probe", lambda st: st["i"].cast("int"))),
         )
-        .drop("__sims", "__probe")
+        .drop("__ivf_vn", "__sims", "__probe")
     )
 
 
@@ -338,7 +413,7 @@ def knn_join_ivf(
     left_id: str = "id_a",
     right_id: str = "id_b",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int | None = None,
     exclude_self: bool = False,
 ) -> DataFrame:
@@ -366,7 +441,16 @@ def knn_join_ivf(
 
     ``exclude_self`` drops ``left_id == right_id`` candidate pairs
     before ranking (the self-join kNN-graph build).
+
+    ``n_cells`` defaults to :func:`ivf_default_cells` over a cheap
+    ``right.count()`` — the cells-∝-N / fixed-n_probe policy as code,
+    not advice: a hand-fixed cell count makes occupancy (and so
+    candidate volume) grow with the corpus, the measured slope-2.0
+    trap in tools/scale_stress.py. Pass ``n_cells`` explicitly only
+    when replaying a pinned configuration (e.g. an oracle).
     """
+    if n_cells is None:
+        n_cells = ivf_default_cells(right.count())
     n_probe = n_cells if n_probe is None else n_probe
     centroids = _ivf_centroids(right, vec_col, right_id, n_cells)
     rv = ivf_assign_cells(
@@ -584,7 +668,7 @@ def ivf_index_write(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_cells: int = 16,
+    n_cells: int | None = None,
 ) -> list[list[float]]:
     """Build and persist the IVF index: assign every vector to its
     nearest centroid cell and write parquet PARTITIONED BY cell, with
@@ -604,6 +688,8 @@ def ivf_index_write(
     import json
     import os
 
+    if n_cells is None:
+        n_cells = ivf_default_cells(df.count())
     centroids = _ivf_centroids(df, vec_col, id_col, n_cells)
     assigned = ivf_assign_cells(df, vec_col, centroids, cell_col="cell")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -672,15 +758,9 @@ def ivf_topk_indexed(
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = json.load(f)
 
-    def cos(q: list[float], c: list[float]) -> float:
-        dot = sum(a * b for a, b in zip(q, c))
-        nq = math.sqrt(sum(a * a for a in q)) or 1.0
-        nc = math.sqrt(sum(b * b for b in c)) or 1.0
-        return dot / (nq * nc)
-
-    probe = sorted(range(len(centroids)), key=lambda i: -cos(query, centroids[i]))[
-        :n_probe
-    ]
+    probe = sorted(
+        range(len(centroids)), key=lambda i: (-_cos_py(query, centroids[i]), i)
+    )[:n_probe]
     return (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(probe))
@@ -835,15 +915,9 @@ def _ivfpq_scan(
     q_nrm = _math.sqrt(sum(x * x for x in query)) or 1.0
     qn = [x / q_nrm for x in query]
 
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = _math.sqrt(sum(x * x for x in a)) or 1.0
-        nb = _math.sqrt(sum(x * x for x in b)) or 1.0
-        return dot / (na * nb)
-
-    probe = sorted(range(len(centroids)), key=lambda i: -cos(qn, centroids[i]))[
-        :n_probe
-    ]
+    probe = sorted(
+        range(len(centroids)), key=lambda i: (-_cos_py(qn, centroids[i]), i)
+    )[:n_probe]
     luts = []
     for c in probe:
         qr = [q - cc for q, cc in zip(qn, centroids[c])]

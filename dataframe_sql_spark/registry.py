@@ -37,6 +37,13 @@ class QuerySpec:
     oracle: str | None = None  # DuckDB ANSI SQL (None → rows-only check)
     fn: Callable[[SparkSession, str], DataFrame] | None = None  # DataFrame-API impl
     doc: str = ""
+    # Largest sf at which the ORACLE is feasible (None = any). Some
+    # certificates are quadratic-by-design on the DuckDB side only
+    # (complete pair sets, recursive closures) — the Spark side scales;
+    # the oracle is the bounded part. tools/check_oracle.py reads this
+    # and auto-skips (with the reason printed) instead of relying on a
+    # hand-maintained --exclude list for beyond-driver-SF runs.
+    oracle_max_sf: float | None = None
 
 
 # --------------------------------------------------------------------------
@@ -597,30 +604,24 @@ def _make_runner(spec: QuerySpec) -> Callable[[SparkSession, str], DataFrame]:
 # Everything else follows in definition order; nothing is dropped.
 PRIORITY: list[str] = [
     # TPC-H shapes (join/agg/subquery integration, the perf
-    # headliners). Round-4 rotation: q6/q14/q12 (single-table /
-    # single-join shapes whose plans are subsumed by the multi-join
-    # entries, all driver-green for 2+ rounds) moved to the 51+ tier
-    # to free scoreable slots for round-3 flagships that had only
-    # local attestation.
+    # headliners). Round-4 rotation: q6/q14/q12 → tier 51+. Round-5
+    # rotation: q2/q4/q8/q10/q11/q16/q22 (driver-green 4 consecutive
+    # rounds; scalar/correlated subqueries still covered by q17/q20/
+    # q21, count-distinct by a_count_distinct-class locals, multi-join
+    # rollups by q5/q7/q9) also to 51+, freeing scoreable slots for
+    # round-4 first-timers that had only local attestation.
     "tpch_q1_pricing",
-    "tpch_q2_min_supplier",
     "tpch_q3_shipping",
-    "tpch_q4_priority",
     "tpch_q5_revenue",
     "tpch_q7_volume",
-    "tpch_q8_mktshare",
     "tpch_q9_profit",
-    "tpch_q10_returns",
-    "tpch_q11_value_parts",
     "tpch_q13_custdist",
     "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
     "tpch_q17_small_qty",
     "tpch_q18_big_orders",
     "tpch_q19_disjunctive",
     "tpch_q20_share_suppliers",
     "tpch_q21_waiting",
-    "tpch_q22_idle_custs",
     # LLM-data-pipeline north star: dedup. Every entry in the scored
     # window is oracle-checked (round 3): the LSH family is represented
     # by its hash-checkable CERTIFICATE entries (dd_minhash_verified
@@ -630,8 +631,10 @@ PRIORITY: list[str] = [
     # (signatures not SQL-expressible -> no_oracle) moved to 51+ where
     # they stay pytest/recall-gated instead of wasting scoreable slots.
     "dd_exact",
+    "dd_exact_normalized",
     "dd_fingerprint",
     "dd_minhash_verified",
+    "dd_minhash_est_cert",
     "dd_clusters_verified",
     "dd_ngram_jaccard",
     "dd_embedding",
@@ -639,12 +642,19 @@ PRIORITY: list[str] = [
     "dd_decontaminate",
     "dd_prefix_pairs",
     "dd_fuzzy_decontaminate",
+    "dd_bloom_cert",
     "a_hll_sketch_rollup",
+    "a_hll_intersect_cert",
     "a_cms_heavy_hitters",
-    # similarity search
+    # similarity search (round-5 rotation adds the partial-probe
+    # oracle-replay pair — the strongest approximate-path attestations
+    # in the repo — plus the multi-method recall certificate)
     "sim_topk",
     "sim_ann_ivf",
+    "sim_ann_ivf_probed",
     "sim_knn_join",
+    "sim_knn_join_probed",
+    "sim_ann_recall_cert",
     # text analysis
     "txt_stats",
     "txt_quality",
@@ -652,15 +662,17 @@ PRIORITY: list[str] = [
     "txt_chunks",
     "txt_word_rarity",
     "txt_bpe_roundtrip",
-    # temporal / linkage / graph joins (round-3 flagships, first
-    # driver attestation in round 4)
+    # temporal / linkage / graph joins (round-3 flagships first
+    # driver-attested in round 4; Bloom-prefiltered shuffle join joins
+    # them in round 5)
     "j_interval_overlap",
+    "j_bloom_prefilter",
     "x_record_linkage",
     "g_triangles",
-    # event/session + multimodal + curation pipeline
-    "x_sessionize",
-    "x_funnel",
-    "mm_blob_meta",
+    # curation / pipeline composites (x_sessionize, x_funnel, mm_blob_
+    # meta — driver-green r1–r4 — rotated to 51+ for first-timers)
+    "x_temperature_mix",
+    "x_cohort_retention",
     "mm_audio_chunks",
     "mm_video_frames",
     "pipe_curation",
@@ -683,13 +695,24 @@ PRIORITY: list[str] = [
     "tpch_q6_forecast",
     "tpch_q12_priority_counts",
     "tpch_q14_promo",
+    # round-5 rotation: driver-green r1–r4, subsumed per the tier-1
+    # comment above
+    "tpch_q2_min_supplier",
+    "tpch_q4_priority",
+    "tpch_q8_mktshare",
+    "tpch_q10_returns",
+    "tpch_q11_value_parts",
+    "tpch_q16_supplier_cnt",
+    "tpch_q22_idle_custs",
+    "x_sessionize",
+    "x_funnel",
+    "mm_blob_meta",
     "o_orderby_limit",
     "dd_minhash",
     "dd_minhash_pairs",
     "dd_simhash",
     "dd_clusters",
     "sim_ann_lsh",
-    "sim_ann_recall_cert",
     "txt_langid",
     "txt_langid_golden",
     "x_dataset_mix",
@@ -697,7 +720,6 @@ PRIORITY: list[str] = [
     "txt_winnow_fingerprint",
     "sim_ann_pq",
     "dd_incremental",
-    "txt_bpe_roundtrip",
 ]
 
 

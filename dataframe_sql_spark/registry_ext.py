@@ -84,8 +84,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine_for(spark, sf_dir).spark.table("events")
 
 
-def _reg(name: str, fn, oracle: str | None, doc: str) -> None:
-    CATALOG[name] = QuerySpec(engine_sql=None, oracle=oracle, fn=fn, doc=doc)
+def _reg(
+    name: str,
+    fn,
+    oracle: str | None,
+    doc: str,
+    oracle_max_sf: float | None = None,
+) -> None:
+    CATALOG[name] = QuerySpec(
+        engine_sql=None, oracle=oracle, fn=fn, doc=doc, oracle_max_sf=oracle_max_sf
+    )
 
 
 # --------------------------------------------------------------------------
@@ -297,6 +305,7 @@ _reg(
     "minhash-LSH recall certificate: LSH candidates verified by exact "
     "Jaccard >= 0.8 must equal ALL such pairs (DuckDB recomputes over the "
     "shingle-sharing superset)",
+    oracle_max_sf=0.01,  # complete-pair-set oracle is quadratic by design
 )
 
 
@@ -344,6 +353,7 @@ _reg(
     "transitive-closure certificate: iterative min-label propagation over "
     "exact Jaccard >= 0.5 edges (complete shingle-sharing candidates) vs "
     "a DuckDB recursive-CTE closure",
+    oracle_max_sf=0.01,  # recursive-closure oracle infeasible beyond sf0.01
 )
 
 _reg(
@@ -469,11 +479,11 @@ _reg(
     " ORDER BY md5(CAST(id_b AS VARCHAR)) LIMIT 16)), "
     "rs AS (SELECT id_b, v, cell FROM ("
     " SELECT r.id_b, r.v, c.cell, row_number() OVER (PARTITION BY r.id_b"
-    "  ORDER BY list_cosine_similarity(r.v, c.v) DESC, c.cell) AS rn"
+    "  ORDER BY round(list_cosine_similarity(r.v, c.v), 8) DESC, c.cell) AS rn"
     " FROM r CROSS JOIN cents c) WHERE rn = 1), "
     "lp AS (SELECT id_a, v, cell FROM ("
     " SELECT l.id_a, l.v, c.cell, row_number() OVER (PARTITION BY l.id_a"
-    "  ORDER BY list_cosine_similarity(l.v, c.v) DESC, c.cell) AS rn"
+    "  ORDER BY round(list_cosine_similarity(l.v, c.v), 8) DESC, c.cell) AS rn"
     " FROM l CROSS JOIN cents c) WHERE rn <= 4), "
     "cand AS (SELECT lp.id_a, rs.id_b, list_cosine_similarity(lp.v, rs.v) AS s"
     " FROM lp JOIN rs ON lp.cell = rs.cell) "
@@ -516,11 +526,11 @@ _reg(
     " ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)), "
     "assigned AS (SELECT vec_id, v, cell FROM ("
     " SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id"
-    "  ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn"
+    "  ORDER BY round(list_cosine_similarity(e.v, c.v), 8) DESC, c.cell) AS rn"
     " FROM e CROSS JOIN cents c) WHERE rn = 1), "
     "probe AS (SELECT cell FROM ("
     f" SELECT cell, row_number() OVER (ORDER BY"
-    f"  list_cosine_similarity(v, {_QUERY_VEC_SQL}) DESC, cell) AS rn"
+    f"  round(list_cosine_similarity(v, {_QUERY_VEC_SQL}), 8) DESC, cell) AS rn"
     " FROM cents) WHERE rn <= 4) "
     "SELECT vec_id, round(list_cosine_similarity(v, "
     f"{_QUERY_VEC_SQL}), 8) AS score "
@@ -3290,12 +3300,17 @@ def _x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the embedding kNN graph (top-3 cosine neighbors
     per vector, self excluded) — centrality as a quality-weighting
     signal. The graph build is the IVF cell-keyed kNN join
-    (:func:`~dataframe_sql_spark.operators.similarity.knn_join_ivf` —
-    candidate pairs from a cell equi-join, exactly the at-scale edge
-    pipeline, no cartesian product; full probe makes it exact so the
-    SQL oracle's brute-force top-3 edge list is identical) and the
-    rank iteration is the fully lazy
-    :func:`~dataframe_sql_spark.operators.graph.pagerank`."""
+    (:func:`~dataframe_sql_spark.operators.similarity.knn_join_ivf`)
+    at the SCALE configuration: ``n_cells`` from the corpus-size
+    heuristic (cells ∝ N, occupancy 32) and PARTIAL probe
+    (``n_probe=4``) — candidate volume is n_probe·occupancy per
+    source, linear in the corpus, never all pairs. The oracle replays
+    the whole approximate edge build in SQL (same construction as
+    ``sim_knn_join_probed``: md5-deterministic centroids, pinned
+    rounded cell ranking, the same integer n_cells formula), then the
+    exact 2-step power iteration — so the hash certifies the
+    approximate graph AND the rank trajectory. Rank iteration is the
+    fully lazy :func:`~dataframe_sql_spark.operators.graph.pagerank`."""
     from .operators.graph import pagerank
     from .operators.similarity import knn_join_ivf
 
@@ -3306,7 +3321,7 @@ def _x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         left_id="src",
         right_id="dst",
-        n_cells=16,
+        n_probe=4,
         exclude_self=True,
     ).select("src", "dst")
     return pagerank(edges, n_iters=2)
@@ -3316,32 +3331,61 @@ _reg(
     "x_pagerank",
     _x_pagerank,
     r"WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
-    r"edges AS (SELECT src, dst FROM ("
-    r"SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER ("
-    r"PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.v, b.v) DESC, "
-    r"b.vec_id) AS rn FROM ev a JOIN ev b ON a.vec_id <> b.vec_id) WHERE rn <= 3), "
+    # replayed approximate edge build: heuristic cell count (exact
+    # integer formula of ivf_default_cells), md5-deterministic
+    # centroids, pinned rounded cell ranking (CELL_SCORE_DECIMALS),
+    # nearest-cell assignment, 4-cell probe, cell equi-join candidates
+    r"ncell AS (SELECT greatest(16, least(4096, (count(*) + 31) // 32)) AS n "
+    r"FROM ev), "
+    r"cents AS (SELECT cell, v FROM ("
+    r"SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 "
+    r"AS cell, v FROM ev) CROSS JOIN ncell WHERE cell < ncell.n), "
+    r"rs AS (SELECT vec_id AS dst, v, cell FROM ("
+    r"SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id "
+    r"ORDER BY round(list_cosine_similarity(e.v, c.v), 8) DESC, c.cell) AS rn "
+    r"FROM ev e CROSS JOIN cents c) WHERE rn = 1), "
+    r"lp AS (SELECT vec_id AS src, v, cell FROM ("
+    r"SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id "
+    r"ORDER BY round(list_cosine_similarity(e.v, c.v), 8) DESC, c.cell) AS rn "
+    r"FROM ev e CROSS JOIN cents c) WHERE rn <= 4), "
+    r"cand AS (SELECT lp.src, lp.v AS lv, rs.dst, rs.v AS rv "
+    r"FROM lp JOIN rs ON lp.cell = rs.cell AND lp.src <> rs.dst), "
+    # MATERIALIZED: the pagerank chain references edges 4+ times
+    # (nodes/deg/c1/c2); DuckDB would otherwise re-inline the whole
+    # windowed candidate build per reference — measured 80 GB of temp
+    # spill at sf0.1 vs 2 s materialized (the round-4 "oracle OOM" was
+    # this inlining, not just candidate volume)
+    r"edges AS MATERIALIZED (SELECT src, dst FROM ("
+    r"SELECT src, dst, row_number() OVER (PARTITION BY src "
+    r"ORDER BY list_cosine_similarity(lv, rv) DESC, dst) AS rn "
+    r"FROM cand) WHERE rn <= 3), "
     r"nodes AS (SELECT DISTINCT id FROM "
     r"(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)), "
     r"nt AS (SELECT count(*) AS n FROM nodes), "
     r"deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), "
     r"p0 AS (SELECT id, round(1.0 / n, 6) AS rank FROM nodes CROSS JOIN nt), "
-    r"d1 AS (SELECT coalesce(sum(CASE WHEN deg.deg IS NULL THEN rank END), 0) "
+    r"d1 AS (SELECT coalesce(CAST(sum(CASE WHEN deg.deg IS NULL THEN "
+    r"CAST(rank AS DECIMAL(18,6)) END) AS DOUBLE), 0) "
     r"AS dang FROM p0 LEFT JOIN deg ON p0.id = deg.src), "
-    r"c1 AS (SELECT e.dst, sum(p0.rank / deg.deg) AS cin FROM edges e "
+    r"c1 AS (SELECT e.dst, CAST(sum(CAST(round(p0.rank / deg.deg, 12) "
+    r"AS DECIMAL(18,12))) AS DOUBLE) AS cin FROM edges e "
     r"JOIN p0 ON e.src = p0.id JOIN deg ON e.src = deg.src GROUP BY e.dst), "
     r"p1 AS (SELECT id, round((1.0 - 0.85 + 0.85 * dang) / n + "
     r"0.85 * coalesce(cin, 0), 6) AS rank FROM nodes "
     r"LEFT JOIN c1 ON nodes.id = c1.dst CROSS JOIN nt CROSS JOIN d1), "
-    r"d2 AS (SELECT coalesce(sum(CASE WHEN deg.deg IS NULL THEN rank END), 0) "
+    r"d2 AS (SELECT coalesce(CAST(sum(CASE WHEN deg.deg IS NULL THEN "
+    r"CAST(rank AS DECIMAL(18,6)) END) AS DOUBLE), 0) "
     r"AS dang FROM p1 LEFT JOIN deg ON p1.id = deg.src), "
-    r"c2 AS (SELECT e.dst, sum(p1.rank / deg.deg) AS cin FROM edges e "
+    r"c2 AS (SELECT e.dst, CAST(sum(CAST(round(p1.rank / deg.deg, 12) "
+    r"AS DECIMAL(18,12))) AS DOUBLE) AS cin FROM edges e "
     r"JOIN p1 ON e.src = p1.id JOIN deg ON e.src = deg.src GROUP BY e.dst) "
     r"SELECT id, round((1.0 - 0.85 + 0.85 * dang) / n + "
     r"0.85 * coalesce(cin, 0), 6) AS rank FROM nodes "
     r"LEFT JOIN c2 ON nodes.id = c2.dst CROSS JOIN nt CROSS JOIN d2",
     "PageRank (d=0.85, 2 iterations, dangling-mass redistribution, "
-    "6dp-rounded trajectory) over the top-3 cosine kNN graph — the "
-    "oracle replays the exact power iteration in SQL",
+    "6dp-rounded trajectory) over the partial-probe IVF kNN graph "
+    "(heuristic cell count, 4-cell probe) — the oracle replays the "
+    "approximate edge build AND the exact power iteration in SQL",
 )
 
 
@@ -4165,6 +4209,7 @@ _reg(
     r" / len(list_distinct(list_cat(x.s, y.s))) >= 0.5",
     "minhash estimation-accuracy certificate: 64-lane OPH agreement "
     "fraction within 0.25 of exact Jaccard on every J>=0.5 pair",
+    oracle_max_sf=0.01,  # complete-pair-set oracle is quadratic by design
 )
 
 def _x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4480,6 +4525,7 @@ _reg(
     "fuzzy decontamination certificate: corpus docs with verified "
     "J >= 0.8 to any benchmark doc (LSH candidates vs complete DuckDB "
     "recompute — cross-table recall 1.0)",
+    oracle_max_sf=0.01,  # complete cross-recompute oracle is quadratic by design
 )
 
 _reg_sql(
@@ -4543,6 +4589,7 @@ _reg(
     r"ORDER BY a, b, c",
     "triangle enumeration over exact-Jaccard >= 0.5 similarity edges "
     "(degree-oriented wedge joins vs a DuckDB 3-way self-join)",
+    oracle_max_sf=0.01,  # 3-way self-join oracle infeasible beyond sf0.01
 )
 
 _reg_sql(

@@ -18,7 +18,12 @@ formatting collapses int 1764 and float 1764.0 into the same string, so
 only strict mode (repr of the float) catches an int-vs-float column
 divergence like q12's.
 
-Usage: python tools/check_oracle.py [--vanilla] [--strict] [sf_dir] [name_filter ...]
+Usage: python tools/check_oracle.py [--vanilla] [--strict]
+           [--exclude=a,b,c | --exclude a,b,c] [sf_dir] [name_filter ...]
+
+Entries whose QuerySpec declares ``oracle_max_sf`` below the sf parsed
+from ``sf_dir``'s name are auto-skipped with the reason printed — no
+hand-maintained exclusion list for beyond-driver-SF runs.
 
 ``--vanilla`` builds a plain ``SparkSession.builder`` session (no
 engine confs) instead of the tuned ``get_spark()`` — the same session
@@ -31,6 +36,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import re
 import sys
 from collections import Counter
 from pathlib import Path
@@ -42,6 +48,7 @@ import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from dataframe_sql_spark.registry import CATALOG  # noqa: E402
 from dataframe_sql_spark.session import get_spark  # noqa: E402
 from dataframe_sql_spark.sources.io import TESTDATA_TABLES  # noqa: E402
 
@@ -99,15 +106,26 @@ def main() -> int:
     if "--strict" in args:
         STRICT = True
         args.remove("--strict")
-    # --exclude a,b,c: skip entries whose name contains any of these —
-    # for beyond-driver-SF runs where the certificate-superset
-    # generators (quadratic-by-design sf<=0.01 constructs) must sit out
+    # --exclude=a,b,c (or --exclude a,b,c): ad-hoc skip of entries
+    # whose name contains any of these. The oracle-side-infeasible
+    # entries need no hand-typed list — each carries a declarative
+    # ``oracle_max_sf`` on its QuerySpec and is auto-skipped below.
     excluded: list[str] = []
-    for a in list(args):
-        if a.startswith("--exclude="):
-            excluded = a.split("=", 1)[1].split(",")
-            args.remove(a)
+    i = 0
+    while i < len(args):
+        if args[i].startswith("--exclude="):
+            excluded = args.pop(i).split("=", 1)[1].split(",")
+        elif args[i] == "--exclude":
+            args.pop(i)
+            if i >= len(args):
+                print("--exclude needs a comma-separated value", file=sys.stderr)
+                return 2
+            excluded = args.pop(i).split(",")
+        else:
+            i += 1
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    sf_match = re.search(r"sf(\d+(?:\.\d+)?)", Path(sf_dir).name)
+    sf = float(sf_match.group(1)) if sf_match else None
     name_filter = args[1:]
     if vanilla:
         from pyspark.sql import SparkSession
@@ -134,6 +152,19 @@ def main() -> int:
             continue
         if excluded and any(e and e in name for e in excluded):
             print(f"SKIP {name} (excluded)")
+            continue
+        spec = CATALOG.get(name)
+        if (
+            sf is not None
+            and spec is not None
+            and spec.oracle_max_sf is not None
+            and sf > spec.oracle_max_sf
+        ):
+            print(
+                f"SKIP {name} (oracle_max_sf={spec.oracle_max_sf:g} < sf{sf:g} "
+                "— the DuckDB oracle is quadratic-by-design beyond that; "
+                "the Spark side is the scalable path)"
+            )
             continue
         try:
             sdf = fn(spark, sf_dir)
