@@ -204,3 +204,21 @@ def test_interval_overlap_bucketed_multiplicity_and_malformed(spark):
     # still yields one row per pair; the malformed row neither crashes
     # nor matches
     assert sorted(pairs) == [(1, 10), (1, 10)]
+
+
+def test_bloom_prefilter_join_rejects_outer_modes(spark):
+    """The Bloom prefilter drops probe rows BEFORE the join, which is
+    only semantics-preserving for inner/left_semi — outer modes must
+    be rejected, not silently wrong (round-5 ADVICE fix)."""
+    import pytest
+
+    from dataframe_sql_spark.operators.joins import bloom_prefilter_join
+
+    probe = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    build = spark.createDataFrame([(1, "x")], ["k", "w"])
+    for how in ("left", "full", "left_anti", "right"):
+        with pytest.raises(ValueError):
+            bloom_prefilter_join(probe, build, "k", how=how)
+    # the allowed modes still work
+    assert bloom_prefilter_join(probe, build, "k").count() == 1
+    assert bloom_prefilter_join(probe, build, "k", how="left_semi").count() == 1

@@ -411,3 +411,36 @@ def test_profile_frame_single_scan_and_values(spark):
     # aggregate — no union of per-column subplans
     plan = profile_frame(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") <= 2  # partial+final agg over ONE scan
+
+
+def test_ivf_default_cells_policy():
+    """cells ∝ N at fixed occupancy, integer-exact (oracle-replayable),
+    clamped to [16, 4096]."""
+    from dataframe_sql_spark.operators.similarity import ivf_default_cells
+
+    assert ivf_default_cells(0) == 16
+    assert ivf_default_cells(500) == 16          # floor
+    assert ivf_default_cells(2000) == 63         # (2000+31)//32
+    assert ivf_default_cells(32 * 4096) == 4096  # cap
+    assert ivf_default_cells(10**9) == 4096      # cap holds at any N
+    # linearity between the clamps: doubling N doubles cells (±1)
+    assert abs(ivf_default_cells(8000) * 2 - ivf_default_cells(16000)) <= 2
+
+
+def test_broadcast_attach_skips_unhashable_first_column(spark):
+    """hash() is an analysis error on MapType; broadcast_attach must
+    pick the first atomic column (or a to_json fallback) instead of
+    blindly hashing columns[0] (round-5 ADVICE fix)."""
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.operators.scalars import broadcast_attach
+
+    df = spark.range(5).select(
+        F.create_map(F.lit("k"), F.col("id")).alias("m"), F.col("id")
+    )
+    small = spark.range(1).select(F.lit(42).alias("c"))
+    out = broadcast_attach(df, small)
+    assert out.count() == 5 and out.select("c").distinct().collect()[0][0] == 42
+    # all-complex frame: to_json fallback path
+    df2 = spark.range(3).select(F.create_map(F.lit("k"), F.col("id")).alias("m"))
+    assert broadcast_attach(df2, small).count() == 3

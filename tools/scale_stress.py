@@ -406,7 +406,12 @@ def op_knn_join_ivf(spark: SparkSession, r: int) -> int:
     all n_cells centroids, ∝ N·cells), which is the tiny-constant
     coarse-quantizer cost — real billion-scale systems cap it with a
     hierarchical/indexed coarse quantizer; at these sizes it is noise
-    and the measured slope reflects the candidate term."""
+    and the measured slope reflects the candidate term.
+
+    Since round 5 this scenario passes NO n_cells at all: the operator's
+    own ``ivf_default_cells`` heuristic (cells ∝ count at occupancy 32)
+    must produce the linear configuration without manual tuning — the
+    measured slope ≈1 here is the heuristic's regression gate."""
     from dataframe_sql_spark.operators.similarity import knn_join_ivf
 
     emb = scaled_embeddings(spark, r)
@@ -416,7 +421,7 @@ def op_knn_join_ivf(spark: SparkSession, r: int) -> int:
     right = emb.filter(F.col("label") != 0).select(
         F.col("vec_id").alias("id_b"), "embedding"
     )
-    return _force(knn_join_ivf(left, right, k=3, n_cells=16 * r, n_probe=4))
+    return _force(knn_join_ivf(left, right, k=3, n_probe=4))
 
 
 def op_bloom_prefilter_join(spark: SparkSession, r: int) -> int:
@@ -451,6 +456,7 @@ def _knn_prepare(spark: SparkSession, r: int):
     from dataframe_sql_spark.operators.similarity import (
         _ivf_centroids,
         ivf_assign_cells,
+        ivf_default_cells,
         ivf_probe_cells,
     )
 
@@ -463,7 +469,9 @@ def _knn_prepare(spark: SparkSession, r: int):
         F.col("vec_id").alias("id_b"),
         F.col("embedding").cast("array<double>").alias("__rv"),
     )
-    centroids = _ivf_centroids(right, "__rv", "id_b", 16 * r)
+    centroids = _ivf_centroids(
+        right, "__rv", "id_b", ivf_default_cells(right.count())
+    )
     rv = ivf_assign_cells(right, "__rv", centroids).localCheckpoint()
     lv = ivf_probe_cells(left, "__lv", centroids, n_probe=4).localCheckpoint()
     _KNN_PREPARED[r] = (lv, rv)
