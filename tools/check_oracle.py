@@ -162,8 +162,8 @@ def main() -> int:
         ):
             print(
                 f"SKIP {name} (oracle_max_sf={spec.oracle_max_sf:g} < sf{sf:g} "
-                "— the DuckDB oracle is quadratic-by-design beyond that; "
-                "the Spark side is the scalable path)"
+                "— the oracle is declared infeasible or corpus-pinned beyond "
+                "that sf; see the entry's registration comment)"
             )
             continue
         try:
