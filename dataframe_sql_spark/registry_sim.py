@@ -84,11 +84,11 @@ _reg(
     # match certifies the approximate path ITSELF, not just its
     # full-probe degenerate. This closes the gap where partial-probe
     # behavior was only pytest-gated. Since round 5 both engines rank
-    # cells by the cosine ROUNDED to 8dp (CELL_SCORE_DECIMALS) with a
-    # lowest-cell tiebreak, so a few-ulp gap between two cells' raw
-    # scores — Spark's dot-with-normalized-centroid vs DuckDB's
-    # list_cosine_similarity are monotone-equivalent but not
-    # bit-identical — cannot flip the probe set across engines.
+    # cells by the normalized-centroid DOT ROUNDED to 8dp
+    # (CELL_SCORE_DECIMALS; DuckDB: round(list_inner_product(v, vn), 8)
+    # over SQL-normalized centroids) with a lowest-cell tiebreak, so a
+    # few-ulp gap between the two engines' float folds cannot flip the
+    # probe set.
     lambda spark, sf_dir: knn_join_ivf(
         _emb(spark, sf_dir).filter(F.col("label") == 0).select(
             F.col("vec_id").alias("id_a"), "embedding"
@@ -107,14 +107,15 @@ _reg(
     "cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(id_b AS VARCHAR)))"
     " - 1 AS cell, v FROM (SELECT id_b, v FROM r"
     " ORDER BY md5(CAST(id_b AS VARCHAR)) LIMIT 16)), "
+    "cn AS (SELECT cell, list_transform(v, x -> x / n) AS vn FROM (SELECT cell, v, CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 1 ELSE sqrt(list_inner_product(v, v)) END AS n FROM cents)), "
     "rs AS (SELECT id_b, v, cell FROM ("
     " SELECT r.id_b, r.v, c.cell, row_number() OVER (PARTITION BY r.id_b"
-    "  ORDER BY round(list_cosine_similarity(r.v, c.v), 8) DESC, c.cell) AS rn"
-    " FROM r CROSS JOIN cents c) WHERE rn = 1), "
+    "  ORDER BY round(list_inner_product(r.v, c.vn), 8) DESC, c.cell) AS rn"
+    " FROM r CROSS JOIN cn c) WHERE rn = 1), "
     "lp AS (SELECT id_a, v, cell FROM ("
     " SELECT l.id_a, l.v, c.cell, row_number() OVER (PARTITION BY l.id_a"
-    "  ORDER BY round(list_cosine_similarity(l.v, c.v), 8) DESC, c.cell) AS rn"
-    " FROM l CROSS JOIN cents c) WHERE rn <= 4), "
+    "  ORDER BY round(list_inner_product(l.v, c.vn), 8) DESC, c.cell) AS rn"
+    " FROM l CROSS JOIN cn c) WHERE rn <= 4), "
     "cand AS (SELECT lp.id_a, rs.id_b, list_cosine_similarity(lp.v, rs.v) AS s"
     " FROM lp JOIN rs ON lp.cell = rs.cell) "
     "SELECT id_a, id_b, round(s, 8) AS score FROM ("
@@ -156,10 +157,11 @@ _reg(
     "cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))"
     " - 1 AS cell, v FROM (SELECT vec_id, v FROM e"
     " ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)), "
+    "cn AS (SELECT cell, list_transform(v, x -> x / n) AS vn FROM (SELECT cell, v, CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 1 ELSE sqrt(list_inner_product(v, v)) END AS n FROM cents)), "
     "assigned AS (SELECT vec_id, v, cell FROM ("
     " SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id"
-    "  ORDER BY round(list_cosine_similarity(e.v, c.v), 8) DESC, c.cell) AS rn"
-    " FROM e CROSS JOIN cents c) WHERE rn = 1), "
+    "  ORDER BY round(list_inner_product(e.v, c.vn), 8) DESC, c.cell) AS rn"
+    " FROM e CROSS JOIN cn c) WHERE rn = 1), "
     "probe AS (SELECT cell FROM ("
     f" SELECT cell, row_number() OVER (ORDER BY"
     f"  round(list_cosine_similarity(v, {_QUERY_VEC_SQL}), 8) DESC, cell) AS rn"
