@@ -146,34 +146,42 @@ def pagerank(
             pr["id"], "rank", "__deg"
         )
         # mass parked on dangling nodes (no out-edges) this iteration.
-        # Both sums below take the package's decimal detour: a plain
-        # double sum's accumulation ORDER differs across engines /
-        # partitionings, and an ulp of drift at a 6dp rounding
-        # boundary forks the whole trajectory (seen at sf0.1 before
-        # this pin). Ranks are exact 6dp decimals and the per-edge
-        # contribution is pre-rounded to 12dp — identical doubles in,
-        # exact decimal addition, identical doubles out.
+        # Both sums below run in EXACT INTEGER space: ranks sit on a
+        # 6dp grid, so `floor(rank·1e6 + 0.5)` recovers the integer
+        # rank6 bit-identically on every engine (the +0.5 lands ~0.5
+        # away from any integer boundary — no rounding-mode hazard),
+        # and the per-edge contribution is the floor division
+        # `rank6·1e12 div deg` — pure int64 ops with one final
+        # int→double conversion (the same integer converts to the
+        # same double everywhere). A plain double sum's accumulation
+        # ORDER differs across engines/partitionings, and a
+        # `round(x, 12)` pre-round is itself engine-divergent at
+        # grid boundaries (Spark rounds the exact BigDecimal
+        # expansion, DuckDB multiply-round-divides in doubles) — both
+        # forked the 6dp trajectory at sf0.1 before this pin. Bounds:
+        # rank6 ≤ 1e6, rank6·1e12 ≤ 1e18 < int64 max; 1e6/1e12/1e18
+        # are exactly representable doubles.
+        rank6 = F.floor(F.col("rank") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
         dangling = ranked.agg(
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("__deg").isNull(), F.col("rank")).cast(
-                        "decimal(18,6)"
-                    )
-                ).cast("double"),
-                F.lit(0.0),
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("__deg").isNull(), rank6)), F.lit(0)
+                ).cast("double")
+                / F.lit(1000000.0)
             ).alias("__dang")
         )
         contrib = (
             e.join(ranked.withColumnRenamed("id", "src"), "src")
+            .withColumn(
+                "__c18",
+                F.expr(
+                    "(cast(floor(rank * 1000000.0 + 0.5) as bigint)"
+                    " * 1000000000000L) div __deg"
+                ),
+            )
             .groupBy("dst")
             .agg(
-                F.sum(
-                    F.round(F.col("rank") / F.col("__deg"), 12).cast(
-                        "decimal(18,12)"
-                    )
-                )
-                .cast("double")
-                .alias("__in")
+                (F.sum("__c18").cast("double") / F.lit(1.0e18)).alias("__in")
             )
         )
         pr = (

@@ -153,7 +153,15 @@ def lsh_topk(
     )
 
 
-IVF_TARGET_OCCUPANCY = 32  # rows per cell the default sizing aims for
+# Rows per cell the default sizing aims for. 128 balances the two cost
+# terms at their round-4-calibrated ratio: per-call assignment/probe
+# ranking costs N·cells (fewer cells = cheaper build; this constant
+# reproduces the measured build curve in SCALE.md), while candidate
+# volume per probe row is n_probe·occupancy (bounded at 4·128 = 512
+# scored candidates per query at the default probe). An occupancy-32
+# variant measured 2.7× slower end-to-end at stress scale 4 for no
+# recall gain on this corpus.
+IVF_TARGET_OCCUPANCY = 128
 
 # Cell-score precision pin: both engines rank cells by the
 # normalized-centroid dot product ROUNDED to this many decimals (with

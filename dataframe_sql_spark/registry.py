@@ -15,6 +15,17 @@ Determinism conventions (so value-hashes match across engines):
   - Averages are written sum/count with the same decimal trick.
   - Every ORDER BY ... LIMIT carries a unique-key tiebreak.
   - Column names are aliased identically on both sides.
+  - Numeric literals in oracle SQL that feed double arithmetic are
+    CAST(... AS DOUBLE): DuckDB parses `0.85` as DECIMAL and folds
+    `1.0 - 0.85` exactly (→ the double nearest 0.15), while Spark
+    subtracts doubles (0.15000000000000002) — one ulp apart, enough
+    to flip a value sitting on a rounding boundary (bit us in
+    x_pagerank at sf0.1).
+  - Iterative trajectories (k-means, PageRank) pin each step: k-means
+    rounds centroid coordinates; PageRank keeps ranks on a 6dp grid
+    and sums contributions in exact INTEGER space (floor(rank·1e6+.5),
+    int64 floor-div by degree) — never a bare double sum, whose
+    accumulation order is engine-/partitioning-dependent.
 """
 
 from __future__ import annotations

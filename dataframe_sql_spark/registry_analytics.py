@@ -599,7 +599,7 @@ def _x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal. The graph build is the IVF cell-keyed kNN join
     (:func:`~dataframe_sql_spark.operators.similarity.knn_join_ivf`)
     at the SCALE configuration: ``n_cells`` from the corpus-size
-    heuristic (cells ∝ N, occupancy 32) and PARTIAL probe
+    heuristic (cells ∝ N, occupancy 128) and PARTIAL probe
     (``n_probe=4``) — candidate volume is n_probe·occupancy per
     source, linear in the corpus, never all pairs. The oracle replays
     the whole approximate edge build in SQL (same construction as
@@ -633,7 +633,7 @@ _reg(
     # integer formula of ivf_default_cells), md5-deterministic
     # centroids, pinned rounded cell ranking (CELL_SCORE_DECIMALS),
     # nearest-cell assignment, 4-cell probe, cell equi-join candidates
-    r"ncell AS (SELECT greatest(16, least(4096, (count(*) + 31) // 32)) AS n "
+    r"ncell AS (SELECT greatest(16, least(4096, (count(*) + 127) // 128)) AS n "
     r"FROM ev), "
     r"cents AS (SELECT cell, v FROM ("
     r"SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 "
@@ -662,24 +662,29 @@ _reg(
     r"(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)), "
     r"nt AS (SELECT count(*) AS n FROM nodes), "
     r"deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), "
-    r"p0 AS (SELECT id, round(1.0 / n, 6) AS rank FROM nodes CROSS JOIN nt), "
+    r"p0 AS (SELECT id, round(CAST(1.0 AS DOUBLE) / n, 6) AS rank "
+    r"FROM nodes CROSS JOIN nt), "
     r"d1 AS (SELECT coalesce(CAST(sum(CASE WHEN deg.deg IS NULL THEN "
-    r"CAST(rank AS DECIMAL(18,6)) END) AS DOUBLE), 0) "
-    r"AS dang FROM p0 LEFT JOIN deg ON p0.id = deg.src), "
-    r"c1 AS (SELECT e.dst, CAST(sum(CAST(round(p0.rank / deg.deg, 12) "
-    r"AS DECIMAL(18,12))) AS DOUBLE) AS cin FROM edges e "
+    r"CAST(floor(rank * 1000000.0 + 0.5) AS BIGINT) END) AS DOUBLE), 0) "
+    r"/ 1000000.0 AS dang FROM p0 LEFT JOIN deg ON p0.id = deg.src), "
+    r"c1 AS (SELECT e.dst, CAST(sum((CAST(floor(p0.rank * 1000000.0 + 0.5) "
+    r"AS BIGINT) * 1000000000000) // deg.deg) AS DOUBLE) / 1e18 AS cin "
+    r"FROM edges e "
     r"JOIN p0 ON e.src = p0.id JOIN deg ON e.src = deg.src GROUP BY e.dst), "
-    r"p1 AS (SELECT id, round((1.0 - 0.85 + 0.85 * dang) / n + "
-    r"0.85 * coalesce(cin, 0), 6) AS rank FROM nodes "
+    r"p1 AS (SELECT id, round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE) + "
+    r"CAST(0.85 AS DOUBLE) * dang) / n + "
+    r"CAST(0.85 AS DOUBLE) * coalesce(cin, 0), 6) AS rank FROM nodes "
     r"LEFT JOIN c1 ON nodes.id = c1.dst CROSS JOIN nt CROSS JOIN d1), "
     r"d2 AS (SELECT coalesce(CAST(sum(CASE WHEN deg.deg IS NULL THEN "
-    r"CAST(rank AS DECIMAL(18,6)) END) AS DOUBLE), 0) "
-    r"AS dang FROM p1 LEFT JOIN deg ON p1.id = deg.src), "
-    r"c2 AS (SELECT e.dst, CAST(sum(CAST(round(p1.rank / deg.deg, 12) "
-    r"AS DECIMAL(18,12))) AS DOUBLE) AS cin FROM edges e "
+    r"CAST(floor(rank * 1000000.0 + 0.5) AS BIGINT) END) AS DOUBLE), 0) "
+    r"/ 1000000.0 AS dang FROM p1 LEFT JOIN deg ON p1.id = deg.src), "
+    r"c2 AS (SELECT e.dst, CAST(sum((CAST(floor(p1.rank * 1000000.0 + 0.5) "
+    r"AS BIGINT) * 1000000000000) // deg.deg) AS DOUBLE) / 1e18 AS cin "
+    r"FROM edges e "
     r"JOIN p1 ON e.src = p1.id JOIN deg ON e.src = deg.src GROUP BY e.dst) "
-    r"SELECT id, round((1.0 - 0.85 + 0.85 * dang) / n + "
-    r"0.85 * coalesce(cin, 0), 6) AS rank FROM nodes "
+    r"SELECT id, round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE) + "
+    r"CAST(0.85 AS DOUBLE) * dang) / n + "
+    r"CAST(0.85 AS DOUBLE) * coalesce(cin, 0), 6) AS rank FROM nodes "
     r"LEFT JOIN c2 ON nodes.id = c2.dst CROSS JOIN nt CROSS JOIN d2",
     "PageRank (d=0.85, 2 iterations, dangling-mass redistribution, "
     "6dp-rounded trajectory) over the partial-probe IVF kNN graph "

@@ -419,12 +419,12 @@ def test_ivf_default_cells_policy():
     from dataframe_sql_spark.operators.similarity import ivf_default_cells
 
     assert ivf_default_cells(0) == 16
-    assert ivf_default_cells(500) == 16          # floor
-    assert ivf_default_cells(2000) == 63         # (2000+31)//32
-    assert ivf_default_cells(32 * 4096) == 4096  # cap
-    assert ivf_default_cells(10**9) == 4096      # cap holds at any N
+    assert ivf_default_cells(500) == 16            # floor
+    assert ivf_default_cells(10000) == 79          # (10000+127)//128
+    assert ivf_default_cells(128 * 4096) == 4096   # cap
+    assert ivf_default_cells(10**9) == 4096        # cap holds at any N
     # linearity between the clamps: doubling N doubles cells (±1)
-    assert abs(ivf_default_cells(8000) * 2 - ivf_default_cells(16000)) <= 2
+    assert abs(ivf_default_cells(64000) * 2 - ivf_default_cells(128000)) <= 2
 
 
 def test_broadcast_attach_skips_unhashable_first_column(spark):
