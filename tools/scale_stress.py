@@ -409,7 +409,7 @@ def op_knn_join_ivf(spark: SparkSession, r: int) -> int:
     and the measured slope reflects the candidate term.
 
     Since round 5 this scenario passes NO n_cells at all: the operator's
-    own ``ivf_default_cells`` heuristic (cells ∝ count at occupancy 32)
+    own ``ivf_default_cells`` heuristic (cells ∝ count at occupancy 128)
     must produce the linear configuration without manual tuning — the
     measured slope ≈1 here is the heuristic's regression gate."""
     from dataframe_sql_spark.operators.similarity import knn_join_ivf
