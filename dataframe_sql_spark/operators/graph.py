@@ -12,12 +12,13 @@ repo's genuinely iterative operator, built the Spark way:
   driver-sized;
 - rounds ≤ graph diameter (near-dup graphs are shallow: big
   components are dense clusters, so typical diameter ≲ 5);
-- every round ends in an eager ``localCheckpoint`` — MANDATORY for
-  iterative DataFrames: each round references the previous labels
-  twice, so without lineage truncation the logical plan doubles per
-  round and the driver OOMs building it (persist caches data but NOT
-  the plan). On a cluster, swap in reliable ``checkpoint()`` (HDFS/
-  object-store) so state survives executor loss.
+- every round ends in an eager checkpoint — MANDATORY for iterative
+  DataFrames: each round references the previous labels twice, so
+  without lineage truncation the logical plan doubles per round and
+  the driver OOMs building it (persist caches data but NOT the plan).
+  The checkpoint is local by default and reliable ``checkpoint()``
+  (HDFS/object-store, survives executor loss) when a checkpoint dir is
+  configured or ``reliable=True`` is passed — see :mod:`.lineage`.
 
 GraphX/GraphFrames ship the same algorithm; doing it with stock joins
 keeps the dependency surface at zero and the plan visible.
@@ -28,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lineage import truncate_lineage
 from .scalars import broadcast_attach
 
 __all__ = [
@@ -43,19 +45,26 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """(id, comp) for every node in ``edges``, where ``comp`` is the
     minimum id reachable from the node. Converges when no label
     changes; raises if ``max_iter`` rounds weren't enough (diameter
     larger than expected — raise the cap, don't trust partial labels).
+
+    ``reliable`` selects the per-round checkpoint mode (None = auto:
+    reliable iff a checkpoint dir is configured — the cluster mode).
     """
     sym = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).localCheckpoint(eager=True)
+    sym = truncate_lineage(sym, reliable=reliable)
+    labels = truncate_lineage(
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id")),
+        reliable=reliable,
+    )
 
     for _ in range(max_iter):
         nbr_min = (
@@ -63,16 +72,16 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        cur = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
+        cur = truncate_lineage(  # per-round — see module doc
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left").select(
                 "id",
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
                 F.col("comp").alias("old_comp"),
-            )
-        ).localCheckpoint(eager=True)  # truncate lineage — see module doc
+            ),
+            reliable=reliable,
+        )
         changed = cur.filter("comp != old_comp").count()
         labels = cur.drop("old_comp")
         if changed == 0:
@@ -83,7 +92,11 @@ def connected_components(
 
 
 def cluster_representatives(
-    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 20
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Collapse near-dup PAIRS into transitive clusters and keep one
     survivor (the min id) per cluster: rows of ``df`` that are either
@@ -92,7 +105,7 @@ def cluster_representatives(
     This is the correct closure of pairwise dedup — a greedy pair
     filter can keep both A and C of an A~B~C chain; clustering can't.
     """
-    comps = connected_components(pairs, max_iter=max_iter)
+    comps = connected_components(pairs, max_iter=max_iter, reliable=reliable)
     losers = comps.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )
@@ -106,6 +119,8 @@ def pagerank(
     d: float = 0.85,
     n_iters: int = 2,
     round_digits: int = 6,
+    checkpoint_every: int = 0,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """PageRank by unrolled power iteration — fully lazy, no driver
     state at all (contrast :func:`~..similarity.kmeans_assign`, whose
@@ -123,10 +138,13 @@ def pagerank(
     join — one broadcast row, no nested loop).
     Ranks round to ``round_digits`` each iteration, which pins the
     trajectory across engines/reruns exactly like the k-means
-    centroid rounding — a SQL oracle can replay it verbatim. At
-    100 TB, checkpoint the rank frame every few iterations to
-    truncate lineage (see :func:`connected_components`); with
-    ``n_iters`` small the unrolled lazy plan is fine.
+    centroid rounding — a SQL oracle can replay it verbatim. With
+    ``n_iters`` small the unrolled lazy plan is fine; at 100 TB pass
+    ``checkpoint_every`` (e.g. 3) to truncate lineage that often —
+    reliable ``checkpoint()`` when a checkpoint dir is configured /
+    ``reliable=True``, else ``localCheckpoint`` (see :mod:`.lineage`).
+    Rounding pins the trajectory, so checkpointing cannot change the
+    result — only the plan size and fault-tolerance story.
 
     Returns (id, rank).
     """
@@ -141,7 +159,9 @@ def pagerank(
     pr = broadcast_attach(nodes, n_tot).select(
         "id", F.round(F.lit(1.0) / F.col("__n"), round_digits).alias("rank")
     )
-    for _ in range(n_iters):
+    for it in range(n_iters):
+        if checkpoint_every and it and it % checkpoint_every == 0:
+            pr = truncate_lineage(pr, reliable=reliable)
         ranked = pr.join(out_deg, pr["id"] == out_deg["src"], "left").select(
             pr["id"], "rank", "__deg"
         )

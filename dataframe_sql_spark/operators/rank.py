@@ -11,10 +11,11 @@ This operator computes the identical result in two distributed passes:
 1. ``repartitionByRange`` on the sort keys (a sampled range exchange —
    the same machinery a global ``ORDER BY`` uses), annotate each row
    with its range-partition id, and pin the placement with an eager
-   ``localCheckpoint`` (the range partitioner SAMPLES boundaries, so
-   two separate jobs over the same lineage could otherwise disagree on
-   row placement; on a cluster swap in reliable ``checkpoint()`` or a
-   staged parquet write).
+   checkpoint (the range partitioner SAMPLES boundaries, so two
+   separate jobs over the same lineage could otherwise disagree on row
+   placement). The checkpoint is ``localCheckpoint`` by default and
+   reliable ``checkpoint()`` when a checkpoint dir is configured /
+   ``reliable=True`` is passed — see :mod:`.lineage`.
 2. Rank within each partition (``Window.partitionBy(pid)`` — parallel,
    no global exchange) and add the partition's global offset: the
    number of rows (rank) or distinct keys (dense_rank) in all
@@ -34,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .lineage import truncate_lineage
+
 __all__ = ["global_rank"]
 
 
@@ -43,6 +46,7 @@ def global_rank(
     dense: bool = False,
     out_col: str = "rnk",
     num_partitions: int | None = None,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Rank (or dense-rank) every row of ``df`` by a TOTAL order
     without a single-partition window.
@@ -56,10 +60,11 @@ def global_rank(
     sort_exprs = [
         F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_cols
     ]
-    part = (
-        df.repartitionByRange(n, *sort_exprs)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    part = truncate_lineage(
+        df.repartitionByRange(n, *sort_exprs).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        reliable=reliable,
     )
     keys = [F.col(c) for c, _ in order_cols]
     agg = (F.count_distinct(*keys) if dense else F.count(F.lit(1))).alias("__n")

@@ -188,6 +188,79 @@ _sql(
     doc="P14 DISTINCT projection (:108-118)",
 )
 
+
+def _p_mixed_case_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forest_fires-style schema stress with a DuckDB-checkable oracle.
+
+    The reference's test corpus (pandas_sql_functionality_test.py, mixed
+    case ``RH``, tables resolved case-insensitively) is mirrored here on
+    a fixture derived deterministically from ``customer``, so the
+    dialect edge cases get hash attestation, not just pytest.
+    """
+    eng = engine_for(spark, sf_dir)
+    fixture = eng.spark.table("customer").selectExpr(
+        "c_custkey as Number",
+        "c_name as `Customer Name`",
+        "c_acctbal as RH",
+        "c_mktsegment as Segment",
+    )
+    eng.register_temp_table(fixture, "fixture_mixed")
+    # lowercase refs to mixed-case columns; case-insensitive table name;
+    # double-quoted spaced identifier — all through the shim.
+    return eng.query(
+        'select number as num, "Customer Name" as cust_name, rh as acct '
+        "from FIXTURE_mixed where rh > 1000.0 and segment = 'BUILDING'"
+    )
+
+
+CATALOG["p_mixed_case_schema"] = QuerySpec(
+    fn=_p_mixed_case_fn,
+    oracle=(
+        'WITH fixture_mixed AS (SELECT c_custkey AS "Number", '
+        'c_name AS "Customer Name", c_acctbal AS "RH", '
+        'c_mktsegment AS "Segment" FROM customer) '
+        'SELECT "Number" AS num, "Customer Name" AS cust_name, "RH" AS acct '
+        'FROM fixture_mixed WHERE "RH" > 1000.0 AND "Segment" = \'BUILDING\''
+    ),
+    doc="mixed-case column resolution (ref tests' RH pattern, :53-62) + "
+    "case-insensitive table lookup, oracled on a customer-derived fixture",
+)
+
+
+def _p_spaced_columns_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spaced identifiers ('Equip Slots' pattern, ref tests :487-494)
+    inside filters and aggregates, on a part-derived fixture."""
+    eng = engine_for(spark, sf_dir)
+    fixture = eng.spark.table("part").selectExpr(
+        "p_partkey as `Part Key`",
+        "p_brand as Brand",
+        "p_retailprice as `Retail Price`",
+        "p_size as `Size Class`",
+    )
+    eng.register_temp_table(fixture, "fixture_spaced")
+    return eng.query(
+        'select brand, count(*) as cnt, '
+        'cast(sum(cast("Retail Price" as decimal(18,2))) as double) as sum_price, '
+        'max("Part Key") as max_key from fixture_spaced '
+        'where "Size Class" in (1, 5, 10, 23) group by brand'
+    )
+
+
+CATALOG["p_spaced_columns"] = QuerySpec(
+    fn=_p_spaced_columns_fn,
+    oracle=(
+        'WITH fixture_spaced AS (SELECT p_partkey AS "Part Key", '
+        'p_brand AS "Brand", p_retailprice AS "Retail Price", '
+        'p_size AS "Size Class" FROM part) '
+        'SELECT "Brand" AS brand, count(*) AS cnt, '
+        'CAST(sum(CAST("Retail Price" AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, '
+        'max("Part Key") AS max_key FROM fixture_spaced '
+        'WHERE "Size Class" IN (1, 5, 10, 23) GROUP BY "Brand"'
+    ),
+    doc="spaced column names in projection/filter/aggregate "
+    "(ref tests :487-494 'Equip Slots'), decimal-exact double sum",
+)
+
 # --- §2.3 date/time -------------------------------------------------------
 
 _sql(
@@ -608,129 +681,167 @@ def _make_runner(spec: QuerySpec) -> Callable[[SparkSession, str], DataFrame]:
 
 
 # Export order for queries()/oracle_sql(). The driver evaluates entries
-# in dict order and (round 1) scored only the first 50 — so the window
-# must lead with the highest-value coverage: all 22 TPC-H shapes, the
-# LLM-data-pipeline operators (dedup / similarity / text / multimodal /
-# curation), and a representative slice of the reference's §2 grammar.
-# Everything else follows in definition order; nothing is dropped.
+# in dict order and scores only the first 50 — so the window rotates
+# each round until every catalog entry has a driver-green CORRECTNESS
+# row. Everything below position 50 still ships; nothing is dropped.
+#
+# ATTESTATION ROTATION SCHEDULE (2026-08-15). Driver-green history per
+# entry is in COVERAGE.md's "driver round" column. Plan to exhaust the
+# remaining never-attested entries:
+#   r6 (this file, positions 1-50): the §2 grammar core — 41 entries
+#       (p_/d_/j_/a_/w_/o_/u_/q_) that were only ever scored in round
+#       1's all-error window — plus the 2 new mixed-case/spaced-name
+#       dialect entries and 7 long-green anchors for continuity.
+#   r7: streaming st_* (7), time-series ts_* (5), functions f_* (17),
+#       extended joins j_asof/j_semi/j_anti/j_salted/j_range_incidents/
+#       j_hint_broadcast (6), set-op variants u_symdiff/u_union_byname
+#       (2), window variants w_time_range/w_ffill (2), p_null_semantics,
+#       q_recursive_cte, dd_substring_remove → 42 + 8 anchors.
+#   r8: never-attested a_* aggregates (a_percentile, a_salted_agg,
+#       a_stats_agg, a_groupby_all, a_listagg, a_approx_agg,
+#       a_maxby_minby, a_grouping_fn, a_percentile_within,
+#       a_benford_digits, a_bool_aggs, a_hist_quantile_rollup,
+#       a_partial_rollup_merge, a_mode — 14) + x_* part 1 (~28) +
+#       8 anchors.
+#   r9: x_* part 2, dd_url_dedup/dd_lines/dd_containment/
+#       dd_overlap_matrix/dd_incremental, txt_* tail (tfidf/bm25/pmi/
+#       lm_score/inverted_index/repetition/char_entropy/len_histogram/
+#       winnow_maponly), emb_standardize/emb_kmeans, x_pagerank,
+#       sim_ann_ivfpq — the remaining oracled never-attested set.
+#       (Rows-only entries — dd_minhash, dd_simhash*, sim_ann_lsh/pq,
+#       txt_bpe_tokens, mm_decode_stub, … — stay 51+: their hash
+#       attestation is via the certificate entries already green.)
 PRIORITY: list[str] = [
-    # TPC-H shapes (join/agg/subquery integration, the perf
-    # headliners). Round-4 rotation: q6/q14/q12 → tier 51+. Round-5
-    # rotation: q2/q4/q8/q10/q11/q16/q22 (driver-green 4 consecutive
-    # rounds; scalar/correlated subqueries still covered by q17/q20/
-    # q21, count-distinct by a_count_distinct-class locals, multi-join
-    # rollups by q5/q7/q9) also to 51+, freeing scoreable slots for
-    # round-4 first-timers that had only local attestation.
+    # --- r6 window, positions 1-50 ------------------------------------
+    # Anchors (7): driver-green r2-r5 continuously; kept so the window
+    # always contains known-good entries spanning TPC-H, dedup,
+    # similarity, and curation.
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_revenue",
-    "tpch_q7_volume",
-    "tpch_q9_profit",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty",
-    "tpch_q18_big_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_share_suppliers",
-    "tpch_q21_waiting",
-    # LLM-data-pipeline north star: dedup. Every entry in the scored
-    # window is oracle-checked (round 3): the LSH family is represented
-    # by its hash-checkable CERTIFICATE entries (dd_minhash_verified
-    # proves LSH recall=1.0 at J>=0.8 against a DuckDB-computed complete
-    # pair set; dd_clusters_verified proves the iterative closure against
-    # a recursive CTE), while the production LSH entries themselves
-    # (signatures not SQL-expressible -> no_oracle) moved to 51+ where
-    # they stay pytest/recall-gated instead of wasting scoreable slots.
     "dd_exact",
-    "dd_exact_normalized",
-    "dd_fingerprint",
     "dd_minhash_verified",
-    "dd_minhash_est_cert",
-    "dd_clusters_verified",
-    "dd_ngram_jaccard",
-    "dd_embedding",
-    "dd_substring_spans",
-    "dd_decontaminate",
-    "dd_prefix_pairs",
-    "dd_fuzzy_decontaminate",
-    "dd_bloom_cert",
-    "a_hll_sketch_rollup",
-    "a_hll_intersect_cert",
-    "a_cms_heavy_hitters",
-    # similarity search (round-5 rotation adds the partial-probe
-    # oracle-replay pair — the strongest approximate-path attestations
-    # in the repo — plus the multi-method recall certificate)
-    "sim_topk",
-    "sim_ann_ivf",
-    "sim_ann_ivf_probed",
     "sim_knn_join",
-    "sim_knn_join_probed",
-    "sim_ann_recall_cert",
-    # text analysis
-    "txt_stats",
-    "txt_quality",
-    "txt_pii_scrub",
-    "txt_chunks",
-    "txt_word_rarity",
-    "txt_bpe_roundtrip",
-    # temporal / linkage / graph joins (round-3 flagships first
-    # driver-attested in round 4; Bloom-prefiltered shuffle join joins
-    # them in round 5)
-    "j_interval_overlap",
-    "j_bloom_prefilter",
-    "x_record_linkage",
-    "g_triangles",
-    # curation / pipeline composites (x_sessionize, x_funnel, mm_blob_
-    # meta — driver-green r1–r4 — rotated to 51+ for first-timers)
-    "x_temperature_mix",
-    "x_cohort_retention",
-    "mm_audio_chunks",
-    "mm_video_frames",
     "pipe_curation",
-    "pipe_dedup_funnel",
-    # second tier (positions 51+): the rotated-out grammar
-    # representatives (each subsumed by the TPC-H shapes above:
-    # projection/CASE by every shape, window rank by q15/q18-class
-    # windows, UNION by u_* locals, CTE by q15/q20) and single-join
-    # TPC-H shapes, then o_orderby_limit (top-k ORDER BY is already
-    # exercised by nearly every TPC-H shape above), then the
-    # production LSH/heuristic entries whose
-    # internals aren't SQL-expressible (pytest recall/semantic gates +
-    # the certificate entries above cover them) and further oracle-checked
-    # ops — scored if the driver window ever widens past 50
+    # §2 grammar core (41): the reference's own test surface
+    # (pandas_sql_functionality_test.py passim), green in every local
+    # strict run since round 2 but never in a green driver window —
+    # round 1 (their only prior appearance) errored wholesale on the
+    # nanos-timestamp bug before any query ran.
+    "p_project_alias",
+    "p_autonaming",
+    "p_arith",
+    "p_string_literal",
+    "p_cast",
+    "p_filter_predicates",
+    "p_between_in",
+    "p_distinct",
+    "d_timestamp_fn",
+    "j_inner",
+    "j_left",
+    "j_right",
+    "j_full",
+    "j_cross",
+    "j_comma_implicit",
+    "j_self_alias",
+    "a_global",
+    "a_groupby_bare",
+    "a_groupby_having",
+    "a_having_no_groupby",
+    "a_count_distinct",
+    "a_rollup",
+    "a_cube",
+    "a_grouping_sets",
+    "w_rank",
+    "w_rank_multi",
+    "w_dense_rank",
+    "w_frames",
+    "w_lag_lead",
+    "w_analytics",
+    "o_limit_offset",
+    "o_orderby_ordinal",
+    "u_union_all",
+    "u_intersect",
+    "u_except",
+    "u_intersect_all",
+    "u_except_all",
+    "q_subquery_nested",
+    "q_scalar_subquery",
+    "q_in_subquery",
+    "q_exists_correlated",
+    # New this round (2): reference-corpus schema stresses (mixed-case
+    # RH / spaced 'Equip Slots' identifiers) with DuckDB oracles.
+    "p_mixed_case_schema",
+    "p_spaced_columns",
+    # --- positions 51+: r7 planned window first (see schedule above),
+    # then r8/r9 blocks, then everything driver-green in past rounds.
+    # r7 block:
+    "st_tumbling",
+    "st_sliding",
+    "st_session",
+    "st_static_join",
+    "st_rollup_multires",
+    "st_stream_join",
+    "st_dedup",
+    "ts_gapfill",
+    "ts_anomaly_mad",
+    "ts_anomaly",
+    "ts_ohlc_resample",
+    "ts_ewma",
+    "f_string_funcs",
+    "f_math_funcs",
+    "f_date_funcs",
+    "f_json_funcs",
+    "f_regex_funcs",
+    "f_bitwise",
+    "f_explode",
+    "f_array_agg",
+    "f_higher_order",
+    "f_map_funcs",
+    "f_try_cast",
+    "f_array_setops",
+    "f_url_funcs",
+    "f_url_canonicalize",
+    "f_variant_json",
+    "f_timezone",
+    "f_edit_distance",
+    "j_asof",
+    "j_semi",
+    "j_anti",
+    "j_salted",
+    "j_range_incidents",
+    "j_hint_broadcast",
+    "u_symdiff",
+    "u_union_byname",
+    "w_time_range",
+    "w_ffill",
+    "p_null_semantics",
+    "q_recursive_cte",
+    "dd_substring_remove",
+    # r8 block (never-attested aggregates, then x_* part 1):
+    "a_percentile",
+    "a_salted_agg",
+    "a_stats_agg",
+    "a_groupby_all",
+    "a_listagg",
+    "a_approx_agg",
+    "a_maxby_minby",
+    "a_grouping_fn",
+    "a_percentile_within",
+    "a_benford_digits",
+    "a_bool_aggs",
+    "a_hist_quantile_rollup",
+    "a_partial_rollup_merge",
+    "a_mode",
+    # previously-green entries (driver rounds in COVERAGE.md) and the
+    # rows-only production LSH/heuristic entries (certificate-covered)
+    # follow in definition order via _ordered_names().
     "p_select_star",
     "p_case",
     "w_rank_partition",
     "u_union",
     "q_cte",
-    "tpch_q6_forecast",
-    "tpch_q12_priority_counts",
-    "tpch_q14_promo",
-    # round-5 rotation: driver-green r1–r4, subsumed per the tier-1
-    # comment above
-    "tpch_q2_min_supplier",
-    "tpch_q4_priority",
-    "tpch_q8_mktshare",
-    "tpch_q10_returns",
-    "tpch_q11_value_parts",
-    "tpch_q16_supplier_cnt",
-    "tpch_q22_idle_custs",
-    "x_sessionize",
-    "x_funnel",
-    "mm_blob_meta",
     "o_orderby_limit",
-    "dd_minhash",
-    "dd_minhash_pairs",
-    "dd_simhash",
-    "dd_clusters",
-    "sim_ann_lsh",
-    "txt_langid",
-    "txt_langid_golden",
-    "x_dataset_mix",
-    "emb_quantize_int8",
-    "txt_winnow_fingerprint",
-    "sim_ann_pq",
-    "dd_incremental",
 ]
 
 
