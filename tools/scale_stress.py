@@ -572,8 +572,28 @@ def op_skew_join_salted(spark: SparkSession, r: int) -> int:
     return _skew_join_run(spark, r, salted=True, skew_aqe=False)
 
 
+def op_connected_components(spark: SparkSession, r: int) -> int:
+    """Label propagation (the dedup-cluster closure) at the realistic
+    graph shape: 5-node star clusters, so cluster COUNT grows with the
+    corpus while diameter stays 2 — matching near-dup graphs (dense
+    shallow clusters, module doc operators/graph.py). Convergence
+    rounds are therefore constant in R and per-round work is one join
+    + one groupBy over ~N edges: expect slope ≈ 1. The per-round
+    eager checkpoint (lineage truncation) is part of what's timed —
+    it's the operator's real cost structure."""
+    from dataframe_sql_spark.operators.graph import connected_components
+
+    ids = scaled_documents(spark, r).select(F.col("doc_id").alias("id"))
+    edges = ids.select(
+        F.col("id").alias("id_a"),
+        (F.col("id") - F.col("id") % 5).alias("id_b"),
+    ).filter("id_a != id_b")
+    return _force(connected_components(edges, max_iter=8))
+
+
 OPS = {
     "dd_minhash_pairs": op_minhash_pairs,
+    "dd_clusters": op_connected_components,
     "dd_simhash": op_simhash,
     "w_rank_global": op_global_rank,
     "tpch_q5_shape": op_tpch_q5_shape,
