@@ -591,8 +591,61 @@ def op_connected_components(spark: SparkSession, r: int) -> int:
     return _force(connected_components(edges, max_iter=8))
 
 
+def op_pipe_curation(spark: SparkSession, r: int) -> int:
+    """The end-to-end curation funnel (quality gate → fingerprint dedup
+    → hash split — registry_pipeline._curation_pipeline's exact stage
+    composition) over a disjoint-vocabulary corpus. The quality gate
+    and split are map-side codegen; the fingerprint groupBy is the ONE
+    shuffle — expect slope ≈ 1 with a small constant, the property that
+    makes the funnel embarrassingly parallel at 100 TB."""
+    from dataframe_sql_spark.functions.text import fingerprint, token_count
+    from dataframe_sql_spark.operators.sampling import hash_split
+
+    docs = scaled_documents(spark, r)
+    quality = docs.filter(
+        (token_count(F.col("text")) >= 30)
+        & (
+            F.length(F.regexp_replace(F.trim(F.col("text")), r"[A-Za-z0-9\s]", ""))
+            / F.length(F.trim(F.col("text")))
+            < 0.2
+        )
+    )
+    keyed = quality.withColumn("__fp", fingerprint(F.col("text")))
+    winners = (
+        keyed.groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    deduped = keyed.join(winners, "doc_id", "inner").drop("__fp")
+    return _force(
+        hash_split(deduped, "doc_id", {"train": 0.9, "val": 0.1}, seed=42).select(
+            "doc_id", "lang", "split"
+        )
+    )
+
+
+def op_hll_rollup(spark: SparkSession, r: int) -> int:
+    """Mergeable-HLL distinct-user rollup over an R×-longer event
+    stream with R×-more distinct users (user_id remapped per replica —
+    the registers see genuinely new values, not repeats). Per-sketch
+    state is fixed-size (lgk=12 → 4 KiB) regardless of R, so cost is
+    the linear scan + one segment-keyed partial agg + one tiny merge:
+    expect slope ≈ 1. This is the persisted-pre-aggregate pattern that
+    replaces fact rescans for distinct counts at 100 TB."""
+    from dataframe_sql_spark.functions.sketches import hll_partials, hll_rollup
+
+    ev = scaled_events(spark, r)
+    # recover the replica id (event_id = orig*r + rep) so distinct
+    # users grow with the corpus instead of repeating R times
+    ev = ev.withColumn(
+        "user_id", F.col("user_id") * r + F.col("event_id") % F.lit(r)
+    ).withColumn("day", F.date_trunc("day", "ts"))
+    partials = hll_partials(ev, ["event_type"], "day", "user_id", lgk=12)
+    return _force(hll_rollup(partials, ["event_type"]))
+
+
 OPS = {
     "dd_minhash_pairs": op_minhash_pairs,
+    "pipe_curation": op_pipe_curation,
+    "a_hll_rollup": op_hll_rollup,
     "dd_clusters": op_connected_components,
     "dd_simhash": op_simhash,
     "w_rank_global": op_global_rank,
