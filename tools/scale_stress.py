@@ -588,7 +588,34 @@ def op_connected_components(spark: SparkSession, r: int) -> int:
         F.col("id").alias("id_a"),
         (F.col("id") - F.col("id") % 5).alias("id_b"),
     ).filter("id_a != id_b")
-    return _force(connected_components(edges, max_iter=8))
+    # reliable=False pins the local-checkpoint mode even if a later op
+    # in the same session configured a checkpoint dir (the auto mode
+    # would otherwise silently flip and break run-order comparability)
+    return _force(connected_components(edges, max_iter=8, reliable=False))
+
+
+def op_connected_components_reliable(spark: SparkSession, r: int) -> int:
+    """The SAME workload as dd_clusters but through the reliable
+    ``checkpoint()`` path (operators/lineage.py): every round's labels
+    are written to the configured checkpoint dir instead of executor
+    memory. The delta vs dd_clusters at equal R is the measured price
+    of durability — what a 1000-executor cluster pays so a lost
+    executor doesn't kill a multi-round job. Expect the same slope
+    with a larger per-round constant (one parquet-ish write + read of
+    ~N labels per round against an object store; local disk here)."""
+    import tempfile
+
+    from dataframe_sql_spark.operators.graph import connected_components
+
+    spark.sparkContext.setCheckpointDir(
+        tempfile.mkdtemp(prefix="stress_reliable_ckpt_")
+    )
+    ids = scaled_documents(spark, r).select(F.col("doc_id").alias("id"))
+    edges = ids.select(
+        F.col("id").alias("id_a"),
+        (F.col("id") - F.col("id") % 5).alias("id_b"),
+    ).filter("id_a != id_b")
+    return _force(connected_components(edges, max_iter=8, reliable=True))
 
 
 def op_pipe_curation(spark: SparkSession, r: int) -> int:
@@ -647,6 +674,7 @@ OPS = {
     "pipe_curation": op_pipe_curation,
     "a_hll_rollup": op_hll_rollup,
     "dd_clusters": op_connected_components,
+    "dd_clusters_reliable": op_connected_components_reliable,
     "dd_simhash": op_simhash,
     "w_rank_global": op_global_rank,
     "tpch_q5_shape": op_tpch_q5_shape,
