@@ -105,36 +105,70 @@ _reg_sql(
 )
 
 
-_reg(
-    "a_approx_agg",
-    # Certificate shape (same pattern as a_hll_sketch_rollup): the
-    # sketch estimates themselves are implementation-defined, so the
-    # oracle-checkable output is (exact value, within-tolerance flag) —
-    # the booleans certify the HLL++/GK error bounds held while staying
-    # deterministic cross-engine.
-    lambda spark, sf_dir: engine_for(spark, sf_dir)
-    .spark.table("lineitem")
-    .groupBy("l_returnflag")
-    .agg(
+def _approx_agg_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certificate shape (same pattern as a_hll_sketch_rollup): the
+    sketch estimates themselves are implementation-defined, so the
+    oracle-checkable output is (exact value, within-tolerance flag) —
+    the booleans certify the HLL++/GK error bounds held while staying
+    deterministic cross-engine.
+
+    The exact-median side deliberately does NOT use Spark's
+    ``percentile()``: its aggregation buffer is a counts-map keyed by
+    distinct VALUE, so over a high-cardinality column like
+    l_extendedprice the partial state grows with the data (it OOMs a
+    default-heap session at sf0.1 and would be unrunnable at 100 TB).
+    Instead the exact median is the sort-based k-th element — one
+    spill-safe sort shuffle partitioned by group, row_number vs the
+    group count, average of the middle one/two values. Memory is
+    O(1) per task regardless of value cardinality; percentile(0.5)'s
+    linear interpolation at the midpoint equals that two-middle
+    average exactly, so the result is bit-identical to the buffered
+    form (and to DuckDB's quantile_cont)."""
+    from pyspark.sql import Window
+
+    li = engine_for(spark, sf_dir).spark.table("lineitem")
+    sketch = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("apx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("apx_med"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("__exact_med"),
     )
-    .select(
-        "l_returnflag",
-        "exact_orders",
-        (
-            F.abs(F.col("apx_orders") - F.col("exact_orders"))
-            <= 0.05 * F.col("exact_orders")
-        ).alias("ok_orders"),
-        F.round("__exact_med", 4).alias("exact_med"),
-        (
-            F.abs(F.col("apx_med") - F.col("__exact_med"))
-            <= 0.02 * F.col("__exact_med")
-        ).alias("ok_med"),
+    grp = Window.partitionBy("l_returnflag")
+    pos = F.col("__n") + F.lit(1)  # percentile position h = (n+1)/2
+    med = (
+        li.select("l_returnflag", "l_extendedprice")
+        .withColumn(
+            "__rn", F.row_number().over(grp.orderBy("l_extendedprice"))
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(grp))
+        .where(
+            (F.col("__rn") == F.floor(pos / 2))
+            | (F.col("__rn") == F.ceil(pos / 2))
+        )
+        .groupBy("l_returnflag")
+        .agg(F.avg("l_extendedprice").alias("__exact_med"))
     )
-    .orderBy("l_returnflag"),
+    return (
+        sketch.join(med, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("apx_orders") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("ok_orders"),
+            F.round("__exact_med", 4).alias("exact_med"),
+            (
+                F.abs(F.col("apx_med") - F.col("__exact_med"))
+                <= 0.02 * F.col("__exact_med")
+            ).alias("ok_med"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_reg(
+    "a_approx_agg",
+    _approx_agg_fn,
     "SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders, "
     "true AS ok_orders, "
     "round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med, "
