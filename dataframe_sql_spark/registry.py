@@ -552,9 +552,18 @@ _sql(
 )
 _sql(
     "q_scalar_subquery",
+    # price > 1.8·avg(price), stated in exact integer cents: the naive
+    # `> 1.8 * (select avg(...))` form returned 0 rows at sf>=0.01
+    # (trivially-green attestation) and a double avg threshold is the
+    # cross-engine accumulation-order trap x_pagerank documented. Cents
+    # via round(x*100) are engine-identical (one IEEE multiply), and
+    # price_cents·10·n > 18·sum_cents is pure int64 on both engines.
     "select o_orderkey, o_totalprice from orders "
-    "where o_totalprice > 2 * (select avg(o_totalprice) from orders)",
-    doc="Q3 scalar subquery (extension)",
+    "where cast(round(o_totalprice * 100) as bigint) "
+    "* (select count(*) * 10 from orders) "
+    "> (select sum(cast(round(o_totalprice * 100) as bigint)) * 18 "
+    "from orders)",
+    doc="Q3 scalar subquery (extension; selects ~1% of orders at any sf)",
 )
 _sql(
     "q_in_subquery",
