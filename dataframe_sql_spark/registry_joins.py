@@ -79,11 +79,17 @@ _reg_sql(
 
 _reg_sql(
     "j_anti",
-    "select c_custkey, c_name from customer left anti join orders "
+    # anti-join vs HIGH-VALUE orders, not all orders: in the synthetic
+    # corpus every customer has at least one order, so the plain form
+    # returned 0 rows at sf0.01 — a green row that would also pass for
+    # a broken anti-join. This selects ~0.2% of customers at any sf.
+    "select c_custkey, c_name from customer left anti join "
+    "(select o_custkey from orders where o_totalprice > 300000) big "
     "on c_custkey = o_custkey",
     "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
-    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
-    "J8 anti join (extension)",
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_totalprice > 300000)",
+    "J8 anti join (extension; complement of q_exists_correlated)",
 )
 
 
