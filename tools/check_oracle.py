@@ -201,6 +201,11 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
+        elif not spark_rows:
+            # agreement on EMPTY certifies nothing — a broken operator
+            # that returns no rows would also "pass". Round 6 found two
+            # such entries (q_scalar_subquery, j_anti); keep them visible.
+            print(f"PASS {name} (0 rows — TRIVIAL: empty result attests nothing)")
         else:
             print(f"PASS {name} ({len(spark_rows)} rows)")
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
