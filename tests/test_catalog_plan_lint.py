@@ -78,14 +78,28 @@ def _formatted(df) -> str:
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
-    out: dict[str, str] = {}
+def _built(spark):
+    fmt: dict[str, str] = {}
+    tree: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         try:
-            out[name] = _formatted(fn(spark, SF_DIR))
+            df = fn(spark, SF_DIR)
+            fmt[name] = _formatted(df)
+            tree[name] = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # surface build breakage as lint failure
-            out[name] = f"__BUILD_ERROR__ {type(e).__name__}: {e}"
-    return out
+            fmt[name] = f"__BUILD_ERROR__ {type(e).__name__}: {e}"
+            tree[name] = fmt[name]
+    return fmt, tree
+
+
+@pytest.fixture(scope="module")
+def plans(_built):
+    return _built[0]
+
+
+@pytest.fixture(scope="module")
+def trees(_built):
+    return _built[1]
 
 
 def test_all_entries_build(plans):
@@ -115,21 +129,42 @@ def test_no_unexpected_cartesian(plans):
     assert not bad, f"cartesian/nested-loop join outside whitelist: {bad}"
 
 
-def test_single_partition_only_moves_aggregates(plans):
-    # Exchange SinglePartition is fine when it moves (partial-)aggregate
-    # or limit output — tiny rows. It is a scale bug when it moves scan
-    # output (the pre-round-3 global-rank shape). Heuristic: some
-    # aggregate/limit/window-over-aggregate marker must appear earlier
-    # in the formatted plan text than the exchange.
+def test_single_partition_only_moves_aggregates(trees):
+    # Exchange SinglePartition is fine when its IMMEDIATE input is an
+    # aggregate: a global partial+final aggregate's final exchange
+    # carries one row per upstream partition (bounded by partition
+    # count, never data volume), and a keyed aggregate feeding a tiny
+    # global step (x_global_shuffle's 4096-row bucket-offset sum) is
+    # one row per key. It is a scale bug when the exchange moves scan/
+    # join/window output — the pre-round-3 global-rank shape, where the
+    # whole table lands on one task. The round-6 census of all 229
+    # entries found exactly the aggregate-fed kind (29 entries, every
+    # occurrence partial_*-fed); this pins that census as a gate.
+    op_re = re.compile(r"(?:\+- |^)(\*?\(\d+\) )?([A-Za-z]+)")
+    # row-preserving wrappers between the exchange and the aggregate
+    # keep the volume bound intact; walk through them.
+    passthrough = {"Project", "Filter", "Sort", "WholeStageCodegen"}
     bad = []
-    for n, p in plans.items():
-        for m in re.finditer(r"Exchange SinglePartition", p):
-            prefix = p[: m.start()]
-            if not any(
-                k in prefix
-                for k in ("HashAggregate", "SortAggregate", "CollectLimit",
-                          "TakeOrderedAndProject", "ObjectHashAggregate")
-            ):
-                bad.append(n)
+    for n, p in trees.items():
+        lines = p.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            verdict = None
+            for x in lines[i + 1 : i + 12]:
+                body = x.strip().strip(":+- ")
+                if not body:  # tree-structure-only line
+                    continue
+                m = op_re.search(x.replace(":", " "))
+                op = m.group(2) if m else body.split("(")[0]
+                if op in passthrough:
+                    continue
+                verdict = op
                 break
-    assert not bad, f"SinglePartition exchange moving non-aggregate data: {bad}"
+            if verdict not in ("HashAggregate", "ObjectHashAggregate",
+                               "SortAggregate"):
+                bad.append((n, verdict, line.strip()[:60]))
+                break  # one finding per entry is enough
+    assert not bad, (
+        f"SinglePartition exchange whose input is not an aggregate: {bad}"
+    )
