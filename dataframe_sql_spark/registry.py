@@ -694,25 +694,26 @@ def _make_runner(spec: QuerySpec) -> Callable[[SparkSession, str], DataFrame]:
 # each round until every catalog entry has a driver-green CORRECTNESS
 # row. Everything below position 50 still ships; nothing is dropped.
 #
-# ATTESTATION ROTATION SCHEDULE (2026-08-15). Driver-green history per
-# entry is in COVERAGE.md's "driver round" column. Plan to exhaust the
-# remaining never-attested entries:
-#   r6 (this file, positions 1-50): the §2 grammar core — 41 entries
-#       (p_/d_/j_/a_/w_/o_/u_/q_) that were only ever scored in round
-#       1's all-error window — plus the 2 new mixed-case/spaced-name
-#       dialect entries and 7 long-green anchors for continuity.
-#   r7: streaming st_* (7), time-series ts_* (5), functions f_* (17),
-#       extended joins j_asof/j_semi/j_anti/j_salted/j_range_incidents/
-#       j_hint_broadcast (6), set-op variants u_symdiff/u_union_byname
-#       (2), window variants w_time_range/w_ffill (2), p_null_semantics,
-#       q_recursive_cte, dd_substring_remove → 42 + 8 anchors.
-#   r8: never-attested a_* aggregates (a_percentile, a_salted_agg,
+# ATTESTATION ROTATION SCHEDULE (updated 2026-08-15, round 8). Driver-
+# green history per entry is in COVERAGE.md's "driver round" column.
+# Round 7 was a zero-commit no-op (builder session never ran), so the
+# driver re-scored the r6 window; the whole schedule slips one round:
+#   r6+r7 (scored twice, identical): §2 grammar core — 41 entries
+#       (p_/d_/j_/a_/w_/o_/u_/q_) + 2 dialect stresses + 7 anchors.
+#   r8 (this file, positions 1-50): streaming st_* (7), time-series
+#       ts_* (5), functions f_* (17), extended joins j_asof/j_semi/
+#       j_anti/j_salted/j_range_incidents/j_hint_broadcast (6), set-op
+#       variants u_symdiff/u_union_byname (2), window variants
+#       w_time_range/w_ffill (2), p_null_semantics, q_recursive_cte,
+#       dd_substring_remove → 42 + 8 anchors. Pre-validated 45/45
+#       strict-green at sf0.1 in round 6 (commit history in SCALE.md).
+#   r9: never-attested a_* aggregates (a_percentile, a_salted_agg,
 #       a_stats_agg, a_groupby_all, a_listagg, a_approx_agg,
 #       a_maxby_minby, a_grouping_fn, a_percentile_within,
 #       a_benford_digits, a_bool_aggs, a_hist_quantile_rollup,
 #       a_partial_rollup_merge, a_mode — 14) + x_* part 1 (~28) +
-#       8 anchors.
-#   r9: x_* part 2, dd_url_dedup/dd_lines/dd_containment/
+#       8 anchors. Swept 48/48 at sf0.1 (commit f0cab31).
+#   r10: x_* part 2, dd_url_dedup/dd_lines/dd_containment/
 #       dd_overlap_matrix/dd_incremental, txt_* tail (tfidf/bm25/pmi/
 #       lm_score/inverted_index/repetition/char_entropy/len_histogram/
 #       winnow_maponly), emb_standardize/emb_kmeans, x_pagerank,
@@ -721,10 +722,10 @@ def _make_runner(spec: QuerySpec) -> Callable[[SparkSession, str], DataFrame]:
 #       txt_bpe_tokens, mm_decode_stub, … — stay 51+: their hash
 #       attestation is via the certificate entries already green.)
 PRIORITY: list[str] = [
-    # --- r6 window, positions 1-50 ------------------------------------
-    # Anchors (7): driver-green r2-r5 continuously; kept so the window
+    # --- r8 window, positions 1-50 ------------------------------------
+    # Anchors (8): driver-green r2-r7 continuously; kept so the window
     # always contains known-good entries spanning TPC-H, dedup,
-    # similarity, and curation.
+    # similarity, windows, and curation.
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_revenue",
@@ -732,59 +733,10 @@ PRIORITY: list[str] = [
     "dd_minhash_verified",
     "sim_knn_join",
     "pipe_curation",
-    # §2 grammar core (41): the reference's own test surface
-    # (pandas_sql_functionality_test.py passim), green in every local
-    # strict run since round 2 but never in a green driver window —
-    # round 1 (their only prior appearance) errored wholesale on the
-    # nanos-timestamp bug before any query ran.
-    "p_project_alias",
-    "p_autonaming",
-    "p_arith",
-    "p_string_literal",
-    "p_cast",
-    "p_filter_predicates",
-    "p_between_in",
-    "p_distinct",
-    "d_timestamp_fn",
-    "j_inner",
-    "j_left",
-    "j_right",
-    "j_full",
-    "j_cross",
-    "j_comma_implicit",
-    "j_self_alias",
-    "a_global",
-    "a_groupby_bare",
-    "a_groupby_having",
-    "a_having_no_groupby",
-    "a_count_distinct",
-    "a_rollup",
-    "a_cube",
-    "a_grouping_sets",
     "w_rank",
-    "w_rank_multi",
-    "w_dense_rank",
-    "w_frames",
-    "w_lag_lead",
-    "w_analytics",
-    "o_limit_offset",
-    "o_orderby_ordinal",
-    "u_union_all",
-    "u_intersect",
-    "u_except",
-    "u_intersect_all",
-    "u_except_all",
-    "q_subquery_nested",
-    "q_scalar_subquery",
-    "q_in_subquery",
-    "q_exists_correlated",
-    # New this round (2): reference-corpus schema stresses (mixed-case
-    # RH / spaced 'Equip Slots' identifiers) with DuckDB oracles.
-    "p_mixed_case_schema",
-    "p_spaced_columns",
-    # --- positions 51+: r7 planned window first (see schedule above),
-    # then r8/r9 blocks, then everything driver-green in past rounds.
-    # r7 block:
+    # r8 block (42): streaming / time-series / scalar-function /
+    # extended-join surface, never driver-attested. Pre-validated
+    # 45/45 strict hash-green at sf0.1 in round 6.
     "st_tumbling",
     "st_sliding",
     "st_session",
@@ -827,7 +779,9 @@ PRIORITY: list[str] = [
     "p_null_semantics",
     "q_recursive_cte",
     "dd_substring_remove",
-    # r8 block (never-attested aggregates, then x_* part 1):
+    # --- positions 51+: r9 planned window first (see schedule above),
+    # then the r10 block, then everything driver-green in past rounds.
+    # r9 block (never-attested aggregates, then x_* part 1):
     "a_percentile",
     "a_salted_agg",
     "a_stats_agg",
@@ -842,6 +796,50 @@ PRIORITY: list[str] = [
     "a_hist_quantile_rollup",
     "a_partial_rollup_merge",
     "a_mode",
+    # §2 grammar core (41): driver-green r6 AND r7 (scored twice on
+    # identical code).
+    "p_project_alias",
+    "p_autonaming",
+    "p_arith",
+    "p_string_literal",
+    "p_cast",
+    "p_filter_predicates",
+    "p_between_in",
+    "p_distinct",
+    "d_timestamp_fn",
+    "j_inner",
+    "j_left",
+    "j_right",
+    "j_full",
+    "j_cross",
+    "j_comma_implicit",
+    "j_self_alias",
+    "a_global",
+    "a_groupby_bare",
+    "a_groupby_having",
+    "a_having_no_groupby",
+    "a_count_distinct",
+    "a_rollup",
+    "a_cube",
+    "a_grouping_sets",
+    "w_rank_multi",
+    "w_dense_rank",
+    "w_frames",
+    "w_lag_lead",
+    "w_analytics",
+    "o_limit_offset",
+    "o_orderby_ordinal",
+    "u_union_all",
+    "u_intersect",
+    "u_except",
+    "u_intersect_all",
+    "u_except_all",
+    "q_subquery_nested",
+    "q_scalar_subquery",
+    "q_in_subquery",
+    "q_exists_correlated",
+    "p_mixed_case_schema",
+    "p_spaced_columns",
     # previously-green entries (driver rounds in COVERAGE.md) and the
     # rows-only production LSH/heuristic entries (certificate-covered)
     # follow in definition order via _ordered_names().
