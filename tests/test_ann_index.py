@@ -259,3 +259,97 @@ def test_ivfpq_indexed_parity_and_partition_pruning(spark, tmp_path):
         line for line in plan.splitlines() if "PartitionFilters" in line
     )
     assert "cell" in pf_line
+
+
+# --------------------------------------------------------------------------
+# k-means-trained IVF build (ivf_index_write(..., centroids="kmeans"))
+# --------------------------------------------------------------------------
+
+
+def test_kmeans_built_index_full_probe_matches_bruteforce(spark, tmp_path):
+    """Correctness must be centroid-independent: an index built with
+    the distributed-k-means coarse quantizer, probed at n_probe ==
+    n_cells, must return exactly the brute-force top-k (full probe
+    scans every cell; the exact-cosine rerank does the rest)."""
+    from dataframe_sql_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_kmeans_idx")
+    ivf_index_write(emb, path, "embedding", "vec_id", n_cells=8, centroids="kmeans")
+    exact = [
+        (r.vec_id, round(r.score, 9))
+        for r in cosine_topk(emb, "embedding", QUERY, k=10).collect()
+    ]
+    indexed = [
+        (r.vec_id, round(r.score, 9))
+        for r in ivf_topk_indexed(spark, path, QUERY, k=10, n_probe=8).collect()
+    ]
+    assert exact == indexed
+
+
+def test_kmeans_centroids_deterministic_and_tighter(spark):
+    """The Lloyd refinement must (a) be rerun-deterministic (seedless
+    md5 init + rounded means) and (b) not WORSEN the coarse quantizer:
+    mean cosine of each vector to its assigned centroid is >= the
+    md5-sample init's, measured on the same corpus (on clustered data
+    it is strictly better; the near-uniform synthetic corpus still
+    must never regress)."""
+    from dataframe_sql_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_assign_cells,
+        ivf_kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    km1 = ivf_kmeans_centroids(emb, "embedding", "vec_id", n_cells=8)
+    km2 = ivf_kmeans_centroids(emb, "embedding", "vec_id", n_cells=8)
+    assert km1 == km2
+    sample = _ivf_centroids(emb, "embedding", "vec_id", n_cells=8)
+    assert km1 != sample  # the refinement actually moved the centers
+
+    def mean_assigned_cos(cents):
+        import math
+
+        assigned = ivf_assign_cells(emb, "embedding", cents, cell_col="__cell")
+        normed = []
+        for c in cents:
+            n = math.sqrt(sum(x * x for x in c)) or 1.0
+            normed.append([x / n for x in c])
+        cl = F.lit(normed)
+        v = F.col("embedding")
+        vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        dot = F.aggregate(
+            F.zip_with(v, F.element_at(cl, F.col("__cell") + 1), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return assigned.select(F.avg(dot / vn).alias("m")).collect()[0].m
+
+    assert mean_assigned_cos(km1) >= mean_assigned_cos(sample) - 1e-9
+
+
+def test_kmeans_built_index_obvious_clusters(spark, tmp_path):
+    """On genuinely clustered data the k-means build must put each
+    blob in its own cell, so a 1-probe query only touches the right
+    blob — the qualitative win the md5 sample can't guarantee."""
+    import itertools
+
+    # directionally distinct blobs (cosine assignment is scale-blind):
+    # blob 0 points along e1, blob 1 along e2, each jittered +-0.1
+    rows = []
+    vid = 0
+    for axis in (0, 1):
+        for dx, dy in itertools.product((-0.1, 0.0, 0.1), repeat=2):
+            base = [0.0, 0.0, dx, dy]
+            base[axis] = 10.0
+            rows.append((vid, base))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "ivf_blob_idx")
+    ivf_index_write(df, path, "embedding", "vec_id", n_cells=2, centroids="kmeans")
+    hit = ivf_topk_indexed(
+        spark, path, [0.0, 10.0, 0.0, 0.0], k=9, n_probe=1
+    ).collect()
+    assert {r.vec_id for r in hit} == set(range(9, 18))
