@@ -27,6 +27,7 @@ __all__ = [
     "word_shingles",
     "shingle_frame",
     "hashed_shingle_frame",
+    "md5_shingle_frame",
     "minhash_signature",
     "minhash_signature_oph",
     "oph_raw_lanes",
@@ -213,6 +214,60 @@ def hashed_shingle_frame(
     return hashed.select(
         F.col(id_col), *[F.col(c) for c in extra_cols], gram.alias(out_col)
     )
+
+
+def md5_shingle_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    out_col: str = "__h",
+) -> DataFrame:
+    """Engine-portable sibling of :func:`hashed_shingle_frame`: gram
+    hash = the top 60 bits of ``md5`` over the k words joined with
+    ``\\x1f`` — ``conv(substring(md5(...), 1, 15), 16, 10)`` here,
+    ``('0x' || substr(md5(...), 1, 15))::BIGINT`` in DuckDB — so a SQL
+    oracle can replay signature algorithms end-to-end (the same trick
+    that made the IVF centroid pick replayable). 15 hex chars = 60
+    bits keeps the value inside a signed long on both engines; the
+    four missing top bits only mean signature bits 60–63 are always
+    0, which both engines agree on.
+
+    Same tokenization and short-doc clamp semantics as the xxhash64
+    path (positions past the end repeat the last word; grams
+    de-duplicated per doc). Production stays on xxhash64 — one 64-bit
+    mix per gram beats an md5 digest + hex decode — this exists for
+    replay certificates (`dd_simhash_probed_verified`).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__words"),
+    )
+    w = F.col("__words")
+    n = F.size(w)
+    gram = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f",
+                            *[
+                                F.element_at(w, F.least(i + off, n))
+                                for off in range(k)
+                            ],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    return words.select(F.col(id_col), gram.alias(out_col))
 
 
 def oph_raw_lanes(hashes: Column, num_hashes: int = 64) -> Column:
@@ -704,6 +759,7 @@ def simhash_candidate_pairs(
     feature_k: int = 2,
     max_bucket: int = 1000,
     probe_bits: int = 0,
+    feature_hash: str = "xx",
 ) -> DataFrame:
     """Candidate pairs with hamming(simhash) ≤ ``max_hamming``.
 
@@ -734,10 +790,17 @@ def simhash_candidate_pairs(
     hold a large share of the corpus — quadratic candidates.
     ``max_bucket`` caps those; a pair only needs ONE uncapped shared
     chunk to surface, so moderate caps cost little recall.
+
+    ``feature_hash="md5"`` swaps the per-gram hash to the
+    engine-portable 60-bit md5 form (:func:`md5_shingle_frame`) so a
+    SQL oracle can replay the whole pipeline; every other line of this
+    function — signature, chunking, probing, caps, verify — runs
+    unchanged, which is exactly what the replay certificate certifies.
     """
     width = 64 // chunks
     mask = (1 << width) - 1
-    hashed = hashed_shingle_frame(df, id_col, text_col, feature_k).withColumnRenamed(
+    hasher = {"xx": hashed_shingle_frame, "md5": md5_shingle_frame}[feature_hash]
+    hashed = hasher(df, id_col, text_col, feature_k).withColumnRenamed(
         "__h", "__th"
     )
     sig = hashed.select(F.col(id_col), simhash_bits("__th").alias("__sim"))
@@ -811,10 +874,12 @@ def simhash_dedup(
     text_col: str,
     max_hamming: int = 3,
     probe_bits: int = 0,
+    feature_hash: str = "xx",
 ) -> DataFrame:
     """Greedy min-id survivorship over simhash near-duplicate pairs."""
     pairs = simhash_candidate_pairs(
-        df, id_col, text_col, max_hamming, probe_bits=probe_bits
+        df, id_col, text_col, max_hamming, probe_bits=probe_bits,
+        feature_hash=feature_hash,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")

@@ -308,6 +308,64 @@ _reg(
 
 
 _reg(
+    "dd_simhash_probed_verified",
+    # Replay certificate for the probed simhash pipeline (the last
+    # expensive rows-only family without one): same production code
+    # path — simhash_bits majority signature, 4x16-bit pigeonhole
+    # chunks, 1-bit multi-probe, exact-bucket cap 1000, hamming<=7
+    # verify, min-id survivorship — with ONLY the per-gram feature
+    # hash swapped to the engine-portable 60-bit md5 form
+    # (md5_shingle_frame), exactly how the IVF replay oracles swapped
+    # the centroid pick. The DuckDB oracle recomputes every stage from
+    # raw text, so a hash match certifies signature bits, chunking,
+    # probing, caps, verify, and survivorship end-to-end. Parity
+    # measured bit-exact at sf0.001/0.01/0.1 (477/478/4776 survivors).
+    lambda spark, sf_dir: simhash_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=7, probe_bits=1,
+        feature_hash="md5",
+    ).select("doc_id", "lang", "source"),
+    r"""WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    CAST(('0x' || substr(md5(w[i] || chr(31) || w[least(i+1, n)]), 1, 15)) AS BIGINT) AS h
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(n - 1, 1))) AS i) pos
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum((h >> b) & 1) * 2 > count(*) THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS term
+  FROM grams, LATERAL (SELECT unnest(generate_series(0, 59)) AS b) bb
+  GROUP BY doc_id, b
+),
+sig AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+pieces AS (
+  SELECT doc_id, sim, c, (sim >> (c * 16)) & 65535 AS piece
+  FROM sig, LATERAL (SELECT unnest([0,1,2,3]) AS c) cc
+),
+ok AS (SELECT c, piece FROM pieces GROUP BY c, piece HAVING count(*) <= 1000),
+probes AS (
+  SELECT doc_id, sim, c, xor(piece, flip) AS piece
+  FROM pieces, LATERAL (SELECT unnest([0,1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,32768]) AS flip) ff
+),
+pairs AS (
+  SELECT DISTINCT p.doc_id AS id_a, e.doc_id AS id_b,
+         bit_count(xor(p.sim, e.sim)) AS hamming
+  FROM probes p
+  JOIN pieces e ON p.c = e.c AND p.piece = e.piece
+  JOIN ok ON ok.c = e.c AND ok.piece = e.piece
+  WHERE p.doc_id < e.doc_id
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE hamming <= 7)""",
+    "replay certificate: probed simhash dedup with md5 feature hashes, "
+    "the full pipeline re-executed by the SQL oracle from raw text",
+)
+
+
+_reg(
     "dd_embedding",
     lambda spark, sf_dir: embedding_dedup(
         _emb(spark, sf_dir), "vec_id", "embedding", block_col="label", threshold=0.99
