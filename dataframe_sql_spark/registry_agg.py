@@ -123,15 +123,30 @@ def _approx_agg_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) per task regardless of value cardinality; percentile(0.5)'s
     linear interpolation at the midpoint equals that two-middle
     average exactly, so the result is bit-identical to the buffered
-    form (and to DuckDB's quantile_cont)."""
+    form (and to DuckDB's quantile_cont).
+
+    The DISTINCT aggregate is likewise kept OUT of the sketch
+    aggregate: mixing count_distinct with non-distinct aggregates in
+    one groupBy makes Spark's phase-1 aggregate key on
+    (group, distinct-value) and carry every non-distinct buffer —
+    here a QuantileSummaries sketch — PER DISTINCT ORDER KEY, state
+    that grows with the data (measured: OOMs a default-heap session
+    at sf0.1's 600k rows; unrunnable at 100 TB). As two aggregates
+    joined on the group key, the sketches key on 3 flags and the
+    distinct count keys on (flag, orderkey) with constant per-key
+    state — both spill-safe at any scale, and the 3-row join
+    broadcasts."""
     from pyspark.sql import Window
 
     li = engine_for(spark, sf_dir).spark.table("lineitem")
-    sketch = li.groupBy("l_returnflag").agg(
+    sketch_nd = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("apx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("apx_med"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
     )
+    sketch_d = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders")
+    )
+    sketch = sketch_nd.join(sketch_d, "l_returnflag")
     grp = Window.partitionBy("l_returnflag")
     pos = F.col("__n") + F.lit(1)  # percentile position h = (n+1)/2
     med = (
