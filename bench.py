@@ -224,8 +224,16 @@ def main() -> None:
 
     idx_dir = tempfile.mkdtemp(prefix="bench_ivfknn_")
     try:
+        # the build is timed as its own key (mirrors sim_ann_ivfpq_build):
+        # a 100 TB user pays it once and amortizes it over every probe,
+        # so the two keys must stay decomposed rather than the build
+        # hiding untimed (or worse, inside the probe loop)
+        t0 = time.perf_counter()
         ivf_index_write(
             _emb(spark, sf_dir).filter(F.col("label") != 0), idx_dir
+        )
+        pipeline["sim_knn_join_indexed_build"] = round(
+            time.perf_counter() - t0, 4
         )
         left = _emb(spark, sf_dir).filter(F.col("label") == 0).select(
             F.col("vec_id").alias("id_a"), "embedding"
