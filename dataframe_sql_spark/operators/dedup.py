@@ -863,8 +863,14 @@ def simhash_candidate_pairs(
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
         )
-        .distinct()
+        # hamming BEFORE distinct: the verify predicate is a per-row
+        # projection, so filtering first is semantically identical but
+        # the dedup exchange now carries only verified near-pairs —
+        # on random corpora the vast majority of bucket candidates
+        # (and their up-to-4·(probes+1)-fold key duplicates) fail the
+        # radius and never shuffle
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
