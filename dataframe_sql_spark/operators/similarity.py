@@ -230,6 +230,7 @@ def ivf_kmeans_centroids(
     n_cells: int,
     n_iters: int = 3,
     round_digits: int = 4,
+    train_occupancy: int = 256,
 ) -> list[list[float]]:
     """Distributed spherical-k-means refinement of the md5-sample
     centroid init — the 100 TB index-build path the md5 sample's own
@@ -251,11 +252,43 @@ def ivf_kmeans_centroids(
     so the list length — and therefore the persisted index's 0-based
     cell-id space and partition layout — is invariant across
     iterations.
+
+    Training is SAMPLE-BOUNDED: each refinement pass assigns
+    ~``train_occupancy`` rows per cell (a deterministic md5-coin
+    sample, the repo's engine-portable RNG), not the whole corpus.
+    Full-corpus refinement would cost rows·n_cells dot products per
+    iteration, and with ``ivf_default_cells`` growing cells ∝ rows
+    that is quadratic below the cell cap — measured log-log slope
+    1.79 at 1×/4×/16× (SCALE.md). The sample pins training cost at
+    ~train_occupancy·n_cells² regardless of corpus size (the standard
+    coarse-quantizer discipline, cf. FAISS's per-centroid training
+    caps), leaving the single unavoidable rows·n_cells assignment to
+    the index writer. Small corpora (≤ the cap) train on everything —
+    unchanged behavior, so small-data tests and replay fixtures are
+    unaffected.
     """
     cents = _ivf_centroids(df, vec_col, id_col, n_cells)
+    n_rows = df.count()
+    cap = train_occupancy * n_cells
+    if n_rows > cap:
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":ivfkm"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        )
+        train = df.filter(coin < F.lit(cap / n_rows))
+    else:
+        train = df
     for _ in range(max(0, n_iters - 1)):
         upd = (
-            ivf_assign_cells(df, vec_col, cents, cell_col="__cell")
+            ivf_assign_cells(train, vec_col, cents, cell_col="__cell")
             .select(
                 F.col("__cell"),
                 F.posexplode(F.col(vec_col).cast("array<double>")).alias(

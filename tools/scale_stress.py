@@ -211,6 +211,29 @@ def op_kmeans(spark: SparkSession, r: int) -> int:
     )
 
 
+def op_ivf_kmeans_build(spark: SparkSession, r: int) -> int:
+    """The k-means-trained IVF index build (round 8): centroid count
+    grows with the corpus via ivf_default_cells, so linear scaling here
+    certifies the whole build path — md5 init, n_iters assignment
+    passes, posexplode mean reduce — at growing n_cells, not just
+    growing rows. Materializes the assignment (the part that is
+    written at scale) rather than parquet I/O."""
+    from dataframe_sql_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_default_cells,
+        ivf_kmeans_centroids,
+    )
+
+    emb = scaled_embeddings(spark, r)
+    n_cells = ivf_default_cells(emb.count())
+    cents = ivf_kmeans_centroids(emb, "embedding", "vec_id", n_cells)
+    return _force(
+        ivf_assign_cells(emb, "embedding", cents, cell_col="cell").select(
+            "vec_id", "cell"
+        )
+    )
+
+
 def op_lm_score(spark: SparkSession, r: int) -> int:
     from dataframe_sql_spark.operators.relevance import bigram_lm_scores
 
@@ -683,6 +706,7 @@ OPS = {
     "dd_prefix_pairs": op_prefix_filter,
     "dd_lines": op_line_dedup,
     "emb_kmeans": op_kmeans,
+    "ivf_kmeans_build": op_ivf_kmeans_build,
     "txt_lm_score": op_lm_score,
     "j_range_incidents": op_range_join,
     "x_record_linkage": op_record_linkage,
