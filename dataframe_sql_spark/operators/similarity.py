@@ -19,6 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 from pyspark.sql import Column, DataFrame, Window
@@ -31,6 +32,7 @@ __all__ = [
     "lsh_topk",
     "ivf_default_cells",
     "ivf_assign_cells",
+    "ivf_assign_cells_2level",
     "ivf_topk",
     "ivf_index_write",
     "ivf_kmeans_centroids",
@@ -364,6 +366,102 @@ def ivf_assign_cells(
     )
     return df.withColumn(
         cell_col, (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    )
+
+
+def ivf_assign_cells_2level(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    cell_col: str = "__cell",
+) -> DataFrame:
+    """Two-level (hierarchical) coarse-quantizer assignment: the
+    O(rows·√cells) answer to flat assignment's O(rows·cells) — the
+    "next rung" SCALE.md's round-8 slope analysis names. Flat
+    assignment with `ivf_default_cells` growing cells ∝ rows costs
+    rows²/occupancy below the 4096-cell cap (measured log-log slope
+    1.77) and rows·4096 above it; this path costs rows·~2√cells
+    everywhere (slope ~1.5 pre-cap, 32× fewer dot products per row at
+    the cap).
+
+    Construction (all driver-side over the ≤4096·dim centroid matrix,
+    then pure codegen per row — no UDF, no shuffle):
+
+    - √C super-centroids picked deterministically from the cell
+      centroids (smallest md5 of the cell index — the same seedless
+      discipline as `_ivf_centroids`), then each CELL is routed to its
+      nearest super-centroid, giving a children table
+      ``super → [cell ids]`` (driver math over C·dim floats);
+    - per row: argmax rounded-dot over the √C super-centroids, then
+      argmax rounded-dot over that super-cell's children only — two
+      nested-literal lookups, ties to the lowest index at both levels.
+
+    The assignment is APPROXIMATE at cell boundaries (a row whose true
+    nearest cell hangs under a different super-cell lands in its best
+    reachable cell instead) — the standard hierarchical-IVF trade:
+    partial-probe recall can dip slightly, while full probe remains
+    exact because correctness never depended on assignment (the probe
+    scans every cell and the exact-cosine rerank decides; pytest-gated
+    like the k-means build). Deterministic: pure function of the
+    centroid matrix, so reruns and incremental appends agree.
+    """
+
+    def _normed(c: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        return [x / n for x in c]
+
+    n_cells = len(centroids)
+    n_super = max(1, math.isqrt(n_cells))
+    # deterministic super-centroid pick: smallest md5("s:<cell idx>")
+    order = sorted(
+        range(n_cells), key=lambda i: hashlib.md5(f"s:{i}".encode()).hexdigest()
+    )
+    super_ids = sorted(order[:n_super])
+    normed = [_normed(c) for c in centroids]
+    supers = [normed[i] for i in super_ids]
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        return round(sum(x * y for x, y in zip(a, b)), CELL_SCORE_DECIMALS)
+
+    children: list[list[int]] = [[] for _ in range(n_super)]
+    for cell in range(n_cells):
+        best = max(
+            range(n_super), key=lambda s: (_dot(normed[cell], supers[s]), -s)
+        )
+        children[best].append(cell)
+    # an empty super-cell would make element_at return an empty array
+    # and the row a null cell; give it its own seed cell so every
+    # super-cell resolves (the seed stays reachable via its true super
+    # too — duplicate membership only widens the search)
+    for s, kids in enumerate(children):
+        if not kids:
+            kids.append(super_ids[s])
+
+    v = F.col(vec_col).cast("array<double>")
+    supers_lit = F.lit(supers)
+    kids_ids_lit = F.lit([[int(c) for c in kids] for kids in children])
+    kids_cents_lit = F.lit([[normed[c] for c in kids] for kids in children])
+
+    def scores(cands: Column) -> Column:
+        return F.transform(
+            cands,
+            lambda c: F.round(
+                F.aggregate(
+                    F.zip_with(v, c, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                CELL_SCORE_DECIMALS,
+            ),
+        )
+
+    s_scores = scores(supers_lit)
+    s_pos = F.array_position(s_scores, F.array_max(s_scores)).cast("int")
+    kid_cents = F.element_at(kids_cents_lit, s_pos)
+    k_scores = scores(kid_cents)
+    k_pos = F.array_position(k_scores, F.array_max(k_scores)).cast("int")
+    return df.withColumn(
+        cell_col, F.element_at(F.element_at(kids_ids_lit, s_pos), k_pos).cast("int")
     )
 
 
@@ -774,6 +872,7 @@ def ivf_index_write(
     id_col: str = "vec_id",
     n_cells: int | None = None,
     centroids: str = "sample",
+    assign: str = "flat",
 ) -> list[list[float]]:
     """Build and persist the IVF index: assign every vector to its
     nearest centroid cell and write parquet PARTITIONED BY cell, with
@@ -797,6 +896,13 @@ def ivf_index_write(
     build time. Probe-side code is identical either way (the trained
     matrix is what lands in ``_centroids.json``), and full-probe
     results are centroid-independent (pytest-gated).
+
+    ``assign="2level"`` routes the corpus assignment pass through the
+    hierarchical coarse quantizer (:func:`ivf_assign_cells_2level`) —
+    O(rows·√cells) instead of O(rows·cells), the build-cost answer
+    when cells track corpus size (SCALE.md round-8 slope analysis).
+    Cell-boundary rows may land in a near-best cell (partial-probe
+    recall trade); full probe stays exact.
     """
     import json
     import os
@@ -804,7 +910,11 @@ def ivf_index_write(
     if n_cells is None:
         n_cells = ivf_default_cells(df.count())
     cents = _train_centroids(df, vec_col, id_col, n_cells, centroids)
-    assigned = ivf_assign_cells(df, vec_col, cents, cell_col="cell")
+    assigner = {
+        "flat": ivf_assign_cells,
+        "2level": ivf_assign_cells_2level,
+    }[assign]
+    assigned = assigner(df, vec_col, cents, cell_col="cell")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as f:
         json.dump(cents, f)

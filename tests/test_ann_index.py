@@ -353,3 +353,76 @@ def test_kmeans_built_index_obvious_clusters(spark, tmp_path):
         spark, path, [0.0, 10.0, 0.0, 0.0], k=9, n_probe=1
     ).collect()
     assert {r.vec_id for r in hit} == set(range(9, 18))
+
+
+# --------------------------------------------------------------------------
+# two-level (hierarchical) coarse quantizer (ivf_assign_cells_2level)
+# --------------------------------------------------------------------------
+
+
+def test_2level_built_index_full_probe_matches_bruteforce(spark, tmp_path):
+    """Correctness never depends on the assignment: an index whose
+    corpus assignment ran through the O(rows*sqrt(cells)) hierarchical
+    quantizer, probed at n_probe == n_cells, must equal brute force
+    exactly (every cell is scanned; the exact-cosine rerank decides)."""
+    from dataframe_sql_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_2level_idx")
+    ivf_index_write(emb, path, "embedding", "vec_id", n_cells=16, assign="2level")
+    exact = [
+        (r.vec_id, round(r.score, 9))
+        for r in cosine_topk(emb, "embedding", QUERY, k=10).collect()
+    ]
+    indexed = [
+        (r.vec_id, round(r.score, 9))
+        for r in ivf_topk_indexed(spark, path, QUERY, k=10, n_probe=16).collect()
+    ]
+    assert exact == indexed
+
+
+def test_2level_assignment_deterministic_valid_and_mostly_flat(spark):
+    """The hierarchical assignment must (a) be rerun-deterministic,
+    (b) produce only valid 0-based cell ids with no nulls, and
+    (c) agree with flat argmax assignment for the bulk of rows — only
+    cell-boundary rows whose true cell hangs under a different
+    super-cell may diverge (the documented recall trade)."""
+    from dataframe_sql_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_assign_cells,
+        ivf_assign_cells_2level,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = _ivf_centroids(emb, "embedding", "vec_id", n_cells=16)
+    two = ivf_assign_cells_2level(emb, "embedding", cents, cell_col="c")
+    a = {(r.vec_id, r.c) for r in two.collect()}
+    b = {(r.vec_id, r.c) for r in two.collect()}
+    assert a == b
+    cells = {c for _, c in a}
+    assert all(c is not None and 0 <= c < 16 for c in cells)
+    flat = {
+        (r.vec_id, r.c)
+        for r in ivf_assign_cells(emb, "embedding", cents, cell_col="c").collect()
+    }
+    agree = len(a & flat) / len(flat)
+    assert agree >= 0.5, f"2-level agreement with flat argmax only {agree:.2f}"
+
+
+def test_2level_no_udf_in_plan(spark):
+    """The whole two-level assignment must stay in codegen: no
+    BatchEvalPython / ArrowEvalPython node anywhere in the plan."""
+    from dataframe_sql_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_assign_cells_2level,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = _ivf_centroids(emb, "embedding", "vec_id", n_cells=16)
+    df = ivf_assign_cells_2level(emb, "embedding", cents, cell_col="c")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in plan

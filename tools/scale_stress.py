@@ -234,6 +234,28 @@ def op_ivf_kmeans_build(spark: SparkSession, r: int) -> int:
     )
 
 
+def op_ivf_build_2level(spark: SparkSession, r: int) -> int:
+    """Flat-IVF assignment is rows·n_cells (slope 1.77 measured when
+    cells track corpus size); the two-level coarse quantizer is
+    rows·~2√cells — this op pins the improvement empirically. Same
+    md5 centroid pick as op_ivf_kmeans_build minus the Lloyd passes,
+    so the delta vs that op is (training + flat-vs-2level assign)."""
+    from dataframe_sql_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_assign_cells_2level,
+        ivf_default_cells,
+    )
+
+    emb = scaled_embeddings(spark, r)
+    n_cells = ivf_default_cells(emb.count())
+    cents = _ivf_centroids(emb, "embedding", "vec_id", n_cells)
+    return _force(
+        ivf_assign_cells_2level(emb, "embedding", cents, cell_col="cell").select(
+            "vec_id", "cell"
+        )
+    )
+
+
 def op_lm_score(spark: SparkSession, r: int) -> int:
     from dataframe_sql_spark.operators.relevance import bigram_lm_scores
 
@@ -707,6 +729,7 @@ OPS = {
     "dd_lines": op_line_dedup,
     "emb_kmeans": op_kmeans,
     "ivf_kmeans_build": op_ivf_kmeans_build,
+    "ivf_build_2level": op_ivf_build_2level,
     "txt_lm_score": op_lm_score,
     "j_range_incidents": op_range_join,
     "x_record_linkage": op_record_linkage,
