@@ -177,6 +177,84 @@ _reg(
 )
 
 
+def _sim_2level_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-probe IVF top-k with the corpus assigned through the
+    two-level hierarchical coarse quantizer (round 8,
+    `operators/similarity.py::ivf_assign_cells_2level` — the
+    O(rows·√cells) build path). The oracle replays EVERY stage in
+    SQL: md5 centroid pick, md5 super-centroid pick, driver-side
+    cell→super routing (rounded unit-vector dots, lowest-super ties),
+    per-row super argmax then child-cell argmax (rounded dots, ties
+    to lowest list position ≡ lowest cell id), probe-cell ranking,
+    and the exact-cosine rerank — so a hash match certifies the
+    hierarchical assignment bit-for-bit, not just its full-probe
+    degenerate."""
+    from .operators.similarity import (
+        _cos_py,
+        _ivf_centroids,
+        cosine_col,
+        ivf_assign_cells_2level,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = _ivf_centroids(emb, "embedding", "vec_id", 16)
+    probe = sorted(range(16), key=lambda i: (-_cos_py(_QUERY_VEC, cents[i]), i))[:4]
+    assigned = ivf_assign_cells_2level(emb, "embedding", cents)
+    score = cosine_col(F.col("embedding"), _QUERY_VEC)
+    return (
+        assigned.filter(F.col("__cell").isin(probe))
+        .select("vec_id", F.round(score, 8).alias("score"), score.alias("__s"))
+        .orderBy(F.desc("__s"), F.asc("vec_id"))
+        .limit(10)
+        .drop("__s")
+    )
+
+
+_reg(
+    "sim_ann_ivf_2level_probed",
+    _sim_2level_probed,
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))"
+    " - 1 AS cell, v FROM (SELECT vec_id, v FROM e"
+    " ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)), "
+    "cn AS (SELECT cell, list_transform(v, x -> x / n) AS vn FROM (SELECT cell, v,"
+    " CASE WHEN sqrt(list_inner_product(v,v))=0 THEN 1"
+    " ELSE sqrt(list_inner_product(v,v)) END AS n FROM cents)), "
+    "sup AS (SELECT cell AS super_cell, vn AS svn,"
+    " row_number() OVER (ORDER BY cell) AS spos"
+    " FROM (SELECT cell, vn FROM cn"
+    " ORDER BY md5('s:' || CAST(cell AS VARCHAR)) LIMIT 4)), "
+    "routed AS (SELECT cell, spos FROM ("
+    " SELECT c.cell, s.spos, row_number() OVER (PARTITION BY c.cell"
+    "  ORDER BY round(list_inner_product(c.vn, s.svn), 8) DESC, s.spos) AS rn"
+    " FROM cn c CROSS JOIN sup s) WHERE rn = 1), "
+    "children AS (SELECT spos, cell FROM routed UNION ALL"
+    " SELECT s.spos, s.super_cell FROM sup s"
+    " WHERE s.spos NOT IN (SELECT DISTINCT spos FROM routed)), "
+    "rowsuper AS (SELECT vec_id, v, spos FROM ("
+    " SELECT e.vec_id, e.v, s.spos, row_number() OVER (PARTITION BY e.vec_id"
+    "  ORDER BY round(list_inner_product(e.v, s.svn), 8) DESC, s.spos) AS rn"
+    " FROM e CROSS JOIN sup s) WHERE rn = 1), "
+    "assigned AS (SELECT vec_id, v, cell FROM ("
+    " SELECT r.vec_id, r.v, ch.cell, row_number() OVER (PARTITION BY r.vec_id"
+    "  ORDER BY round(list_inner_product(r.v, c.vn), 8) DESC, ch.cell) AS rn"
+    " FROM rowsuper r JOIN children ch ON ch.spos = r.spos"
+    " JOIN cn c ON c.cell = ch.cell) WHERE rn = 1), "
+    "probe AS (SELECT cell FROM ("
+    f" SELECT cell, row_number() OVER (ORDER BY"
+    f"  round(list_cosine_similarity(v, {_QUERY_VEC_SQL}),8) DESC, cell) AS rn"
+    " FROM cents) WHERE rn <= 4) "
+    f"SELECT vec_id, round(list_cosine_similarity(v, {_QUERY_VEC_SQL}), 8) AS score "
+    "FROM assigned WHERE cell IN (SELECT cell FROM probe) "
+    f"ORDER BY list_cosine_similarity(v, {_QUERY_VEC_SQL}) DESC, vec_id LIMIT 10",
+    "partial-probe IVF top-k over a two-level-quantizer-assigned corpus "
+    "with the full hierarchical assignment replayed in the oracle — the "
+    "replay certificate for the O(rows·√cells) build path",
+)
+
+
 _reg(
     "sim_ann_lsh",
     lambda spark, sf_dir: lsh_topk(
