@@ -1085,6 +1085,7 @@ def _ivfpq_build(
     n_codes: int,
     dim: int,
     centroid_method: str = "sample",
+    assign: str = "flat",
 ):
     """Shared IVF-PQ build: L2-normalize, assign coarse cells, train
     residual codebooks, PQ-encode. Returns (encoded_df, centroids,
@@ -1102,7 +1103,8 @@ def _ivfpq_build(
     nrm = F.sqrt(F.aggregate(v_raw, F.lit(0.0), lambda acc, x: acc + x * x))
     df_n = df.withColumn("__vn", F.transform(v_raw, lambda x: x / nrm))
     centroids = _train_centroids(df_n, "__vn", id_col, n_cells, centroid_method)
-    assigned = ivf_assign_cells(df_n, "__vn", centroids)
+    assigner = {"flat": ivf_assign_cells, "2level": ivf_assign_cells_2level}[assign]
+    assigned = assigner(df_n, "__vn", centroids)
     cents_lit = F.lit([[float(x) for x in c] for c in centroids])
     r_df = assigned.withColumn(
         "__res",
@@ -1234,6 +1236,7 @@ def ivfpq_index_write(
     n_codes: int = 16,
     dim: int = 64,
     centroids: str = "sample",
+    assign: str = "flat",
 ):
     """Build and persist the IVF-PQ index: PQ codes + unit vectors
     written parquet PARTITIONED BY cell, centroids and codebooks in
@@ -1252,7 +1255,8 @@ def ivfpq_index_write(
     import os
 
     encoded, cents, books = _ivfpq_build(
-        df, vec_col, id_col, n_cells, n_sub, n_codes, dim, centroid_method=centroids
+        df, vec_col, id_col, n_cells, n_sub, n_codes, dim,
+        centroid_method=centroids, assign=assign,
     )
     out = encoded.withColumnRenamed("__cell", "cell").withColumnRenamed(
         "__pq", "pq"

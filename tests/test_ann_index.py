@@ -426,3 +426,42 @@ def test_2level_no_udf_in_plan(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "EvalPython" not in plan
+
+
+def test_ivfpq_2level_build_full_probe_recall(spark, tmp_path):
+    """IVF-PQ built with the hierarchical assignment: unlike plain
+    IVF (where full probe is exact regardless of assignment), PQ
+    encodes RESIDUALS vs the assigned cell's centroid — a 2-level
+    near-best assignment means larger residuals, so ADC ranks degrade
+    slightly and a fixed rerank cut can drop a true neighbor. The
+    honest contract is high-but-not-perfect recall at the same
+    rerank the flat build needs for 1.0."""
+    from dataframe_sql_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_index_write,
+        ivfpq_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_2level_idx")
+    ivfpq_index_write(
+        emb, path, n_cells=8, n_sub=4, n_codes=16, dim=64, assign="2level"
+    )
+    q = [1.0] * 64
+    exact = [r.vec_id for r in cosine_topk(emb, "embedding", q, k=10).collect()]
+    def recall(rerank: int) -> float:
+        approx = [
+            r.vec_id
+            for r in ivfpq_topk_indexed(
+                spark, path, q, k=10, n_probe=8, rerank=rerank
+            ).collect()
+        ]
+        return len(set(exact) & set(approx)) / 10
+
+    # measured 0.8 at the flat build's rerank=200 on this corpus (two
+    # supers over near-uniform vectors is the roughest possible
+    # routing); the contract is the floor plus that the rerank knob
+    # recovers exactness — at rerank=corpus the ADC cut is gone and
+    # the exact-cosine rerank decides everything
+    assert recall(200) >= 0.7
+    assert recall(500) == 1.0
