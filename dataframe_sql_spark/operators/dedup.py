@@ -270,7 +270,9 @@ def md5_shingle_frame(
     return words.select(F.col(id_col), gram.alias(out_col))
 
 
-def oph_raw_lanes(hashes: Column, num_hashes: int = 64) -> Column:
+def oph_raw_lanes(
+    hashes: Column, num_hashes: int = 64, value_bits: int = 64
+) -> Column:
     """OPH lane minima (array<long> with NULL for empty lanes).
 
     Classic MinHash costs ``num_hashes`` hash evaluations per shingle
@@ -284,11 +286,16 @@ def oph_raw_lanes(hashes: Column, num_hashes: int = 64) -> Column:
     ``log2(num_hashes)`` bits of the shingle hash, so a non-power-of-two
     count would silently drop shingles whose top bits exceed the lane
     range (asserted loudly instead).
+
+    ``value_bits`` is the width of the hash values (64 for xxhash64;
+    60 for the md5 replay-certificate hashes, whose top 4 bits are
+    always zero — the lane must come from the top OCCUPIED bits or
+    every shingle would land in lane 0).
     """
     assert num_hashes & (num_hashes - 1) == 0 and num_hashes > 0, (
         f"num_hashes must be a power of two, got {num_hashes}"
     )
-    shift = 64 - (num_hashes - 1).bit_length()  # top bits → lane index
+    shift = value_bits - (num_hashes - 1).bit_length()  # top bits → lane index
     return F.array(
         *[
             F.array_min(
@@ -355,17 +362,30 @@ def minhash_signature_oph(hashes: Column, num_hashes: int = 64) -> Column:
     return oph_densify_rotation(oph_raw_lanes(hashes, num_hashes), num_hashes)
 
 
-def _banded(sig_df: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
-    """Explode a signature into (band, bucket_hash, id) rows."""
+def _banded(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    bucket_hash: str = "xx",
+) -> DataFrame:
+    """Explode a signature into (band, bucket_hash, id) rows.
+
+    ``bucket_hash="md5"`` keys buckets by the md5 hex of the same
+    comma-joined slot string instead of xxhash64 — identical grouping
+    semantics (both are injective-modulo-collision over the slot
+    tuple), but SQL-replayable for the banding replay certificate."""
     rows = num_hashes // bands
+
+    def _bucket(b: int) -> Column:
+        slots = F.concat_ws(
+            ",", *[F.col("__sig")[b * rows + r] for r in range(rows)]
+        )
+        return F.md5(slots) if bucket_hash == "md5" else F.xxhash64(slots)
+
     band_cols = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[F.col("__sig")[b * rows + r] for r in range(rows)])
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
             for b in range(bands)
         ]
     )
@@ -382,6 +402,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 1000,
+    feature_hash: str = "xx",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) from banded minhash.
 
@@ -403,15 +424,28 @@ def minhash_candidate_pairs(
     Signatures go through the string-free hashed-shingle + OPH path
     (:func:`hashed_shingle_frame`, :func:`minhash_signature_oph`) —
     ~2× the throughput of per-lane hashing of shingle strings.
+
+    ``feature_hash="md5"`` swaps shingle hashing to the 60-bit
+    engine-portable md5 form and the band-bucket hash to md5, so a
+    SQL oracle replays lanes, densification, banding, and bucketing
+    verbatim (the `dd_minhash_banded_verified` certificate); the OPH
+    lane math, rotation fill, caps, and pair generation are the same
+    production code either way.
     """
-    shingled = hashed_shingle_frame(df, id_col, text_col, shingle_k)
+    if feature_hash == "md5":
+        shingled = md5_shingle_frame(df, id_col, text_col, shingle_k)
+        value_bits, bucket_hash = 60, "md5"
+    else:
+        shingled = hashed_shingle_frame(df, id_col, text_col, shingle_k)
+        value_bits, bucket_hash = 64, "xx"
     sig = shingled.select(
-        F.col(id_col), oph_raw_lanes(F.col("__h"), num_hashes).alias("__lanes")
+        F.col(id_col),
+        oph_raw_lanes(F.col("__h"), num_hashes, value_bits).alias("__lanes"),
     ).select(
         F.col(id_col),
         oph_densify_rotation(F.col("__lanes"), num_hashes).alias("__sig"),
     )
-    banded = _banded(sig, id_col, num_hashes, bands)
+    banded = _banded(sig, id_col, num_hashes, bands, bucket_hash)
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list(id_col).alias("__ids"))
@@ -433,6 +467,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.7,
     hashed: bool = False,
+    feature_hash: str = "xx",
 ) -> DataFrame:
     """Verify candidate (id_a, id_b) pairs with exact shingle Jaccard.
 
@@ -447,7 +482,9 @@ def ngram_jaccard_pairs(
     default for LSH pipelines. Keep strings where bit-exact parity
     with a string-based oracle matters (``dd_minhash_verified``).
     """
-    if hashed:
+    if hashed and feature_hash == "md5":
+        sh = md5_shingle_frame(df, id_col, text_col, shingle_k, out_col="__sh")
+    elif hashed:
         sh = hashed_shingle_frame(df, id_col, text_col, shingle_k, out_col="__sh")
     else:
         sh = shingle_frame(df, id_col, text_col, shingle_k)
@@ -516,6 +553,7 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    feature_hash: str = "xx",
 ) -> DataFrame:
     """Near-duplicate removal: keep a row unless it duplicates a
     smaller-id row (greedy, deterministic).
@@ -526,9 +564,13 @@ def minhash_dedup(
     the standard single-pass policy for corpus dedup; full
     connected-components would need an iterative job.
     """
-    pairs = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_k,
+        feature_hash=feature_hash,
+    )
     dups = ngram_jaccard_pairs(
-        df, pairs, id_col, text_col, shingle_k, threshold, hashed=True
+        df, pairs, id_col, text_col, shingle_k, threshold, hashed=True,
+        feature_hash=feature_hash,
     )
     losers = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")

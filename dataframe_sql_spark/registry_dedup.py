@@ -366,6 +366,82 @@ WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE hamming <= 7)""",
 
 
 _reg(
+    "dd_minhash_banded_verified",
+    # Replay certificate for the banded OPH-minhash pipeline — the
+    # complement of dd_minhash_verified (which certifies RECALL against
+    # exact complete pairs but not the banding mechanics). Same
+    # production code path — OPH lane minima (top-6-bit lanes),
+    # rotation densification, 16x4 banding, bucket cap, in-bucket pair
+    # generation, exact-Jaccard >= 0.7 verify, min-id survivorship —
+    # with the per-shingle hash swapped to the engine-portable 60-bit
+    # md5 form and the band-bucket hash to md5 (md5_shingle_frame /
+    # _banded(bucket_hash="md5")). The DuckDB oracle recomputes every
+    # stage from raw text: lanes via GROUP BY (doc, h >> 54),
+    # densification via arg_min over circular lane distance, buckets
+    # via md5 of the comma-joined slot string, the 2..1000 bucket cap,
+    # candidate self-join, integer intersect/union Jaccard, and
+    # survivorship. Parity bit-exact at sf0.001/0.01/0.1
+    # (476/476/4756 survivors).
+    lambda spark, sf_dir: minhash_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", feature_hash="md5"
+    ).select("doc_id", "lang", "source"),
+    r"""WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    CAST(('0x' || substr(md5(w[i] || chr(31) || w[least(i+1, n)] || chr(31) || w[least(i+2, n)]), 1, 15)) AS BIGINT) AS h
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(n - 2, 1))) AS i) pos
+),
+lanes AS (
+  SELECT doc_id, h >> 54 AS lane, min(h) AS v FROM grams GROUP BY doc_id, lane
+),
+dense AS (
+  SELECT l.doc_id, gs.j, arg_min(l.v, ((l.lane - gs.j) + 64) % 64) AS v
+  FROM lanes l CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) gs
+  GROUP BY l.doc_id, gs.j
+),
+bands AS (
+  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY j)) AS bucket
+  FROM dense GROUP BY doc_id, j // 4
+),
+ok AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket
+  HAVING count(*) BETWEEN 2 AND 1000
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.h = ga.h
+  GROUP BY c.id_a, c.id_b
+),
+dups AS (
+  SELECT x.id_b FROM inter x
+  JOIN sizes sa ON sa.doc_id = x.id_a
+  JOIN sizes sb ON sb.doc_id = x.id_b
+  WHERE CAST(x.i AS DOUBLE) / (sa.sz + sb.sz - x.i) >= 0.7
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM dups)""",
+    "replay certificate: banded OPH-minhash dedup with md5 hashes — "
+    "lanes, rotation densification, banding, bucket caps, Jaccard "
+    "verify and survivorship all re-executed by the SQL oracle",
+)
+
+
+_reg(
     "dd_embedding",
     lambda spark, sf_dir: embedding_dedup(
         _emb(spark, sf_dir), "vec_id", "embedding", block_col="label", threshold=0.99
