@@ -1001,6 +1001,7 @@ def minhash_band_index(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    feature_hash: str = "xx",
 ) -> DataFrame:
     """(id, band, bucket) MinHash band index for a corpus — the
     persistable artifact incremental dedup joins new batches against.
@@ -1009,14 +1010,20 @@ def minhash_band_index(
     join is a pruned scan, not a full-index shuffle:
     ``write_bucketed(index, "minhash_index", ["band", "bucket"])``.
     """
-    shingled = hashed_shingle_frame(df, id_col, text_col, shingle_k)
+    if feature_hash == "md5":
+        shingled = md5_shingle_frame(df, id_col, text_col, shingle_k)
+        value_bits, bucket_hash = 60, "md5"
+    else:
+        shingled = hashed_shingle_frame(df, id_col, text_col, shingle_k)
+        value_bits, bucket_hash = 64, "xx"
     sig = shingled.select(
-        F.col(id_col), oph_raw_lanes(F.col("__h"), num_hashes).alias("__lanes")
+        F.col(id_col),
+        oph_raw_lanes(F.col("__h"), num_hashes, value_bits).alias("__lanes"),
     ).select(
         F.col(id_col),
         oph_densify_rotation(F.col("__lanes"), num_hashes).alias("__sig"),
     )
-    return _banded(sig, id_col, num_hashes, bands)
+    return _banded(sig, id_col, num_hashes, bands, bucket_hash)
 
 
 def incremental_minhash_dedup(
@@ -1028,6 +1035,7 @@ def incremental_minhash_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 1000,
+    feature_hash: str = "xx",
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW batch against an existing corpus band index, without
     re-signaturing the corpus — the production shape at 100 TB, where
@@ -1047,7 +1055,7 @@ def incremental_minhash_dedup(
     pass. No corpus-sized shuffle anywhere.
     """
     new_banded = minhash_band_index(
-        new_df, id_col, text_col, num_hashes, bands, shingle_k
+        new_df, id_col, text_col, num_hashes, bands, shingle_k, feature_hash
     )
     # Collide against history on fixed-width (band, bucket) keys.
     hit_ids = (
@@ -1060,8 +1068,11 @@ def incremental_minhash_dedup(
     kept = minhash_dedup(
         survivors, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        feature_hash=feature_hash,
     )
-    delta = minhash_band_index(kept, id_col, text_col, num_hashes, bands, shingle_k)
+    delta = minhash_band_index(
+        kept, id_col, text_col, num_hashes, bands, shingle_k, feature_hash
+    )
     return kept, delta
 
 

@@ -255,13 +255,63 @@ _reg(
 )
 
 
+def _lsh_oracle_sql() -> str:
+    """Full SQL replay of the production LSH entry (round 8 — this
+    family was rows-only until the literal-plane trick): the
+    hyperplanes are a seedless Park–Miller LCG (`_planes`), i.e. a
+    deterministic 16×64 float matrix, so the oracle simply EMBEDS the
+    same matrix as a literal and recomputes signature bits
+    (sign of ⟨v, plane_i⟩, same left-fold summation order as Spark's
+    `F.aggregate` via `list_inner_product`), hamming ranking against
+    the driver-computed query signature, the rerank-100 cut
+    (vec_id-tiebroken both sides), and the exact-cosine top-10.
+    Residual FP risk: a dot product within ~1 ulp of 0 flipping a
+    signature bit — same measure-zero class as the documented
+    CELL_SCORE_DECIMALS note."""
+    from .operators.similarity import _planes
+
+    planes = _planes(64, 16, 42)
+    planes_sql = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in p) + "]" for p in planes)
+        + "]::DOUBLE[][]"
+    )
+    q_sig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(_QUERY_VEC, p)) > 0:
+            q_sig |= 1 << i
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pl AS (SELECT {planes_sql} AS planes, {q_sig} AS qsig),
+sig AS (
+  SELECT e.vec_id, e.v,
+    (SELECT sum(CASE WHEN list_inner_product(e.v, pl.planes[i]) > 0
+                THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)::BIGINT
+     FROM generate_series(1, 16) AS t(i)) AS s
+  FROM e CROSS JOIN pl
+),
+cand AS (
+  SELECT vec_id, v FROM (
+    SELECT vec_id, v, row_number() OVER (
+      ORDER BY bit_count(xor(s, (SELECT qsig FROM pl))), vec_id) AS rn
+    FROM sig) WHERE rn <= 100
+)
+SELECT vec_id, round(list_cosine_similarity(v, {_QUERY_VEC_SQL}), 8) AS score
+FROM cand
+ORDER BY list_cosine_similarity(v, {_QUERY_VEC_SQL}) DESC, vec_id LIMIT 10
+"""
+
+
 _reg(
     "sim_ann_lsh",
     lambda spark, sf_dir: lsh_topk(
         _emb(spark, sf_dir), "embedding", _QUERY_VEC, k=10, num_bits=16, rerank=100
     ).select("vec_id", F.round("score", 8).alias("score")),
-    None,  # hyperplane signatures not SQL-expressible; pytest checks recall vs exact
-    "approximate top-k via random-hyperplane LSH + exact rerank",
+    _lsh_oracle_sql(),
+    "approximate top-k via random-hyperplane LSH + exact rerank, with "
+    "the LCG plane matrix embedded in the oracle so signatures, hamming "
+    "ranking, rerank cut and exact rerank are all SQL-replayed "
+    "(upgraded from rows-only in round 8)",
 )
 
 
