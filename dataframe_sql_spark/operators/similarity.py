@@ -729,9 +729,17 @@ def pq_train(
     n_codes: int = 16,
     sample: int = 2048,
     iters: int = 5,
+    round_digits: int | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: ``n_sub`` subspaces × ``n_codes`` centroids
     each, k-means on a deterministic bounded sample.
+
+    ``round_digits`` rounds every centroid coordinate after each
+    update — the same trajectory-pinning discipline as
+    :func:`kmeans_assign`, letting a SQL oracle replay the training
+    bit-for-bit (`sim_ann_pq_verified`). Production default is None
+    (unrounded; nothing downstream depends on cross-engine replay of
+    the production books).
 
     This is the index-BUILD step: only ``sample``·dim floats reach the
     driver (seedless md5-ordered sample, reproducible across runs and
@@ -765,6 +773,8 @@ def pq_train(
                 members = Xs[assign == c]
                 if len(members):
                     C[c] = members.mean(axis=0)
+            if round_digits is not None:
+                C = np.round(C, round_digits)
         books.append([[float(x) for x in row] for row in C])
     return books
 

@@ -326,10 +326,96 @@ def _sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _pq_verified_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay certificate for the PQ family (round 8): the ONE piece
+    that kept PQ rows-only was codebook training — solved with the
+    kmeans_assign discipline (`pq_train(round_digits=4)` pins every
+    Lloyd update to a 4-dp grid, so the md5-sampled numpy trajectory
+    and a SQL re-execution stay bit-identical). The oracle then
+    replays ALL of it: md5 sample, 5 k-means iterations per subspace
+    (assignment by squared-L2 with lowest-code ties, per-dimension
+    rounded means, empty codes keep their centroid), corpus encoding
+    (argmax of <x,c> − ||c||²/2, first-match ties), the ADC scan
+    against the query LUT, the rerank-100 cut, and the exact-cosine
+    top-10. Production `sim_ann_pq` stays on unrounded books (nothing
+    downstream needs replayable production books); this entry
+    certifies the mechanics."""
+    from .operators.similarity import pq_topk, pq_train
+
+    emb = _emb(spark, sf_dir)
+    books = pq_train(
+        emb, "embedding", "vec_id", dim=64, n_sub=4, n_codes=16, round_digits=4
+    )
+    return pq_topk(
+        emb, "embedding", _QUERY_VEC, k=10, n_sub=4, n_codes=16,
+        rerank=100, codebooks=books,
+    ).select("vec_id", F.round("score", 8).alias("score"))
+
+
+def _pq_oracle_sql(n_sub: int = 4, n_codes: int = 16, sub: int = 16,
+                   iters: int = 5, rerank: int = 100) -> str:
+    """SQL text for the PQ replay: one CTE pair per Lloyd iteration,
+    generated programmatically so the iteration count stays a
+    parameter."""
+    qsub_rows = ", ".join(
+        f"({s}, [{', '.join(repr(float(x)) for x in _QUERY_VEC[s*sub:(s+1)*sub])}]::DOUBLE[])"
+        for s in range(n_sub)
+    )
+    parts = [f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+smp AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn, v
+        FROM (SELECT vec_id, v FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 2048)),
+subs AS (SELECT unnest(generate_series(0, {n_sub-1})) AS s),
+sx AS (SELECT rn, s, v[s*{sub}+1 : s*{sub}+{sub}] AS xs FROM smp CROSS JOIN subs),
+cb0 AS (SELECT s, rn - 1 AS c, xs AS cs FROM sx WHERE rn <= {n_codes})"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+a{k} AS (SELECT rn, s, xs, c FROM (
+  SELECT sx.rn, sx.s, sx.xs, cb.c, row_number() OVER (PARTITION BY sx.rn, sx.s
+    ORDER BY list_inner_product(sx.xs, sx.xs) - 2*list_inner_product(sx.xs, cb.cs)
+             + list_inner_product(cb.cs, cb.cs), cb.c) AS w
+  FROM sx JOIN cb{p} cb ON cb.s = sx.s) WHERE w = 1),
+ul{k} AS (SELECT s, c, list(m ORDER BY d) AS cs FROM (
+  SELECT s, c, gs.d, round(avg(xs[gs.d]), 4) AS m
+  FROM a{k} CROSS JOIN (SELECT unnest(generate_series(1, {sub})) AS d) gs
+  GROUP BY s, c, gs.d) GROUP BY s, c),
+cb{k} AS (SELECT p.s, p.c, coalesce(u.cs, p.cs) AS cs FROM cb{p} p
+          LEFT JOIN ul{k} u ON u.s = p.s AND u.c = p.c)""")
+    parts.append(f""",
+qsub AS (SELECT * FROM (VALUES {qsub_rows}) AS t(s, qs)),
+ex AS (SELECT vec_id, s, v[s*{sub}+1 : s*{sub}+{sub}] AS xs FROM e CROSS JOIN subs),
+enc AS (SELECT vec_id, s, c FROM (
+  SELECT ex.vec_id, ex.s, cb.c, row_number() OVER (PARTITION BY ex.vec_id, ex.s
+    ORDER BY (list_inner_product(ex.xs, cb.cs) - list_inner_product(cb.cs, cb.cs)/2) DESC, cb.c) AS w
+  FROM ex JOIN cb{iters} cb ON cb.s = ex.s) WHERE w = 1),
+adc AS (SELECT enc.vec_id, sum(list_inner_product(qsub.qs, cb.cs)) AS a
+        FROM enc JOIN cb{iters} cb ON cb.s = enc.s AND cb.c = enc.c
+        JOIN qsub ON qsub.s = enc.s GROUP BY enc.vec_id),
+cand AS (SELECT vec_id FROM (
+  SELECT vec_id, row_number() OVER (ORDER BY a DESC, vec_id) AS rn2 FROM adc)
+  WHERE rn2 <= {rerank})
+SELECT e.vec_id, round(list_cosine_similarity(e.v, {_QUERY_VEC_SQL}), 8) AS score
+FROM e WHERE e.vec_id IN (SELECT vec_id FROM cand)
+ORDER BY list_cosine_similarity(e.v, {_QUERY_VEC_SQL}) DESC, e.vec_id LIMIT 10""")
+    return "".join(parts)
+
+
+_reg(
+    "sim_ann_pq_verified",
+    _pq_verified_fn,
+    _pq_oracle_sql(),
+    "replay certificate: PQ top-k with 4dp-pinned codebook training — "
+    "md5 sample, 5 Lloyd iterations, encoding, ADC scan and exact "
+    "rerank all re-executed by the SQL oracle",
+)
+
+
 _reg(
     "sim_ann_pq",
     _sim_pq,
-    None,  # codebook training is not SQL-expressible; pytest gates recall
+    None,  # production books are unrounded (not replayable); the PQ
+    # mechanics are hash-certified by sim_ann_pq_verified above and
+    # recall is pytest-gated
     "product-quantization ANN: 8x16 codebooks (k-means on a bounded "
     "deterministic sample), ADC scan over literal lookup tables, exact "
     "rerank - the compressed-index scale path (n_sub bytes/vector)",
