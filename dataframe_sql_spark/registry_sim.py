@@ -551,16 +551,23 @@ _reg_sql(
     # the op bit-identical across engines (no rounding-mode edge), and
     # float32 -> double casts are exact so the arithmetic matches.
     # Everything is a higher-order JVM expression over the array column
-    # - one map-side projection, no shuffle, no UDF.
+    # - one map-side projection, no shuffle, no UDF. The code vector is
+    # serialized to a CSV string (order-preserving, not sorted - dim
+    # order IS the payload): the driver's canonicalizer sorts raw
+    # pandas columns and ndarray cells are unhashable (the
+    # f_array_setops CORRECTNESS_r08 failure class). Embeddings are
+    # 64-dim, so the string is bounded (~256 bytes).
     "select vec_id, label, scale, "
-    "transform(emb_d, x -> cast(floor(x / scale * 127.0) as int)) as q "
+    "array_join(transform(emb_d, x -> "
+    "cast(cast(floor(x / scale * 127.0) as int) as string)), ',') as q "
     "from (select vec_id, label, "
     "transform(embedding, x -> cast(x as double)) as emb_d, "
     "aggregate(embedding, cast(0.0 as double), "
     "(a, x) -> greatest(a, abs(cast(x as double)))) as scale "
     "from embeddings) t where scale > 0",
     "SELECT vec_id, label, scale, "
-    "list_transform(emb_d, x -> CAST(floor(x / scale * 127.0) AS INT)) AS q "
+    "coalesce(array_to_string(list_transform(emb_d, "
+    "x -> CAST(floor(x / scale * 127.0) AS INT)), ','), '') AS q "
     "FROM (SELECT vec_id, label, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d, "
     "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale "

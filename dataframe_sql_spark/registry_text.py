@@ -598,7 +598,17 @@ def _txt_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(
             F.count("*").cast("bigint").alias("df"),
-            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            # serialized (not a raw array column): the driver's pandas
+            # canonicalizer cannot sort/hash ndarray cells — the
+            # f_array_setops CORRECTNESS_r08 class, caught here by the
+            # catalog lint before this entry's r10 attestation window
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
     )
 
@@ -610,7 +620,8 @@ _reg(
     "WITH "
     + _W_CTE
     + r" SELECT word, cast(count(DISTINCT doc_id) AS BIGINT) AS df, "
-    r"list(DISTINCT doc_id ORDER BY doc_id) AS postings "
+    r"coalesce(array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ','), '')"
+    r" AS postings "
     r"FROM wds GROUP BY word",
     "inverted index build: term -> exact sorted posting list + "
     "document frequency, one term-keyed shuffle",

@@ -81,15 +81,17 @@ def _formatted(df) -> str:
 def _built(spark):
     fmt: dict[str, str] = {}
     tree: dict[str, str] = {}
+    schemas: dict[str, object] = {}
     for name, fn in entrymod.queries().items():
         try:
             df = fn(spark, SF_DIR)
             fmt[name] = _formatted(df)
             tree[name] = df._jdf.queryExecution().executedPlan().toString()
+            schemas[name] = df.schema
         except Exception as e:  # surface build breakage as lint failure
             fmt[name] = f"__BUILD_ERROR__ {type(e).__name__}: {e}"
             tree[name] = fmt[name]
-    return fmt, tree
+    return fmt, tree, schemas
 
 
 @pytest.fixture(scope="module")
@@ -100,6 +102,11 @@ def plans(_built):
 @pytest.fixture(scope="module")
 def trees(_built):
     return _built[1]
+
+
+@pytest.fixture(scope="module")
+def schemas(_built):
+    return _built[2]
 
 
 def test_all_entries_build(plans):
@@ -167,4 +174,32 @@ def test_single_partition_only_moves_aggregates(trees):
                 break  # one finding per entry is enough
     assert not bad, (
         f"SinglePartition exchange whose input is not an aggregate: {bad}"
+    )
+
+
+def test_no_composite_output_columns(schemas):
+    # The DRIVER's correctness gate canonicalizes results by sorting
+    # raw pandas columns before hashing; an ArrayType/MapType output
+    # column materializes as numpy.ndarray / dict cells, which pandas
+    # sort_values cannot factorize (TypeError: unhashable type) — the
+    # CORRECTNESS_r08 `f_array_setops` failure. tools/check_oracle.py
+    # tuple-normalizes cells for its value compare, so this lint (plus
+    # check_oracle's always-on driver_canon_error replay of the raw
+    # sort) is what catches the class locally. Any entry exporting an
+    # oracle must serialize composite values (array_join / to_json /
+    # explode) before returning them.
+    from pyspark.sql.types import ArrayType, MapType
+
+    oracled = set(entrymod.oracle_sql())
+    bad = [
+        (n, f.name, f.dataType.simpleString())
+        for n, schema in schemas.items()
+        if n in oracled
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not bad, (
+        f"oracled entries with top-level array/map output columns {bad} — "
+        "the driver's pandas canonicalizer crashes on these; serialize "
+        "(array_join/to_json) or explode before returning"
     )

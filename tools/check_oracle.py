@@ -93,6 +93,29 @@ def frame_rows(pdf: pd.DataFrame) -> list[tuple]:
     return list(pdf.itertuples(index=False, name=None))
 
 
+def driver_canon_error(pdf: pd.DataFrame) -> str | None:
+    """Replay the DRIVER's canonicalization on the raw pandas frame.
+
+    The driver sorts the raw columns (pandas ``sort_values`` over every
+    column, name order) before hashing — with NO cell normalization.
+    This file's ``norm_cell`` converts list/ndarray cells to strings,
+    which is MORE permissive than the driver: round 8's
+    ``f_array_setops`` passed every local gate and then crashed the
+    driver's canonicalizer (``TypeError: unhashable type:
+    'numpy.ndarray'`` inside ``sort_values``/``factorize``). Running
+    the driver's exact sort here (always on — it is cheap at gate
+    scale) makes that class fail locally first. Returns the error
+    string, or None when the driver path would succeed.
+    """
+    if pdf.empty:
+        return None
+    try:
+        pdf.sort_values(by=sorted(pdf.columns), kind="quicksort")
+    except Exception as e:  # noqa: BLE001 — any crash here is a driver crash
+        return f"{type(e).__name__}: {str(e)[:160]}"
+    return None
+
+
 def multiset(rows: list[tuple], col_order: list[int]) -> Counter:
     return Counter(tuple(norm_cell(r[i]) for i in col_order) for r in rows)
 
@@ -187,6 +210,13 @@ def main() -> int:
             failures += 1
             continue
         problems = []
+        for side, pdf in (("spark", spark_pdf), ("duck", duck_pdf)):
+            canon_err = driver_canon_error(pdf)
+            if canon_err:
+                problems.append(
+                    f"driver canonicalizer would crash on {side} output "
+                    f"({canon_err}) — serialize composite cells"
+                )
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
         if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
