@@ -694,36 +694,36 @@ def _make_runner(spec: QuerySpec) -> Callable[[SparkSession, str], DataFrame]:
 # each round until every catalog entry has a driver-green CORRECTNESS
 # row. Everything below position 50 still ships; nothing is dropped.
 #
-# ATTESTATION ROTATION SCHEDULE (updated 2026-08-15, round 8). Driver-
+# ATTESTATION ROTATION SCHEDULE (updated 2026-08-15, round 9). Driver-
 # green history per entry is in COVERAGE.md's "driver round" column.
-# Round 7 was a zero-commit no-op (builder session never ran), so the
-# driver re-scored the r6 window; the whole schedule slips one round:
 #   r6+r7 (scored twice, identical): §2 grammar core — 41 entries
 #       (p_/d_/j_/a_/w_/o_/u_/q_) + 2 dialect stresses + 7 anchors.
-#   r8 (this file, positions 1-50): streaming st_* (7), time-series
-#       ts_* (5), functions f_* (17), extended joins j_asof/j_semi/
-#       j_anti/j_salted/j_range_incidents/j_hint_broadcast (6), set-op
-#       variants u_symdiff/u_union_byname (2), window variants
-#       w_time_range/w_ffill (2), p_null_semantics, q_recursive_cte,
-#       dd_substring_remove → 42 + 8 anchors. Pre-validated 45/45
-#       strict-green at sf0.1 in round 6 (commit history in SCALE.md).
-#   r9: never-attested a_* aggregates (a_percentile, a_salted_agg,
-#       a_stats_agg, a_groupby_all, a_listagg, a_approx_agg,
-#       a_maxby_minby, a_grouping_fn, a_percentile_within,
-#       a_benford_digits, a_bool_aggs, a_hist_quantile_rollup,
-#       a_partial_rollup_merge, a_mode — 14) + x_* part 1 (~28) +
-#       8 anchors. Swept 48/48 at sf0.1 (commit f0cab31).
-#   r10: x_* part 2, dd_url_dedup/dd_lines/dd_containment/
-#       dd_overlap_matrix/dd_incremental, txt_* tail (tfidf/bm25/pmi/
-#       lm_score/inverted_index/repetition/char_entropy/len_histogram/
-#       winnow_maponly), emb_standardize/emb_kmeans, x_pagerank,
-#       sim_ann_ivfpq — the remaining oracled never-attested set.
-#       (Rows-only entries — dd_minhash, dd_simhash*, sim_ann_lsh/pq,
-#       txt_bpe_tokens, mm_decode_stub, … — stay 51+: their hash
-#       attestation is via the certificate entries already green.)
+#   r8: streaming st_* (7), time-series ts_* (5), functions f_* (17 —
+#       16 green; f_array_setops errored in the driver's canonicalizer
+#       on raw array output, fixed + re-staged below), extended joins
+#       (6), set-op variants (2), window variants (2),
+#       p_null_semantics, q_recursive_cte, dd_substring_remove
+#       → 41 banked + 8 anchors. Cumulative after r8: 153/234.
+#   r9 (this file, positions 1-50): 8 anchors + f_array_setops
+#       (serialized fix, kept in-window to bank it) + the 14
+#       never-attested a_* aggregates + x_* part 1 (27 entries).
+#       Whole block pre-validated strict at sf0.1 (commits fee2f23/
+#       f0cab31: 49/49) and re-swept at sf0.01 this round.
+#   r10 (positions 51+, staged in order): x_* part 2 (x_pagerank,
+#       x_profile, x_snapshot_diff — the 3 heaviest, each judge- or
+#       sweep-verified at sf0.1), the never-attested dd_* block
+#       (incl. the r8 replay certificates dd_minhash_banded_verified /
+#       dd_simhash_probed_verified / dd_incremental_verified and the
+#       rows-only production configs), sim_/emb_ (incl. the fixed
+#       emb_quantize_int8, sim_ann_pq_verified, sim_ann_ivf_2level_
+#       probed, hash-certified sim_ann_lsh), the txt_* tail, and
+#       mm_decode_stub — 39 entries + 8 anchors = 47; after r10 every
+#       catalog entry has a driver attestation (rows-only entries get
+#       the weaker rows-check; their hash coverage is the certificate
+#       entries).
 PRIORITY: list[str] = [
-    # --- r8 window, positions 1-50 ------------------------------------
-    # Anchors (8): driver-green r2-r7 continuously; kept so the window
+    # --- r9 window, positions 1-50 ------------------------------------
+    # Anchors (8): driver-green r2-r8 continuously; kept so the window
     # always contains known-good entries spanning TPC-H, dedup,
     # similarity, windows, and curation.
     "tpch_q1_pricing",
@@ -734,54 +734,10 @@ PRIORITY: list[str] = [
     "sim_knn_join",
     "pipe_curation",
     "w_rank",
-    # r8 block (42): streaming / time-series / scalar-function /
-    # extended-join surface, never driver-attested. Pre-validated
-    # 45/45 strict hash-green at sf0.1 in round 6.
-    "st_tumbling",
-    "st_sliding",
-    "st_session",
-    "st_static_join",
-    "st_rollup_multires",
-    "st_stream_join",
-    "st_dedup",
-    "ts_gapfill",
-    "ts_anomaly_mad",
-    "ts_anomaly",
-    "ts_ohlc_resample",
-    "ts_ewma",
-    "f_string_funcs",
-    "f_math_funcs",
-    "f_date_funcs",
-    "f_json_funcs",
-    "f_regex_funcs",
-    "f_bitwise",
-    "f_explode",
-    "f_array_agg",
-    "f_higher_order",
-    "f_map_funcs",
-    "f_try_cast",
+    # the r8 red, fixed this round (serialized CSV output) — kept in
+    # the window so the fix gets driver-attested:
     "f_array_setops",
-    "f_url_funcs",
-    "f_url_canonicalize",
-    "f_variant_json",
-    "f_timezone",
-    "f_edit_distance",
-    "j_asof",
-    "j_semi",
-    "j_anti",
-    "j_salted",
-    "j_range_incidents",
-    "j_hint_broadcast",
-    "u_symdiff",
-    "u_union_byname",
-    "w_time_range",
-    "w_ffill",
-    "p_null_semantics",
-    "q_recursive_cte",
-    "dd_substring_remove",
-    # --- positions 51+: r9 planned window first (see schedule above),
-    # then the r10 block, then everything driver-green in past rounds.
-    # r9 block (never-attested aggregates, then x_* part 1):
+    # never-attested a_* aggregates (14):
     "a_percentile",
     "a_salted_agg",
     "a_stats_agg",
@@ -796,6 +752,78 @@ PRIORITY: list[str] = [
     "a_hist_quantile_rollup",
     "a_partial_rollup_merge",
     "a_mode",
+    # x_* part 1 (27):
+    "x_pivot",
+    "x_unpivot",
+    "x_pivot_dynamic",
+    "x_grouped_agg_udaf",
+    "x_grouped_map",
+    "x_hash_split",
+    "x_hash_sample",
+    "x_stratified_sample",
+    "x_weighted_sample",
+    "x_bottomk_sample",
+    "x_global_shuffle",
+    "x_pack_sequences",
+    "x_topk_per_group",
+    "x_topk_with_ties",
+    "x_file_metadata",
+    "x_scd2_intervals",
+    "x_dataset_mix",
+    "x_quality_topq",
+    "x_quality_buckets",
+    "x_curriculum_order",
+    "x_split_decontaminate",
+    "x_score_calibration",
+    "x_source_cap",
+    "x_sorted_neighborhood",
+    "x_negative_pairs",
+    "x_winsorize",
+    "x_skew_report",
+    # --- positions 51+: the r10 window next round rotates into 1-50 ---
+    # x_* part 2 (heaviest three, sf0.1-verified):
+    "x_pagerank",
+    "x_profile",
+    "x_snapshot_diff",
+    # never-attested dd_* (certificates + rows-only production configs):
+    "dd_minhash_banded_verified",
+    "dd_simhash_probed_verified",
+    "dd_incremental_verified",
+    "dd_url_dedup",
+    "dd_lines",
+    "dd_containment",
+    "dd_overlap_matrix",
+    "dd_incremental",
+    "dd_minhash",
+    "dd_minhash_pairs",
+    "dd_clusters",
+    "dd_simhash",
+    "dd_simhash_probed",
+    "dd_semantic",
+    # never-attested sim_/emb_ (incl. this round's fixes/certificates):
+    "sim_ann_pq_verified",
+    "sim_ann_ivf_2level_probed",
+    "sim_ann_lsh",
+    "sim_ann_pq",
+    "sim_ann_ivfpq",
+    "emb_quantize_int8",
+    "emb_standardize",
+    "emb_kmeans",
+    # never-attested txt_* tail:
+    "txt_tfidf",
+    "txt_bm25",
+    "txt_pmi",
+    "txt_lm_score",
+    "txt_inverted_index",
+    "txt_repetition",
+    "txt_char_entropy",
+    "txt_len_histogram",
+    "txt_langid",
+    "txt_langid_golden",
+    "txt_winnow_fingerprint",
+    "txt_winnow_maponly",
+    "txt_bpe_tokens",
+    "mm_decode_stub",
     # §2 grammar core (41): driver-green r6 AND r7 (scored twice on
     # identical code).
     "p_project_alias",
@@ -840,9 +868,8 @@ PRIORITY: list[str] = [
     "q_exists_correlated",
     "p_mixed_case_schema",
     "p_spaced_columns",
-    # previously-green entries (driver rounds in COVERAGE.md) and the
-    # rows-only production LSH/heuristic entries (certificate-covered)
-    # follow in definition order via _ordered_names().
+    # previously-green entries (driver rounds in COVERAGE.md) follow in
+    # definition order via _ordered_names().
     "p_select_star",
     "p_case",
     "w_rank_partition",
