@@ -764,8 +764,17 @@ def pq_train(
     books: list[list[list[float]]] = []
     for s in range(n_sub):
         Xs = X[:, s * sub : (s + 1) * sub]
-        # deterministic init: first n_codes sample rows (md5 order)
+        # deterministic init: first n_codes sample rows (md5 order).
+        # When pinning, round the INIT too — an empty cluster keeps its
+        # centroid through every iteration, so an unrounded init would
+        # leak an unrounded row into the final book while the SQL
+        # oracle's carry-forward (coalesce over rounded cb0) stays on
+        # the grid; rounding both makes empty-code carry-forward
+        # engine-identical instead of relying on every init code
+        # capturing a member.
         C = Xs[:n_codes].copy()
+        if round_digits is not None:
+            C = np.round(C, round_digits)
         for _ in range(iters):
             d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -784,6 +793,7 @@ def pq_encode(
     vec_col: str,
     codebooks: list[list[list[float]]],
     code_col: str = "__pq",
+    score_digits: int | None = None,
 ) -> DataFrame:
     """Attach the PQ code (array<int>, one code per subspace) as a pure
     codegen expression over the literal codebooks — no UDF, no shuffle.
@@ -825,6 +835,16 @@ def pq_encode(
                 F.zip_with(vs, c, lambda a, b: a * b), -nrm, lambda acc, x: acc + x
             ),
         )
+        if score_digits is not None:
+            # pin the argmax the way CELL_SCORE_DECIMALS pins IVF cell
+            # scores: Spark's fold (acc starts at -||c||²/2) and the
+            # oracle's list_inner_product−norm/2 associate differently,
+            # so a last-ulp gap between two CODES' scores could flip
+            # the assignment; on the 1e-8 grid both engines agree and
+            # ties break to the LOWEST code on both sides
+            # (array_position-of-max here, ORDER BY score DESC, c in
+            # SQL). Production default stays None (unrounded).
+            scores = F.transform(scores, lambda x: F.round(x, score_digits))
         codes.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
     return sliced.withColumn(code_col, F.array(*codes)).drop(
         *[f"__sv{s}" for s in range(n_sub)]
@@ -841,9 +861,17 @@ def pq_topk(
     n_codes: int = 16,
     rerank: int = 100,
     codebooks: list[list[list[float]]] | None = None,
+    score_digits: int | None = None,
 ) -> DataFrame:
     """PQ approximate top-k with asymmetric distance computation (ADC)
     and exact rerank.
+
+    ``score_digits`` pins the encode argmax and the ADC rerank cut to
+    a fixed decimal grid on this side (the replay oracle rounds the
+    same two rank keys), so a cross-engine last-ulp difference cannot
+    flip a code assignment or the rerank boundary — the same
+    discipline as CELL_SCORE_DECIMALS for IVF cell scores. Production
+    default is None (nothing downstream replays production scans).
 
     The query is never quantized: the driver precomputes a lookup
     table LUT[s][c] = <query_s, centroid_{s,c}> (n_sub·n_codes floats)
@@ -855,7 +883,7 @@ def pq_topk(
     if codebooks is None:
         codebooks = pq_train(df, vec_col, id_col, dim=len(query), n_sub=n_sub, n_codes=n_codes)
     sub = len(codebooks[0][0])
-    encoded = pq_encode(df, vec_col, codebooks)
+    encoded = pq_encode(df, vec_col, codebooks, score_digits=score_digits)
     approx = F.lit(0.0)
     for s in range(len(codebooks)):
         qs = query[s * sub : (s + 1) * sub]
@@ -863,6 +891,11 @@ def pq_topk(
             [float(sum(a * b for a, b in zip(qs, c))) for c in codebooks[s]]
         )
         approx = approx + F.element_at(lut, F.element_at(F.col("__pq"), s + 1) + 1)
+    if score_digits is not None:
+        # the oracle's ADC total is a SQL SUM over a join (unspecified
+        # addition order) of its own LUT dot products — round the rank
+        # key on both sides so the rerank-100 boundary is grid-stable
+        approx = F.round(approx, score_digits)
     candidates = (
         encoded.withColumn("__adc", approx)
         .orderBy(F.desc("__adc"), F.asc(id_col))

@@ -339,7 +339,18 @@ def _pq_verified_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the query LUT, the rerank-100 cut, and the exact-cosine
     top-10. Production `sim_ann_pq` stays on unrounded books (nothing
     downstream needs replayable production books); this entry
-    certifies the mechanics."""
+    certifies the mechanics.
+
+    Round-9 hardening (ADVICE r8): (a) the INIT codebook is rounded on
+    both engines — an empty cluster carries its centroid forward
+    through every iteration, so an unrounded init would diverge from
+    the oracle's coalesce-over-rounded-cb0 the moment any init code
+    captures no members; (b) the encode argmax and the ADC rerank cut
+    rank on 8dp-rounded scores on both engines (score_digits=8 ↔
+    round(..., 8) in the SQL), closing the two unrounded float rank
+    points. Residual FP risk is the usual measure-zero grid-boundary
+    class (np.round half-even vs DuckDB half-away on a value exactly
+    at a 1e-4/1e-8 boundary), same as CELL_SCORE_DECIMALS."""
     from .operators.similarity import pq_topk, pq_train
 
     emb = _emb(spark, sf_dir)
@@ -348,7 +359,7 @@ def _pq_verified_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pq_topk(
         emb, "embedding", _QUERY_VEC, k=10, n_sub=4, n_codes=16,
-        rerank=100, codebooks=books,
+        rerank=100, codebooks=books, score_digits=8,
     ).select("vec_id", F.round("score", 8).alias("score"))
 
 
@@ -366,7 +377,8 @@ smp AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn, 
         FROM (SELECT vec_id, v FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 2048)),
 subs AS (SELECT unnest(generate_series(0, {n_sub-1})) AS s),
 sx AS (SELECT rn, s, v[s*{sub}+1 : s*{sub}+{sub}] AS xs FROM smp CROSS JOIN subs),
-cb0 AS (SELECT s, rn - 1 AS c, xs AS cs FROM sx WHERE rn <= {n_codes})"""]
+cb0 AS (SELECT s, rn - 1 AS c, list_transform(xs, x -> round(x, 4)) AS cs
+        FROM sx WHERE rn <= {n_codes})"""]
     for k in range(1, iters + 1):
         p = k - 1
         parts.append(f""",
@@ -386,13 +398,13 @@ qsub AS (SELECT * FROM (VALUES {qsub_rows}) AS t(s, qs)),
 ex AS (SELECT vec_id, s, v[s*{sub}+1 : s*{sub}+{sub}] AS xs FROM e CROSS JOIN subs),
 enc AS (SELECT vec_id, s, c FROM (
   SELECT ex.vec_id, ex.s, cb.c, row_number() OVER (PARTITION BY ex.vec_id, ex.s
-    ORDER BY (list_inner_product(ex.xs, cb.cs) - list_inner_product(cb.cs, cb.cs)/2) DESC, cb.c) AS w
+    ORDER BY round(list_inner_product(ex.xs, cb.cs) - list_inner_product(cb.cs, cb.cs)/2, 8) DESC, cb.c) AS w
   FROM ex JOIN cb{iters} cb ON cb.s = ex.s) WHERE w = 1),
 adc AS (SELECT enc.vec_id, sum(list_inner_product(qsub.qs, cb.cs)) AS a
         FROM enc JOIN cb{iters} cb ON cb.s = enc.s AND cb.c = enc.c
         JOIN qsub ON qsub.s = enc.s GROUP BY enc.vec_id),
 cand AS (SELECT vec_id FROM (
-  SELECT vec_id, row_number() OVER (ORDER BY a DESC, vec_id) AS rn2 FROM adc)
+  SELECT vec_id, row_number() OVER (ORDER BY round(a, 8) DESC, vec_id) AS rn2 FROM adc)
   WHERE rn2 <= {rerank})
 SELECT e.vec_id, round(list_cosine_similarity(e.v, {_QUERY_VEC_SQL}), 8) AS score
 FROM e WHERE e.vec_id IN (SELECT vec_id FROM cand)
