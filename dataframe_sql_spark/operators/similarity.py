@@ -1129,6 +1129,8 @@ def _ivfpq_build(
     dim: int,
     centroid_method: str = "sample",
     assign: str = "flat",
+    pq_round_digits: int | None = None,
+    score_digits: int | None = None,
 ):
     """Shared IVF-PQ build: L2-normalize, assign coarse cells, train
     residual codebooks, PQ-encode. Returns (encoded_df, centroids,
@@ -1157,8 +1159,13 @@ def _ivfpq_build(
             lambda a, b: a - b,
         ),
     )
-    books = pq_train(r_df, "__res", id_col, dim=dim, n_sub=n_sub, n_codes=n_codes)
-    encoded = pq_encode(r_df, "__res", books).drop("__res")
+    books = pq_train(
+        r_df, "__res", id_col, dim=dim, n_sub=n_sub, n_codes=n_codes,
+        round_digits=pq_round_digits,
+    )
+    encoded = pq_encode(
+        r_df, "__res", books, score_digits=score_digits
+    ).drop("__res")
     return encoded, centroids, books
 
 
@@ -1174,10 +1181,15 @@ def _ivfpq_scan(
     rerank: int,
     cell_col: str = "__cell",
     code_col: str = "__pq",
+    score_digits: int | None = None,
 ) -> DataFrame:
     """Shared IVF-PQ probe: rank cells driver-side, ADC-score the
     probed cells against per-cell residual LUTs (one nested literal),
-    exact-cosine rerank of the best ``rerank`` candidates."""
+    exact-cosine rerank of the best ``rerank`` candidates.
+
+    ``score_digits`` pins the ADC rerank cut to a fixed decimal grid
+    (replay-certificate discipline, see :func:`pq_topk`); production
+    default None."""
     import math as _math
 
     dim = len(query)
@@ -1213,6 +1225,8 @@ def _ivfpq_scan(
             F.element_at(cell_lut, s + 1),
             F.element_at(F.col(code_col), s + 1) + 1,
         )
+    if score_digits is not None:
+        approx = F.round(approx, score_digits)
     candidates = (
         encoded.filter(F.col(cell_col).isin([int(c) for c in probe]))
         .withColumn("__adc", approx)

@@ -806,6 +806,7 @@ PRIORITY: list[str] = [
     "sim_ann_lsh",
     "sim_ann_pq",
     "sim_ann_ivfpq",
+    "sim_ann_ivfpq_verified",
     "emb_quantize_int8",
     "emb_standardize",
     "emb_kmeans",

@@ -29,6 +29,9 @@ _RUNS_JOBS = {
     "w_rank_multi",
     "w_dense_rank",
     "sim_ann_pq",
+    "sim_ann_pq_verified",
+    "sim_ann_ivfpq",
+    "sim_ann_ivfpq_verified",  # round 9: composed-cert build trains at plan time
     "sim_ann_recall_cert",
     "txt_bpe_tokens",
     "txt_bpe_roundtrip",
