@@ -465,3 +465,39 @@ def test_ivfpq_2level_build_full_probe_recall(spark, tmp_path):
     # the exact-cosine rerank decides everything
     assert recall(200) >= 0.7
     assert recall(500) == 1.0
+
+
+def test_kmeans_2level_recommended_combo(spark, tmp_path):
+    """The documented at-scale build (SCALE.md: centroids="kmeans" +
+    assign="2level" once the corpus pushes past the flat-quantizer cap)
+    must hold the same correctness contract as each knob alone:
+    full-probe results equal brute force EXACTLY (plain IVF reranks
+    with exact cosine, so assignment quality can never change the
+    full-probe answer — if this fails, the combo broke assignment
+    validity, not recall), and the half-probe recall floor is pinned
+    (deterministic corpus + deterministic build ⇒ this is an exact
+    regression pin, not a statistical bound; measured 0.6 on the
+    near-uniform sf0.001 synthetic corpus, the roughest routing case)."""
+    from dataframe_sql_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_km2l_idx")
+    ivf_index_write(
+        emb, path, "embedding", "vec_id", n_cells=16,
+        centroids="kmeans", assign="2level",
+    )
+    exact = [
+        (r.vec_id, round(r.score, 9))
+        for r in cosine_topk(emb, "embedding", QUERY, k=10).collect()
+    ]
+    full = [
+        (r.vec_id, round(r.score, 9))
+        for r in ivf_topk_indexed(spark, path, QUERY, k=10, n_probe=16).collect()
+    ]
+    assert full == exact
+    half_ids = {
+        r.vec_id
+        for r in ivf_topk_indexed(spark, path, QUERY, k=10, n_probe=8).collect()
+    }
+    recall = len({v for v, _ in exact} & half_ids) / 10
+    assert recall >= 0.6, f"kmeans+2level half-probe recall {recall}"
