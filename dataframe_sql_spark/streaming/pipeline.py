@@ -28,6 +28,7 @@ __all__ = [
     "run_stream_to_memory",
     "run_stream_to_parquet",
     "run_stream_foreach_batch",
+    "idempotent_parquet_batch_sink",
 ]
 
 
@@ -296,6 +297,25 @@ def run_stream_foreach_batch(
         .start()
     )
     q.awaitTermination(120)
+
+
+def idempotent_parquet_batch_sink(out_path: str):
+    """Return a ``foreachBatch`` function that writes each micro-batch
+    to ``{out_path}/b{batch_id}`` with mode=overwrite — idempotent per
+    batch_id, which is exactly the contract foreachBatch requires for
+    end-to-end exactly-once: after a failure Spark re-runs the last
+    uncommitted batch with the SAME batch_id and (for replayable
+    sources like the file source) the same rows, and the overwrite
+    replaces any partial/duplicate output from the failed attempt
+    instead of appending next to it. The union of the b*/ dirs is then
+    exactly the source, no matter how many times batches were retried
+    (gated by test_streaming.py::test_restart_after_midstream_failure_
+    exactly_once)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
+
+    return _sink
 
 
 def streaming_near_dedup(

@@ -319,3 +319,66 @@ def test_stream_static_join_matches_batch(spark, engine, events_stream):
     b = {(r.segment, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
     s = {(r.segment, r.event_type): (r.n, r.sum_value) for r in streamed.collect()}
     assert b == s and len(b) > 0
+
+
+def test_restart_after_midstream_failure_exactly_once(spark, tmp_path):
+    """Restart-under-FAILURE durability (SCALE.md roadmap #2): the
+    clean-stop checkpoint test proves resume after a graceful drain;
+    this proves exactly-once across a batch that FAILS AFTER its sink
+    side effect landed but before the commit — the worst-case failure
+    point. A 6-file source streams one file per trigger; the sink
+    writes each batch to its own dir (idempotent overwrite per
+    batch_id, pipeline.idempotent_parquet_batch_sink) and an injected
+    RuntimeError kills the query after batch 2's write. The restart
+    with the same checkpoint must re-run the uncommitted batch (same
+    batch_id, same offsets -> overwrite, not append-duplicate) and
+    drain; the union of batch dirs must equal the source exactly."""
+    import os
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from dataframe_sql_spark.sources.io import read_table
+    from dataframe_sql_spark.streaming.pipeline import (
+        idempotent_parquet_batch_sink,
+    )
+
+    events = read_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src = str(tmp_path / "src")
+    events.repartition(6).write.parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    flag = str(tmp_path / "already_failed")
+    sink = idempotent_parquet_batch_sink(out)
+
+    def failing_sink(batch_df, batch_id):
+        sink(batch_df, batch_id)  # side effect lands BEFORE the failure
+        if batch_id == 2 and not os.path.exists(flag):
+            open(flag, "w").close()
+            raise RuntimeError("injected mid-stream failure")
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(failing_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    try:
+        run()
+        raise AssertionError("injected failure did not surface")
+    except StreamingQueryException as e:
+        assert "injected" in str(e)
+    assert os.path.exists(flag), "failure was never injected"
+    # restart with the SAME checkpoint: must re-run the failed batch
+    # (its write landed but its commit did not) and drain the rest
+    run()
+    got = spark.read.parquet(f"{out}/b*")
+    n = events.count()
+    assert got.count() == n, "lost or duplicated rows across the failure"
+    assert got.select("event_id").distinct().count() == n
