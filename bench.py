@@ -141,7 +141,116 @@ def _bench_callables(fns: dict, spark, sf_dir: str) -> dict[str, float]:
     return results
 
 
+# The five most expensive pipeline ops (round-8 bench ranking) — the
+# set the --scale mode re-measures on 10× parquet-backed inputs.
+SCALE_OPS = [
+    "dd_simhash_probed",
+    "dd_minhash_pairs",
+    "dd_prefix_pairs",
+    "dd_simhash",
+    "dd_lines",
+]
+
+
+def _write_scaled_dir(spark, sf_dir: str, r: int) -> str:
+    """Materialize an R×-expanded copy of the sf_dir as REAL parquet
+    under /tmp (never /root/testdata) so the scaled ops pay genuine
+    scan/shuffle I/O at R× partition payloads — the memory-pressure
+    axis the in-memory scale_stress replication (whose expansion
+    logic this reuses: replica-salted vocab so replicas are not
+    near-dups, perturbed vectors) cannot exercise because Catalyst
+    fuses the explode into the measured query. Non-expanded tables
+    are symlinked so the whole catalog keeps resolving."""
+    import shutil as _sh
+    import tempfile
+
+    from tools.scale_stress import scaled_documents, scaled_embeddings
+
+    from dataframe_sql_spark.sources.io import TESTDATA_TABLES
+
+    out = os.path.join(tempfile.gettempdir(), f"bench_scale_{r}x")
+    _sh.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    import tools.scale_stress as _ss
+
+    _ss.SF_DIR = sf_dir  # the expanders read module-level SF_DIR
+    scaled_documents(spark, r).repartition(32).write.parquet(
+        f"{out}/documents.parquet"
+    )
+    scaled_embeddings(spark, r).repartition(8).write.parquet(
+        f"{out}/embeddings.parquet"
+    )
+    for t in TESTDATA_TABLES:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{sf_dir}/{t}.parquet", dst)
+    return out
+
+
+def _scale_mode(r: int) -> None:
+    """`bench.py --scale=R`: measured scaling point for the most
+    expensive pipeline ops (SCALE.md roadmap #1). BOTH endpoints are
+    written through the same parquet writer at the same partition
+    count (a first cut timed the R× dir against the raw single-file
+    sf0.1 parquet and got slopes < 0: the 1× leg was cold-start- and
+    input-parallelism-handicapped, not a fair denominator), each op is
+    warmed once per dir (fresh plan per timed run — same-object reruns
+    reuse shuffle output), and one JSON line reports per-op times plus
+    the effective log-log slope. At these absolute sizes constant
+    driver/JVM overhead still rides inside each timing, so slopes are
+    an UPPER bound on the data-term exponent; the gate is "nothing
+    superlinear", not "exactly 1.0". This mode is additive — the
+    no-arg driver contract (one baseline JSON line) is untouched."""
+    import math
+    import shutil as _sh
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench_scale")
+    from dataframe_sql_spark.registry import spark_queries
+
+    qs = spark_queries()
+
+    def _timed(names, d: str) -> dict[str, float]:
+        engine_for(spark, d).query("SELECT count(*) FROM documents").collect()
+        out: dict[str, float] = {}
+        for name in names:
+            qs[name](spark, d).toPandas()  # warm-up, untimed
+            t0 = time.perf_counter()
+            qs[name](spark, d).toPandas()  # fresh plan object, timed
+            out[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    base_dir = _write_scaled_dir(spark, sf_dir, 1)
+    scaled_dir = _write_scaled_dir(spark, sf_dir, r)
+    try:
+        base = _timed(SCALE_OPS, base_dir)
+        scaled = _timed(SCALE_OPS, scaled_dir)
+    finally:
+        _sh.rmtree(base_dir, ignore_errors=True)
+        _sh.rmtree(scaled_dir, ignore_errors=True)
+    slopes = {
+        n: round(math.log(max(scaled[n], 1e-9) / max(base[n], 1e-9)) / math.log(r), 3)
+        for n in SCALE_OPS
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_scale_point",
+                "scale": r,
+                "unit": "sec",
+                "ops_1x": base,
+                "ops_scaled": scaled,
+                "slopes": slopes,
+            }
+        )
+    )
+
+
 def main() -> None:
+    for a in sys.argv[1:]:
+        if a.startswith("--scale="):
+            _scale_mode(int(a.split("=", 1)[1]))
+            return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_match = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(sf_match.group(1)) if sf_match else -1.0
