@@ -1036,6 +1036,74 @@ def ivf_topk_indexed(
     )
 
 
+def _cosine_cols(v: Column, c: Column) -> Column:
+    """Cosine between two array COLUMNS (cosine_col's constant-query
+    fast path doesn't apply — here the 'query' varies per row, e.g.
+    each row's own cell centroid)."""
+    dot = F.aggregate(
+        F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (nv * nc)
+
+
+def ivf_index_health(spark, path: str, vec_col: str = "embedding") -> DataFrame:
+    """Operational health of a persisted IVF index: per-cell occupancy
+    and the mean cosine of each vector to its OWN cell centroid.
+
+    This is the monitoring surface for incremental ingest
+    (test_ann_index.py::test_ivf_ingest_soak_and_drift_trigger): the
+    frozen centroids stay correct forever for RESULTS (probes rerank
+    with exact cosine), but recall decays silently if the incoming
+    distribution drifts away from the trained cells — rows land in
+    far cells, and the true neighbors of a query stop being
+    concentrated in its probed cells. A falling mean assigned cosine
+    (index-wide, or per appended batch via :func:`ivf_batch_drift`)
+    is the re-train trigger; occupancy skew is the partition-size
+    alarm. One scan of the index, one n_cells-row aggregate."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    df = spark.read.parquet(path)
+    own = F.element_at(cents_lit, F.col("cell").cast("int") + 1)
+    return (
+        df.groupBy("cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(
+                _cosine_cols(F.col(vec_col).cast("array<double>"), own)
+            ).alias("mean_cos"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivf_batch_drift(
+    batch_df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> float:
+    """Mean best-cell cosine of an INCOMING batch against the frozen
+    centroids, BEFORE appending it — the cheap pre-ingest drift probe
+    (one assignment projection + a 1-row aggregate; nothing persisted).
+    Compare against the index's own mean (:func:`ivf_index_health`):
+    a material drop means the batch's distribution is not the one the
+    cells were trained on, so schedule a centroid re-train
+    (``centroids="kmeans"`` rebuild) rather than letting partial-probe
+    recall decay silently."""
+    assigned = ivf_assign_cells(batch_df, vec_col, centroids)
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    own = F.element_at(cents_lit, F.col("__cell").cast("int") + 1)
+    row = assigned.agg(
+        F.avg(
+            _cosine_cols(F.col(vec_col).cast("array<double>"), own)
+        ).alias("m")
+    ).collect()[0]
+    return float(row.m)
+
+
 # --------------------------------------------------------------------------
 # k-means (Lloyd's) over embedding columns
 # --------------------------------------------------------------------------

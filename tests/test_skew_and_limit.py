@@ -72,3 +72,57 @@ def test_salted_join_rejects_build_preserving_types(spark):
 def test_salted_agg_rejects_non_algebraic(spark):
     with pytest.raises(ValueError, match="non-algebraic"):
         salted_agg(spark.range(5), ["id"], {"m": ("id", "median")})
+
+
+def test_salted_join_flattens_adversarial_skew(spark):
+    """Adversarial-skew gate (SCALE.md roadmap #3): on a 99%-one-key
+    probe side, the task that owns the hot key owns the stage. Spark's
+    shuffle routes rows by pmod(Murmur3 hash(keys), numPartitions) —
+    F.hash IS that function, so the per-partition row distribution of
+    the exchange is computable exactly, without private APIs: it is
+    the max task INPUT each plan would schedule. The unsalted join
+    must show the pathology (one partition ≥ 99% of rows) and the
+    salted plan must flatten it (hot key spread over the salt
+    buckets), while returning exactly the plain join's rows on the
+    same adversarial input."""
+    from dataframe_sql_spark.operators.skew import salted_join, with_salt
+
+    N = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_rows = 100_000
+    probe = spark.range(n_rows).select(
+        F.when(F.col("id") % 100 < 99, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    build = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("vb")
+    )
+
+    def max_partition_rows(df, cols) -> int:
+        return (
+            df.groupBy(
+                F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(N)).alias("p")
+            )
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )
+
+    un = max_partition_rows(probe, ["k"])
+    sa = max_partition_rows(with_salt(probe, 16), ["k", "__salt"])
+    assert un >= 0.99 * n_rows, "hot key should pin one partition unsalted"
+    # 16 salt buckets spread the hot key to ~6.2k rows per (key,salt)
+    # group; a partition may collect a few groups, but never the
+    # pre-salt pathology (measured 12.4k vs 99k at 32 partitions —
+    # the /5 bound leaves room for partition-layout variation in the
+    # seeded salt)
+    assert sa <= un / 5, f"salting did not flatten the exchange: {sa} vs {un}"
+    # and semantics are unchanged on the adversarial input
+    plain = probe.join(build, "k")
+    salted = salted_join(probe, build, ["k"], buckets=16)
+    assert salted.count() == plain.count()
+    assert (
+        salted.exceptAll(plain).count() == 0
+        and plain.exceptAll(salted).count() == 0
+    )
