@@ -382,3 +382,82 @@ def test_restart_after_midstream_failure_exactly_once(spark, tmp_path):
     n = events.count()
     assert got.count() == n, "lost or duplicated rows across the failure"
     assert got.select("event_id").distinct().count() == n
+
+
+def test_stateful_restart_after_failure_state_exactly_once(spark, tmp_path):
+    """Stateful depth of the failure protocol (SCALE.md next-frontier
+    #4): running_user_totals keeps per-user state in the checkpoint's
+    state store, which commits atomically WITH the batch — so a batch
+    that fails after emitting must, on resume, re-apply its
+    contribution exactly once (discarded uncommitted state + re-run),
+    never zero or twice. Same injected-failure protocol as the
+    foreachBatch gate, but the assertion is on the STATE: the latest
+    emitted total per user across all batches must equal the batch
+    aggregate over the whole source."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from dataframe_sql_spark.sources.io import read_table
+    from dataframe_sql_spark.streaming.pipeline import running_user_totals
+
+    events = read_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    src = str(tmp_path / "src")
+    events.repartition(6).write.parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    flag = str(tmp_path / "already_failed")
+
+    def failing_sink(batch_df, batch_id):
+        batch_df.withColumn("__bid", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/b{batch_id}")
+        if batch_id == 2 and not os.path.exists(flag):
+            open(flag, "w").close()
+            raise RuntimeError("injected stateful failure")
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(failing_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    try:
+        run()
+        raise AssertionError("injected failure did not surface")
+    except StreamingQueryException as e:
+        assert "injected" in str(e)
+    run()
+    emitted = spark.read.parquet(f"{out}/b*")
+    from pyspark.sql import Window
+
+    latest = (
+        emitted.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("__bid"))
+            ),
+        )
+        .filter("__rn = 1")
+        .select("user_id", "n_events", "total_value")
+    )
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6)) for r in latest.collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in running_user_totals(events).collect()
+    }
+    assert got == want and len(got) > 0
