@@ -152,7 +152,22 @@ SCALE_OPS = [
 ]
 
 
-def _write_scaled_dir(spark, sf_dir: str, r: int) -> str:
+# TPC-H shapes re-measured by --scale-tpch (join fan-out + agg state
+# scale differently from the document/dedup family: lineitem/orders
+# keys are remapped so per-key fan-out is preserved while the
+# unexpanded dims' per-customer order count grows R× — the honest
+# "bigger fact tables, same dimensions" shape).
+SCALE_TPCH_OPS = [
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_revenue",
+    "tpch_q9_profit",
+    "tpch_q18_big_orders",
+    "tpch_q21_waiting",
+]
+
+
+def _write_scaled_dir(spark, sf_dir: str, r: int, kind: str = "docs") -> str:
     """Materialize an R×-expanded copy of the sf_dir as REAL parquet
     under /tmp (never /root/testdata) so the scaled ops pay genuine
     scan/shuffle I/O at R× partition payloads — the memory-pressure
@@ -168,18 +183,27 @@ def _write_scaled_dir(spark, sf_dir: str, r: int) -> str:
 
     from dataframe_sql_spark.sources.io import TESTDATA_TABLES
 
-    out = os.path.join(tempfile.gettempdir(), f"bench_scale_{r}x")
+    out = os.path.join(tempfile.gettempdir(), f"bench_scale_{kind}_{r}x")
     _sh.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     import tools.scale_stress as _ss
 
     _ss.SF_DIR = sf_dir  # the expanders read module-level SF_DIR
-    scaled_documents(spark, r).repartition(32).write.parquet(
-        f"{out}/documents.parquet"
-    )
-    scaled_embeddings(spark, r).repartition(8).write.parquet(
-        f"{out}/embeddings.parquet"
-    )
+    if kind == "docs":
+        scaled_documents(spark, r).repartition(32).write.parquet(
+            f"{out}/documents.parquet"
+        )
+        scaled_embeddings(spark, r).repartition(8).write.parquet(
+            f"{out}/embeddings.parquet"
+        )
+    elif kind == "tpch":
+        from tools.scale_stress import scaled_lineitem_orders
+
+        li, od = scaled_lineitem_orders(spark, r)
+        li.repartition(32).write.parquet(f"{out}/lineitem.parquet")
+        od.repartition(32).write.parquet(f"{out}/orders.parquet")
+    else:
+        raise ValueError(f"unknown scale kind {kind!r}")
     for t in TESTDATA_TABLES:
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
@@ -187,7 +211,7 @@ def _write_scaled_dir(spark, sf_dir: str, r: int) -> str:
     return out
 
 
-def _scale_mode(r: int) -> None:
+def _scale_mode(r: int, kind: str = "docs") -> None:
     """`bench.py --scale=R`: measured scaling point for the most
     expensive pipeline ops (SCALE.md roadmap #1). BOTH endpoints are
     written through the same parquet writer at the same partition
@@ -209,9 +233,10 @@ def _scale_mode(r: int) -> None:
     from dataframe_sql_spark.registry import spark_queries
 
     qs = spark_queries()
+    ops = SCALE_OPS if kind == "docs" else SCALE_TPCH_OPS
 
     def _timed(names, d: str) -> dict[str, float]:
-        engine_for(spark, d).query("SELECT count(*) FROM documents").collect()
+        engine_for(spark, d).query("SELECT count(*) FROM lineitem").collect()
         out: dict[str, float] = {}
         for name in names:
             qs[name](spark, d).toPandas()  # warm-up, untimed
@@ -220,22 +245,22 @@ def _scale_mode(r: int) -> None:
             out[name] = round(time.perf_counter() - t0, 4)
         return out
 
-    base_dir = _write_scaled_dir(spark, sf_dir, 1)
-    scaled_dir = _write_scaled_dir(spark, sf_dir, r)
+    base_dir = _write_scaled_dir(spark, sf_dir, 1, kind)
+    scaled_dir = _write_scaled_dir(spark, sf_dir, r, kind)
     try:
-        base = _timed(SCALE_OPS, base_dir)
-        scaled = _timed(SCALE_OPS, scaled_dir)
+        base = _timed(ops, base_dir)
+        scaled = _timed(ops, scaled_dir)
     finally:
         _sh.rmtree(base_dir, ignore_errors=True)
         _sh.rmtree(scaled_dir, ignore_errors=True)
     slopes = {
         n: round(math.log(max(scaled[n], 1e-9) / max(base[n], 1e-9)) / math.log(r), 3)
-        for n in SCALE_OPS
+        for n in ops
     }
     print(
         json.dumps(
             {
-                "metric": "pipeline_scale_point",
+                "metric": f"{'pipeline' if kind == 'docs' else 'tpch'}_scale_point",
                 "scale": r,
                 "unit": "sec",
                 "ops_1x": base,
@@ -250,6 +275,9 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--scale="):
             _scale_mode(int(a.split("=", 1)[1]))
+            return
+        if a.startswith("--scale-tpch="):
+            _scale_mode(int(a.split("=", 1)[1]), kind="tpch")
             return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_match = re.search(r"sf([\d.]+)", sf_dir)
