@@ -350,11 +350,15 @@ _reg(
 
 def _j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join via the bucketed rewrite: which incident
-    windows (60 min after every-5th error event) overlap which
-    maintenance windows (60 min after every-5th signup event) — the
-    %5 sampling + 60-min width is deliberate: sparser selections or
-    shorter windows overlap nothing in the synthetic events. The
-    DuckDB oracle runs the naive overlap inequality join."""
+    windows (240 min after every-5th error event) overlap which
+    maintenance windows (240 min after every-5th signup event) — the
+    %5 sampling + width are deliberate: 60-min windows produced ZERO
+    overlaps at sf0.001 (a trivial empty pass the round-9 sf0.001
+    sweep flagged); 240 min is the smallest hour-aligned width that is
+    non-trivial at every shipped SF (21 rows at sf0.001, 1782 at the
+    driver's sf0.01). The DuckDB oracle runs the naive overlap
+    inequality join; each interval spans ≤ 5 hour buckets, so the
+    bucketed-rewrite explode stays bounded."""
     from .operators.joins import interval_overlap_join
 
     ev = _events(spark, sf_dir)
@@ -363,14 +367,14 @@ def _j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("event_id").alias("incident_id"),
         F.col("ts").alias("i_start"),
-        (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("i_end"),
+        (F.col("ts") + F.expr("INTERVAL 240 MINUTES")).alias("i_end"),
     )
     mnt = ev.filter(
         (F.col("event_type") == "signup") & (F.col("event_id") % 5 == 0)
     ).select(
         F.col("event_id").alias("maint_id"),
         F.col("ts").alias("m_start"),
-        (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("m_end"),
+        (F.col("ts") + F.expr("INTERVAL 240 MINUTES")).alias("m_end"),
     )
     out = interval_overlap_join(
         inc, mnt, "i_start", "i_end", "m_start", "m_end", bucket_granularity="hour"
@@ -383,10 +387,10 @@ _reg(
     "j_interval_overlap",
     _j_interval_overlap,
     "WITH inc AS (SELECT event_id AS incident_id, ts AS i_start,"
-    " ts + INTERVAL 60 MINUTE AS i_end FROM events"
+    " ts + INTERVAL 240 MINUTE AS i_end FROM events"
     " WHERE event_type = 'error' AND event_id % 5 = 0), "
     "mnt AS (SELECT event_id AS maint_id, ts AS m_start,"
-    " ts + INTERVAL 60 MINUTE AS m_end FROM events"
+    " ts + INTERVAL 240 MINUTE AS m_end FROM events"
     " WHERE event_type = 'signup' AND event_id % 5 = 0) "
     "SELECT incident_id, maint_id FROM inc JOIN mnt"
     " ON i_start < m_end AND m_start < i_end "
