@@ -169,18 +169,25 @@ def bm25_scores(
     )
 
 
-def _bigram_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) adjacent-word pairs, map-side only.
+def _bigram_frame(
+    df: DataFrame, id_col: str, text_col: str, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(id, [extra_cols...,] w1, w2) adjacent-word pairs, map-side only.
 
     Built by zipping the word array against itself shifted by one via
     a ``transform`` over a generated index — no explode-then-self-join
-    (which would shuffle the corpus on (doc, pos))."""
+    (which would shuffle the corpus on (doc, pos)). ``extra_cols``
+    (round 9, for :func:`dsir_weights`) carries additional per-doc
+    columns through without a post-hoc doc-keyed join."""
+    extra = list(extra_cols or [])
     words = df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("ws"),
     )
     bigrams = words.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         F.explode(
             F.transform(
                 F.sequence(
@@ -193,9 +200,86 @@ def _bigram_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 ),
             )
         ).alias("bg"),
-    ).select(id_col, "bg.w1", "bg.w2")
+    ).select(id_col, *extra, "bg.w1", "bg.w2")
     # 1-word documents produce a single (word, NULL) pair; drop it.
     return bigrams.filter(F.col("w2").isNotNull() & (F.col("w1") != ""))
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    n_buckets: int = 4096,
+    feature_hash: str = "xx",
+    ln_digits: int = 4,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — public method): score every document by the
+    log-likelihood ratio of its hashed-bigram features under a
+    Laplace-smoothed TARGET unigram model vs the RAW-corpus model,
+
+        weight(d) = Σ_b∈d [ ln (ct_b+1)/(N_t+B) − ln (cr_b+1)/(N_r+B) ]
+
+    where b ranges over the doc's bigram hash buckets (B =
+    ``n_buckets``), ct/cr are target/raw bucket counts. High-weight
+    docs look like the target domain; resample ∝ exp(weight) (or take
+    the top quantile) to build a domain-focused corpus. ``target_col``
+    is a boolean column on ``df`` marking the target-domain docs.
+
+    Scale shape: the flag rides through the bigram projection
+    (map-side), so target and raw counts come out of ONE groupBy on
+    the B-bounded bucket key (conditional sum, map-side combine);
+    corpus totals attach via constant-key BroadcastHashJoin
+    (:func:`..scalars.broadcast_attach` — no BNLJ); the ≤B-row score
+    table broadcast-joins back to the feature stream; the only other
+    corpus shuffle is the final doc-keyed sum. Nothing is ever keyed
+    on raw text and no state exceeds B rows.
+
+    Determinism: per-bucket scores are rounded to an 8dp grid and the
+    per-doc sum to ``ln_digits`` (+0 to normalize IEEE −0.0), so the
+    DuckDB oracle's different ln()/summation-order ulps cannot flip a
+    hash (the emb_standardize discipline). ``feature_hash="md5"`` is
+    the oracle-replayable bucket hash (conv of the md5 prefix, the
+    repo's engine-portable convention); production default "xx" is
+    one xxhash64 mix per bigram. Docs with zero bigrams (empty/1-word)
+    have no features and are absent from the output by definition.
+    """
+    bg = _bigram_frame(
+        df.select(id_col, text_col, F.col(target_col).alias("__tf")),
+        id_col,
+        text_col,
+        extra_cols=["__tf"],
+    )
+    if feature_hash == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 8), 16, 10
+        ).cast("bigint")
+    else:
+        h = F.xxhash64("w1", "w2")
+    feats = bg.select(F.col(id_col), F.col("__tf"), F.pmod(h, F.lit(n_buckets)).alias("b"))
+    counts = feats.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("__tf"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = counts.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    scored = broadcast_attach(counts, totals).select(
+        "b",
+        F.round(
+            F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + n_buckets).cast("double"))
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + n_buckets).cast("double")),
+            8,
+        ).alias("s"),
+    )
+    return (
+        feats.join(F.broadcast(scored), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            (F.round(F.sum("s"), ln_digits) + F.lit(0.0)).alias("weight"),
+        )
+    )
 
 
 def pmi_bigrams(

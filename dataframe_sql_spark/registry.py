@@ -836,6 +836,7 @@ _R10_BLOCK: list[str] = [
     "txt_winnow_maponly",
     "txt_bpe_tokens",
     "mm_decode_stub",
+    "x_dsir_weights",
 ]
 
 # §2 grammar core + previously-green entries (driver rounds in

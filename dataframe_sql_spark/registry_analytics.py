@@ -1175,3 +1175,49 @@ _reg_sql(
     "key-skew report: log2 histogram of per-key group sizes "
     "(integer-exact buckets via binary bit length)",
 )
+
+
+def _x_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relevance import dsir_weights
+
+    docs = _docs(spark, sf_dir).withColumn("is_en", F.col("lang") == "en")
+    return dsir_weights(
+        docs, "doc_id", "text", "is_en", n_buckets=4096, feature_hash="md5"
+    )
+
+
+_reg(
+    "x_dsir_weights",
+    # DSIR importance weights (Xie et al. 2023): hashed-bigram
+    # log-likelihood ratio of the English-doc target model vs the raw
+    # corpus — the data-selection scoring pass of a training-data
+    # pipeline (resample ∝ exp(weight) downstream). The oracle replays
+    # the identical pipeline: same lower/trim/\s+ bigrams (out-of-range
+    # list index -> NULL reproduces Spark's shifted-zip tail pair, both
+    # filtered), same md5-prefix bucket hash, same Laplace-smoothed
+    # counts, per-bucket scores on an 8dp grid and the per-doc sum on a
+    # 4dp grid (+0 normalizes -0.0) so ln()/sum-order ulps can't flip
+    # the hash. Docs with zero bigrams have no features and are absent
+    # on both sides.
+    _x_dsir,
+    "WITH ws AS (SELECT doc_id, lang = 'en' AS tf, "
+    r"string_split_regex(trim(lower(text)), '\s+') AS w FROM documents), "
+    "bgi AS (SELECT doc_id, tf, w, "
+    "unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i FROM ws), "
+    "bg AS (SELECT doc_id, tf, w[i] AS w1, w[i + 1] AS w2 FROM bgi), "
+    "fe AS (SELECT doc_id, tf, "
+    "(('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::BIGINT % 4096) AS b "
+    "FROM bg WHERE w2 IS NOT NULL AND w1 <> ''), "
+    "cnt AS (SELECT b, count(*) AS cr, "
+    "sum(CASE WHEN tf THEN 1 ELSE 0 END) AS ct FROM fe GROUP BY b), "
+    "tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt), "
+    "sc AS (SELECT b, round(ln((ct + 1)::DOUBLE / (nt + 4096)::DOUBLE) "
+    "- ln((cr + 1)::DOUBLE / (nr + 4096)::DOUBLE), 8) AS s "
+    "FROM cnt CROSS JOIN tot) "
+    "SELECT fe.doc_id, count(*) AS n_feats, round(sum(sc.s), 4) + 0 AS weight "
+    "FROM fe JOIN sc ON sc.b = fe.b GROUP BY fe.doc_id",
+    "DSIR importance weights: hashed-bigram target-vs-raw "
+    "log-likelihood ratio per document — one B-bounded bucket "
+    "shuffle + broadcast score join + one doc-keyed sum; the "
+    "data-selection pass before importance resampling",
+)

