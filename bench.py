@@ -126,6 +126,9 @@ PIPELINE_OPS = [
     # the partial-probe cell-keyed kNN join (the at-scale ANN join)
     "j_bloom_prefilter",
     "sim_knn_join_probed",
+    # round-9 addition: DSIR importance weighting (domain-targeted
+    # data selection — one bucket-bounded shuffle + doc-keyed sum)
+    "x_dsir_weights",
 ]
 
 
