@@ -717,10 +717,12 @@ def _make_runner(spec: QuerySpec) -> Callable[[SparkSession, str], DataFrame]:
 #       rows-only production configs), sim_/emb_ (incl. the fixed
 #       emb_quantize_int8, sim_ann_pq_verified, sim_ann_ivf_2level_
 #       probed, hash-certified sim_ann_lsh), the txt_* tail, and
-#       mm_decode_stub — 39 entries + 8 anchors = 47; after r10 every
-#       catalog entry has a driver attestation (rows-only entries get
-#       the weaker rows-check; their hash coverage is the certificate
-#       entries).# The rotation is DATA-DRIVEN (round 9): PRIORITY is assembled from
+#       mm_decode_stub, plus x_dsir_weights (added late in r9) — 41
+#       entries; window = 8 anchors + 41 + f_array_setops = 50. After
+#       r10 every catalog entry has a driver attestation (rows-only
+#       entries get the weaker rows-check; their hash coverage is the
+#       certificate entries).
+# The rotation is DATA-DRIVEN (round 9): PRIORITY is assembled from
 # named blocks, so rotating the next window into scoring position is a
 # one-line reorder of the block sum below — no hand-editing of a
 # 200-line literal in a possibly-degraded session (round 7 died before
@@ -893,10 +895,13 @@ _PRIOR_GREEN: list[str] = [
     "o_orderby_limit",
 ]
 
-# ROTATION RECIPE for round 10: swap the two middle terms ->
-#   PRIORITY = _ANCHORS + _R10_BLOCK + _R9_BLOCK + _PRIOR_GREEN
-# (then regenerate COVERAGE.md via tools/attestation_ledger.py).
-PRIORITY: list[str] = _ANCHORS + _R9_BLOCK + _R10_BLOCK + _PRIOR_GREEN
+# ROUND 10 ROTATION (executed): _R10_BLOCK now occupies the scoring
+# window — 8 anchors + 41 staged entries = 49, plus f_array_setops
+# (head of _R9_BLOCK) at position 50. After this round every catalog
+# entry has at least one driver attestation; from round 11 the window
+# is assembled OLDEST-FIRST from the ledger age column
+# (tools/attestation_ledger.py), keeping the 8 anchors.
+PRIORITY: list[str] = _ANCHORS + _R10_BLOCK + _R9_BLOCK + _PRIOR_GREEN
 
 
 def _ordered_names() -> list[str]:

@@ -559,6 +559,17 @@ def test_ivf_ingest_soak_and_drift_trigger(spark, tmp_path):
     neg = indist.withColumn(
         "embedding", F.transform(F.col("embedding").cast("array<double>"), lambda x: -x)
     )
+    # index-wide health surface on the fully-ingested index: occupancy
+    # must account for every ingested row and the per-cell mean
+    # assigned cosine must be a finite in-band number (the index-side
+    # counterpart of the batch drift probe below)
+    import math
+
+    from dataframe_sql_spark.operators.similarity import ivf_index_health
+
+    health = ivf_index_health(spark, path).collect()
+    assert sum(r.n for r in health) == ingested.count()
+    assert all(math.isfinite(r.mean_cos) and -1 <= r.mean_cos <= 1 for r in health)
     d_in = ivf_batch_drift(indist, "embedding", centroids)
     d_out = ivf_batch_drift(neg, "embedding", centroids)
     # near-uniform synthetic corpus -> the assigned cosine is low even

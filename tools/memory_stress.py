@@ -32,13 +32,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-UI_PORT = 4049
+# Bound UI base URL, set from spark.sparkContext.uiWebUrl after the
+# session starts — Spark silently rebinds to port+1 when the requested
+# port is taken, so a hard-coded port could read ANOTHER app's stats.
+UI_BASE = ""
 
 
 def _rest(app_path: str):
-    with urllib.request.urlopen(
-        f"http://localhost:{UI_PORT}/api/v1/{app_path}", timeout=10
-    ) as r:
+    with urllib.request.urlopen(f"{UI_BASE}/api/v1/{app_path}", timeout=10) as r:
         return json.loads(r.read())
 
 
@@ -70,11 +71,12 @@ def main() -> int:
         .appName("memory_stress")
         .config("spark.driver.memory", heap)
         .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", str(UI_PORT))
         .config("spark.sql.shuffle.partitions", "64")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    global UI_BASE
+    UI_BASE = spark.sparkContext.uiWebUrl
     tune_session(spark)
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     jvm_max = int(
