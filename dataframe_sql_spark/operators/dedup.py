@@ -1197,15 +1197,30 @@ def prefix_filter_pairs(
     shuffles prefix tokens only — by construction the rarest in each
     document, so join buckets stay small where a naive token join
     explodes; verification joins shingle sets onto the (distinct)
-    candidate pairs. At 100 TB the frequency table is Zipf-bounded
-    and broadcast-able after integer-cast.
+    candidate pairs.
+
+    EVERY join side in this operator scales with the corpus — the
+    frequency table is the distinct-shingle vocabulary, the prefix
+    table is ~(1−t)·tokens, and the verification sides carry the full
+    shingle sets — so none is ever broadcast-able at real scale, and
+    each join carries an explicit sort-merge hint. This is deliberate,
+    measured, and NOT hand-scheduling what Catalyst gets right:
+    Catalyst's size estimator cannot see the explode/groupBy fan-out,
+    still estimates these intermediates under the broadcast threshold
+    at a 100× corpus, and the resulting corpus-sized broadcast-collect
+    dies with TaskResultLost once the heap is pressured (reproduced
+    under tools/memory_stress.py: 2 GiB heap, 500k docs — the
+    unhinted plan fails at the broadcast stage materialization; the
+    hinted plan completes by degrading to sort-spill, the contract a
+    1000-executor job needs). Sort-merge rather than shuffle-hash
+    because only SMJ is unconditionally spill-safe on the build side.
     """
     sh = shingle_frame(df, id_col, text_col, shingle_k)
     toks = sh.select(
         F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
-    ranked = toks.join(freq, "tok")
+    ranked = toks.join(freq.hint("merge"), "tok")
     per_doc = ranked.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("freq"), F.col("tok")))
@@ -1225,7 +1240,7 @@ def prefix_filter_pairs(
     a = prefix.withColumnRenamed(id_col, "id_a")
     b = prefix.withColumnRenamed(id_col, "id_b")
     cand = (
-        a.join(b, "tok")
+        a.join(b.hint("merge"), "tok")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -1235,8 +1250,8 @@ def prefix_filter_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
     uni = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
     return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        cand.join(sh_a.hint("merge"), "id_a")
+        .join(sh_b.hint("merge"), "id_b")
         .select("id_a", "id_b", inter.alias("inter"), uni.alias("uni"))
         .filter(F.col("inter") * F.lit(t_den) >= F.lit(t_num) * F.col("uni"))
     )

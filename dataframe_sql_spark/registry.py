@@ -841,6 +841,65 @@ _R10_BLOCK: list[str] = [
     "x_dsir_weights",
 ]
 
+# r11 staged block — FIRST OLDEST-FIRST window (policy switch, round
+# 10). With the never-attested backlog retired by the r10 rotation,
+# the rotation metric changes from coverage to attestation AGE: each
+# round's window = the 8 anchors + the 42 entries whose latest
+# driver-green row is stalest (never first, then ascending last-green
+# round, ties by catalog order), so a regression in a long-green entry
+# cannot hide indefinitely behind an ancient attestation. The block
+# below is the deterministic output of
+#   python tools/attestation_ledger.py --propose-window --assume-current-green
+# at the r10 HEAD (assumes the pre-validated r10 window goes green;
+# if any r10 entry comes back red, it re-enters by the same rule —
+# red rows don't refresh age — so re-run the tool before swapping).
+# r11's first commit: move this term ahead of _R10_BLOCK in PRIORITY
+# and regenerate COVERAGE.md.
+_R11_BLOCK: list[str] = [
+    "o_orderby_limit",  # last green: r2
+    "p_select_star",  # last green: r3
+    "p_case",  # last green: r3
+    "w_rank_partition",  # last green: r3
+    "u_union",  # last green: r3
+    "q_cte",  # last green: r3
+    "tpch_q6_forecast",  # last green: r3
+    "tpch_q12_priority_counts",  # last green: r3
+    "tpch_q14_promo",  # last green: r3
+    "tpch_q10_returns",  # last green: r4
+    "x_sessionize",  # last green: r4
+    "x_funnel",  # last green: r4
+    "mm_blob_meta",  # last green: r4
+    "tpch_q2_min_supplier",  # last green: r4
+    "tpch_q4_priority",  # last green: r4
+    "tpch_q8_mktshare",  # last green: r4
+    "tpch_q11_value_parts",  # last green: r4
+    "tpch_q16_supplier_cnt",  # last green: r4
+    "tpch_q22_idle_custs",  # last green: r4
+    "tpch_q18_big_orders",  # last green: r5
+    "dd_exact_normalized",  # last green: r5
+    "dd_fingerprint",  # last green: r5
+    "dd_ngram_jaccard",  # last green: r5
+    "dd_clusters_verified",  # last green: r5
+    "dd_embedding",  # last green: r5
+    "dd_substring_spans",  # last green: r5
+    "dd_decontaminate",  # last green: r5
+    "dd_prefix_pairs",  # last green: r5
+    "dd_bloom_cert",  # last green: r5
+    "dd_minhash_est_cert",  # last green: r5
+    "dd_fuzzy_decontaminate",  # last green: r5
+    "sim_topk",  # last green: r5
+    "sim_knn_join_probed",  # last green: r5
+    "sim_ann_ivf",  # last green: r5
+    "sim_ann_ivf_probed",  # last green: r5
+    "sim_ann_recall_cert",  # last green: r5
+    "txt_stats",  # last green: r5
+    "txt_quality",  # last green: r5
+    "txt_pii_scrub",  # last green: r5
+    "txt_bpe_roundtrip",  # last green: r5
+    "txt_chunks",  # last green: r5
+    "txt_word_rarity",  # last green: r5
+]
+
 # §2 grammar core + previously-green entries (driver rounds in
 # COVERAGE.md); everything not listed follows in definition order via
 # _ordered_names().
@@ -898,10 +957,13 @@ _PRIOR_GREEN: list[str] = [
 # ROUND 10 ROTATION (executed): _R10_BLOCK now occupies the scoring
 # window — 8 anchors + 41 staged entries = 49, plus f_array_setops
 # (head of _R9_BLOCK) at position 50. After this round every catalog
-# entry has at least one driver attestation; from round 11 the window
-# is assembled OLDEST-FIRST from the ledger age column
-# (tools/attestation_ledger.py), keeping the 8 anchors.
-PRIORITY: list[str] = _ANCHORS + _R10_BLOCK + _R9_BLOCK + _PRIOR_GREEN
+# entry has at least one driver attestation.
+# ROUND 11 RECIPE (oldest-first policy — see the _R11_BLOCK comment):
+#   PRIORITY = _ANCHORS + _R11_BLOCK + _R10_BLOCK + _R9_BLOCK + _PRIOR_GREEN
+# (verify _R11_BLOCK against a fresh
+#  `tools/attestation_ledger.py --propose-window` once CORRECTNESS_r10
+#  exists, then regenerate COVERAGE.md).
+PRIORITY: list[str] = _ANCHORS + _R10_BLOCK + _R9_BLOCK + _R11_BLOCK + _PRIOR_GREEN
 
 
 def _ordered_names() -> list[str]:
@@ -909,8 +971,12 @@ def _ordered_names() -> list[str]:
 
     missing = [n for n in PRIORITY if n not in CATALOG]
     assert not missing, f"PRIORITY names not in CATALOG: {missing}"
-    rest = [n for n in CATALOG if n not in set(PRIORITY)]
-    return PRIORITY + rest
+    # first occurrence wins: oldest-first blocks (r11+) intentionally
+    # repeat names already listed in older blocks / _PRIOR_GREEN, so a
+    # rotation stays a one-line block reorder with no hand-deduping
+    head = list(dict.fromkeys(PRIORITY))
+    rest = [n for n in CATALOG if n not in set(head)]
+    return head + rest
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
