@@ -163,12 +163,24 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
-def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+def running_user_totals(events: DataFrame, timeout_minutes: int = 0) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (the escape hatch for semantics no built-in stateful op covers):
-    per-user running event count + value total, emitted per batch,
-    state evicted after ``timeout_minutes`` of processing-time
-    inactivity so state stays bounded on an unbounded stream.
+    per-user running event count + value total, emitted per batch.
+
+    ``timeout_minutes`` > 0 evicts state after that much
+    processing-time inactivity so state stays bounded on an unbounded
+    24/7 stream. It defaults to 0 (``NoTimeout``) because a
+    processing-time timeout makes ``trigger(availableNow=True)`` drains
+    NEVER TERMINATE: after the source is exhausted, the micro-batch
+    engine keeps scheduling empty batches forever to give pending
+    timeouts a chance to fire (observed: 80+ empty batches and
+    ``isActive`` still true 3 minutes after the last data batch; the
+    round-10 streaming soak is what surfaced it). Continuous
+    deployments that want eviction should pass an explicit timeout and
+    use a processing-time trigger; drain-style jobs (backfills, tests,
+    exactly-once gates) need the NoTimeout default to reach
+    termination.
 
     In batch mode, falls back to the equivalent groupBy aggregate
     (same output schema) — mirroring how the windowed transforms stay
@@ -189,7 +201,8 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes > 0:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
@@ -201,7 +214,11 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
             outputStructType="user_id long, n_events long, total_value double",
             stateStructType="n long, total double",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes > 0
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

@@ -1,0 +1,164 @@
+"""Streaming soak: 120 micro-batches through the stateful
+checkpoint-restart path with repeated injected failures (SCALE.md
+round-9 frontier, delivered round 10).
+
+The per-round streaming gates prove exactly-once across ONE failure at
+ONE batch. A 1000-executor production stream restarts many times over
+its life, each resume compounding on state the previous incarnations
+built — so the property worth soaking is that N restarts at arbitrary
+depths leave the state store exactly equal to a single uninterrupted
+run. This tool:
+
+- splits events (sf0.1 by default) into 120 source files and streams
+  them one file per trigger through ``running_user_totals``
+  (``applyInPandasWithState`` — real state-store commits, not a
+  stateless map),
+- injects a RuntimeError AFTER the sink write but BEFORE the commit at
+  four depths spread across the run (batches 17/43/77/101 — early,
+  mid, late, very late), each firing exactly once,
+- restarts with the same checkpoint after every kill until the source
+  drains,
+- asserts the latest emitted total per user across ALL batch emissions
+  equals the whole-source batch aggregate (state applied exactly once
+  per event, across 4 compounding resumes), and that all 120 batch
+  ids emitted.
+
+Run from the repo root (fresh session; prints one JSON line):
+
+    python tools/streaming_soak.py [--files=120] [--failures=17,43,77,101]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    n_files = 120
+    fail_at = {17, 43, 77, 101}
+    for a in sys.argv[1:]:
+        if a.startswith("--files="):
+            n_files = int(a.split("=", 1)[1])
+        elif a.startswith("--failures="):
+            fail_at = {int(x) for x in a.split("=", 1)[1].split(",") if x}
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from dataframe_sql_spark.session import get_spark
+    from dataframe_sql_spark.sources.io import read_table
+    from dataframe_sql_spark.streaming.pipeline import running_user_totals
+
+    spark = get_spark("streaming_soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    root = tempfile.mkdtemp(prefix=f"stream_soak_{os.getpid()}_")
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    flags = f"{root}/flags"
+    os.makedirs(flags)
+    t_start = time.perf_counter()
+    try:
+        events = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value", "ts"
+        )
+        events.repartition(n_files).write.parquet(src)
+        # one micro-batch per SOURCE FILE: count what the writer
+        # actually produced rather than trusting the repartition target
+        n_src_files = sum(
+            1
+            for p in Path(src).iterdir()
+            if p.name.startswith("part-") and p.suffix == ".parquet"
+        )
+
+        def failing_sink(batch_df, batch_id: int) -> None:
+            batch_df.withColumn("__bid", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(f"{out}/b{batch_id}")
+            flag = f"{flags}/{batch_id}"
+            if batch_id in fail_at and not os.path.exists(flag):
+                open(flag, "w").close()
+                raise RuntimeError(f"injected soak failure at batch {batch_id}")
+
+        def run_once() -> None:
+            stream = (
+                spark.readStream.schema(spark.read.parquet(src).schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                running_user_totals(stream)
+                .writeStream.foreachBatch(failing_sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(1800)
+
+        restarts = 0
+        while True:
+            try:
+                run_once()
+                break
+            except StreamingQueryException as e:
+                assert "injected soak failure" in str(e), str(e)
+                restarts += 1
+                assert restarts <= len(fail_at) + 1, "failure loop runaway"
+
+        emitted = spark.read.parquet(f"{out}/b*")
+        batch_ids = sorted(
+            int(p.name[1:]) for p in Path(out).iterdir() if p.name.startswith("b")
+        )
+        latest = (
+            emitted.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.desc("__bid"))
+                ),
+            )
+            .filter("__rn = 1")
+            .select("user_id", "n_events", "total_value")
+        )
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in latest.collect()
+        }
+        want = {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in running_user_totals(events).collect()
+        }
+        state_ok = got == want and len(got) > 0
+        all_batches = batch_ids == list(range(n_src_files))
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_soak",
+                    "micro_batches": len(batch_ids),
+                    "expected_batches": n_src_files,
+                    "all_batches_emitted": all_batches,
+                    "injected_failures": sorted(fail_at),
+                    "restarts": restarts,
+                    "users": len(got),
+                    "state_exactly_once": state_ok,
+                    "wall_sec": round(time.perf_counter() - t_start, 2),
+                }
+            )
+        )
+        return 0 if (state_ok and all_batches and restarts == len(fail_at)) else 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
