@@ -140,6 +140,7 @@ _reg(
     r" ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id",
     "exact blocked n-gram Jaccard (integer set sizes — rounding-proof "
     "differential check over every in-block pair)",
+    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
 )
 
 
@@ -438,6 +439,7 @@ WHERE doc_id NOT IN (SELECT id_b FROM dups)""",
     "replay certificate: banded OPH-minhash dedup with md5 hashes — "
     "lanes, rotation densification, banding, bucket caps, Jaccard "
     "verify and survivorship all re-executed by the SQL oracle",
+    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
 )
 
 
@@ -451,6 +453,7 @@ _reg(
     "  ON a.label = b.label AND a.vec_id < b.vec_id"
     " WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99)",
     "embedding cosine near-dup (≥0.99) blocked by label, greedy min-id survivors",
+    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
 )
 
 
@@ -750,6 +753,7 @@ WHERE d.doc_id IN (SELECT doc_id FROM survivors)
     "replay certificate: incremental minhash dedup (history index "
     "collision + within-batch LSH) with every stage re-executed by "
     "the SQL oracle from raw text",
+    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
 )
 
 
@@ -848,6 +852,7 @@ _reg(
     "prefix-filtering set-similarity join (AllPairs/PPJoin): ALL pairs "
     "with exact 3-shingle Jaccard >= 0.7, recall 1.0 by theorem — "
     "oracle brute-forces every pair, certifying completeness",
+    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
 )
 
 
@@ -945,6 +950,7 @@ _reg(
     r"WHERE list_cosine_similarity(a.v, b.v) >= 0.4",
     "SemDeDup: k-means-blocked embedding near-dup pairs (cos >= 0.4) "
     "— quadratic cost bounded per cluster, not corpus-wide",
+    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
 )
 
 
@@ -1074,6 +1080,7 @@ _reg(
     "containment (overlap-coefficient) stats per blocked pair with the "
     ">= 0.8 near-subset-dup flag: the duplication geometry symmetric "
     "Jaccard misses",
+    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
 )
 
 
@@ -1121,6 +1128,7 @@ _reg(
     r"GROUP BY a.source, b.source ORDER BY src_a, src_b",
     "cross-source 3-gram vocabulary overlap matrix (distinct-first "
     "join is vocabulary-sized) — mixture/leakage diagnostic",
+    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
 )
 
 

@@ -303,4 +303,5 @@ _reg(
     r"cast(c2 - c3 AS BIGINT), cast(c3 AS BIGINT) FROM n",
     "three-tier dedup funnel (exact -> complete-recall near-dup -> "
     "SemDeDup), per-stage counts oracle-replayed end-to-end",
+    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
 )

@@ -68,6 +68,7 @@ _reg(
     " WHERE a.label = 0) t WHERE rn <= 3",
     "k-NN join: 3 nearest corpus vectors per query vector via the IVF "
     "cell-keyed equi-join (exact at full probe; no cartesian product)",
+    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
 )
 
 

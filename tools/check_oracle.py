@@ -19,7 +19,8 @@ only strict mode (repr of the float) catches an int-vs-float column
 divergence like q12's.
 
 Usage: python tools/check_oracle.py [--vanilla] [--strict]
-           [--exclude=a,b,c | --exclude a,b,c] [sf_dir] [name_filter ...]
+           [--driver-memory=8g] [--exclude=a,b,c | --exclude a,b,c]
+           [sf_dir] [name_filter ...]
 
 Entries whose QuerySpec declares ``oracle_max_sf`` below the sf parsed
 from ``sf_dir``'s name are auto-skipped with the reason printed — no
@@ -134,9 +135,12 @@ def main() -> int:
     # entries need no hand-typed list — each carries a declarative
     # ``oracle_max_sf`` on its QuerySpec and is auto-skipped below.
     excluded: list[str] = []
+    driver_memory: str | None = None
     i = 0
     while i < len(args):
-        if args[i].startswith("--exclude="):
+        if args[i].startswith("--driver-memory="):
+            driver_memory = args.pop(i).split("=", 1)[1]
+        elif args[i].startswith("--exclude="):
             excluded = args.pop(i).split("=", 1)[1].split(",")
         elif args[i] == "--exclude":
             args.pop(i)
@@ -153,19 +157,31 @@ def main() -> int:
     if vanilla:
         from pyspark.sql import SparkSession
 
-        spark = (
+        builder = (
             SparkSession.builder.master("local[*]")
             .appName("check_oracle_vanilla")
             .config("spark.ui.enabled", "false")
-            .getOrCreate()
         )
+        # --driver-memory sizes the heap for beyond-driver-SF runs
+        # (tools/sf1_sweep.py passes 8g: a 6M-row axis on 32 local
+        # threads OOMs the 1g default regardless of plan shape — see
+        # SCALE.md round 10). It is an ENVIRONMENT axis, not an engine
+        # conf, so the session stays vanilla in the sense that matters:
+        # every conf the engine needs for correctness must still be
+        # applied by the engine itself.
+        if driver_memory:
+            builder = builder.config("spark.driver.memory", driver_memory)
+        spark = builder.getOrCreate()
     else:
         spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # /root/testdata tables are single files, but Spark-written
+        # expansions (tools/sf1_sweep.py) are directories of part
+        # files — glob those so DuckDB reads the same rows Spark does
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

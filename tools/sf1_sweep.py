@@ -1,0 +1,130 @@
+"""sf1-scale correctness sweep (SCALE.md round-9 frontier item 1,
+delivered round 10).
+
+The driver's oracle gate has only ever run at sf ≤ 0.1. This tool
+re-runs the SAME differential gate (tools/check_oracle.py, strict +
+vanilla-session — the driver-faithful compare) at a 10× parquet
+expansion of sf0.1 — i.e. sf1-equivalent row counts: 6M lineitem /
+1.5M orders on the TPC-H axis, 50k documents / 50k embeddings on the
+corpus axis — so cross-engine divergences that only appear with more
+data (float accumulation order, overflow past int32/decimal bounds,
+group cardinality edges) get a chance to show before a real deploy.
+
+Corpus-quadratic oracles self-exclude: each carries a declarative
+``oracle_max_sf`` on its QuerySpec (the SPARK side scales — the
+DuckDB complete-pair-set / brute-force oracle is the bounded part),
+so check_oracle auto-skips them with the reason printed, keeping this
+sweep hand-list-free.
+
+Run from the repo root on an idle host (expect ~30-60 min total):
+
+    python tools/sf1_sweep.py [--axis=tpch|docs|both]
+
+Prints one summary JSON line per axis; exit 0 iff every compared
+entry is green on every axis run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Entry-name filters per axis: the axis's scaled tables are the ones
+# its entries actually stress (everything else in the dir is a 1x
+# symlink, which would make the run a slower repeat of the sf0.1 gate).
+AXIS_FILTERS = {
+    "tpch": [
+        "tpch_", "p_", "d_", "j_", "a_", "w_", "o_", "u_", "q_",
+        "f_", "g_", "ts_", "st_", "x_sessionize", "x_funnel",
+        "x_sorted_neighborhood", "x_pagerank",
+    ],
+    "docs": [
+        "dd_", "txt_", "emb_", "sim_", "mm_", "pipe_", "x_dsir",
+        "x_quality", "x_dataset_mix", "x_split_decontaminate",
+        "x_source_cap", "x_pack_sequences",
+    ],
+}
+
+
+def build_dir(axis: str) -> str:
+    """Write the 10× expansion as parquet under a dir whose basename
+    carries 'sf1' so check_oracle parses sf=1.0 (that is what arms the
+    oracle_max_sf auto-skips)."""
+    from dataframe_sql_spark.session import get_spark
+
+    import bench
+
+    spark = get_spark(f"sf1_sweep_build_{axis}")
+    spark.sparkContext.setLogLevel("ERROR")
+    kind = "tpch" if axis == "tpch" else "docs"
+    raw = bench._write_scaled_dir(spark, "/root/testdata/sf0.1", 10, kind)
+    dst = os.path.join(os.path.dirname(raw), f"sf1_{axis}_{os.getpid()}", "sf1")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.rename(raw, dst)  # symlinks inside are absolute, they survive
+    return dst
+
+
+def run_axis(axis: str) -> dict:
+    t0 = time.perf_counter()
+    d = build_dir(axis)
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "tools/check_oracle.py",
+                "--vanilla",
+                "--strict",
+                # a 6M-row axis on 32 local threads OOMs the 1g default
+                # heap regardless of plan shape; memory is an
+                # environment axis, sized like a real deploy would
+                "--driver-memory=8g",
+                d,
+                *AXIS_FILTERS[axis],
+            ],
+            capture_output=True,
+            text=True,
+            timeout=7200,
+        )
+        out = proc.stdout.replace("\r", "\n")
+        passes = len(re.findall(r"^PASS ", out, re.M))
+        fails = re.findall(r"^FAIL .*$", out, re.M)
+        skips = len(re.findall(r"^SKIP ", out, re.M))
+        return {
+            "metric": "sf1_sweep",
+            "axis": axis,
+            "dir": d,
+            "pass": passes,
+            "fail": len(fails),
+            "fail_names": [f.split(" ")[1].rstrip(":") for f in fails][:20],
+            "skipped_infeasible_oracle": skips,
+            "all_green": proc.returncode == 0 and not fails and passes > 0,
+            "wall_sec": round(time.perf_counter() - t0, 1),
+        }
+    finally:
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def main() -> int:
+    axis = "both"
+    for a in sys.argv[1:]:
+        if a.startswith("--axis="):
+            axis = a.split("=", 1)[1]
+    axes = ["tpch", "docs"] if axis == "both" else [axis]
+    ok = True
+    for ax in axes:
+        res = run_axis(ax)
+        print(json.dumps(res), flush=True)
+        ok = ok and res["all_green"]
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
