@@ -206,3 +206,32 @@ def test_no_composite_output_columns(schemas):
         "the driver's pandas canonicalizer crashes on these; serialize "
         "(array_join/to_json) or explode before returning"
     )
+
+
+# Entries allowed to hash-exchange on the raw `text` column. Keep this
+# empty: a shuffle keyed on full document text moves the whole corpus
+# as keys (the 100-TB shuffle-volume rule is "exchange fixed-width
+# hashes/signatures, never raw text" — see SCALE.md dedup section and
+# the round-10 memory-pressure ledger where exactly this property is
+# what lets simhash run 100x under a 2 GiB heap with zero spill).
+# Anything that needs text-equality semantics must key on
+# xxhash64/md5(text) instead.
+_TEXT_EXCHANGE_OK: set[str] = set()
+
+
+def test_no_exchange_keyed_on_raw_text(trees):
+    bad = []
+    for n, p in trees.items():
+        if n in _TEXT_EXCHANGE_OK:
+            continue
+        for line in p.splitlines():
+            if "hashpartitioning(" not in line:
+                continue
+            keys = line.split("hashpartitioning(", 1)[1]
+            if re.search(r"(?<![\w.])text#\d+", keys.split(")")[0] + ")"):
+                bad.append((n, line.strip()[:90]))
+                break
+    assert not bad, (
+        f"exchange keyed on raw document text (shuffle volume scales "
+        f"with corpus bytes, not row count): {bad}"
+    )

@@ -83,6 +83,27 @@ def test_dedup_groups_on_hash_not_text(engine):
     assert exchanges and all("hashpartitioning(text" not in l for l in exchanges), plan
 
 
+def test_prefix_filter_pairs_never_broadcasts(engine):
+    """Every join side in prefix_filter_pairs scales with the corpus,
+    and Catalyst's estimator cannot see the explode/groupBy fan-out —
+    at a 100× corpus it still chose corpus-sized broadcasts whose
+    driver collection died under memory pressure (round-10
+    memory_stress finding, SCALE.md). The operator pins sort-merge on
+    all four joins; this gate asserts the pin holds even at the tiny
+    test SF where the planner would otherwise broadcast everything."""
+    from dataframe_sql_spark.operators.dedup import prefix_filter_pairs
+
+    df = prefix_filter_pairs(
+        engine.spark.table("documents"), "doc_id", "text", t_num=7, t_den=10
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("SortMergeJoin") >= 4, plan
+
+
 def test_constant_folding(engine):
     plan = _formatted(engine.query("select 1 + 2 * 3 as x from nation"))
     assert "7 AS x" in plan  # Catalyst folded the literal math
