@@ -237,11 +237,18 @@ def dsir_weights(
     corpus shuffle is the final doc-keyed sum. Nothing is ever keyed
     on raw text and no state exceeds B rows.
 
-    Determinism: per-bucket scores are rounded to an 8dp grid and the
-    per-doc sum to ``ln_digits`` (+0 to normalize IEEE −0.0), so the
-    DuckDB oracle's different ln()/summation-order ulps cannot flip a
-    hash (the emb_standardize discipline). ``feature_hash="md5"`` is
-    the oracle-replayable bucket hash (conv of the md5 prefix, the
+    Determinism: per-bucket scores are pinned as INTEGER 1e-8 units
+    (``round(lr·10⁸)`` → BIGINT), the per-doc total is an exact int64
+    sum (order-independent — a double sum is not), and the final
+    ``ln_digits`` rounding is integer floor-div half-up, so neither
+    the oracle's different ln()/summation-order ulps NOR an
+    engine-divergent ``round()`` at a grid boundary can flip a hash.
+    The boundary case is not theoretical: per-doc sums of exact-8dp
+    scores land exactly on the 4dp half-grid about once per 10⁴ docs,
+    and the round-10 sf1 sweep (50k docs) caught Spark and DuckDB
+    rounding those docs apart (−0.37125 → −0.3713 vs −0.3712) when
+    this step was a double ``round(sum(s), 4)``. ``feature_hash="md5"``
+    is the oracle-replayable bucket hash (conv of the md5 prefix, the
     repo's engine-portable convention); production default "xx" is
     one xxhash64 mix per bigram. Docs with zero bigrams (empty/1-word)
     have no features and are absent from the output by definition.
@@ -267,17 +274,31 @@ def dsir_weights(
     scored = broadcast_attach(counts, totals).select(
         "b",
         F.round(
-            F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + n_buckets).cast("double"))
-            - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + n_buckets).cast("double")),
-            8,
-        ).alias("s"),
+            (
+                F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + n_buckets).cast("double"))
+                - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + n_buckets).cast("double"))
+            )
+            * F.lit(1e8),
+            0,
+        )
+        .cast("bigint")
+        .alias("s8"),
     )
+    # integer half-up: q is in 1e-8 units; (q + half) // shift lands on
+    # the 10^-ln_digits grid with no engine round() in the path (the
+    # floor-division is done as floor() of an exact small-double ratio)
+    shift = 10 ** (8 - ln_digits)
     return (
         feats.join(F.broadcast(scored), "b")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_feats"),
-            (F.round(F.sum("s"), ln_digits) + F.lit(0.0)).alias("weight"),
+            (
+                F.floor(
+                    (F.sum("s8") + F.lit(shift // 2)) / F.lit(float(shift))
+                ).cast("bigint")
+                / F.lit(float(10**ln_digits))
+            ).alias("weight"),
         )
     )
 

@@ -1195,10 +1195,13 @@ _reg(
     # the identical pipeline: same lower/trim/\s+ bigrams (out-of-range
     # list index -> NULL reproduces Spark's shifted-zip tail pair, both
     # filtered), same md5-prefix bucket hash, same Laplace-smoothed
-    # counts, per-bucket scores on an 8dp grid and the per-doc sum on a
-    # 4dp grid (+0 normalizes -0.0) so ln()/sum-order ulps can't flip
-    # the hash. Docs with zero bigrams have no features and are absent
-    # on both sides.
+    # counts. Per-bucket scores are pinned as BIGINT 1e-8 units, the
+    # per-doc total is an exact integer sum, and the 4dp rounding is
+    # integer floor-div half-up — a double round(sum, 4) here is
+    # engine-divergent whenever the 8dp-grid sum lands on the 4dp
+    # half-grid (~1 doc per 10^4 — the round-10 sf1 sweep caught it at
+    # 50k docs). Docs with zero bigrams have no features and are
+    # absent on both sides.
     _x_dsir,
     "WITH ws AS (SELECT doc_id, lang = 'en' AS tf, "
     r"string_split_regex(trim(lower(text)), '\s+') AS w FROM documents), "
@@ -1211,10 +1214,11 @@ _reg(
     "cnt AS (SELECT b, count(*) AS cr, "
     "sum(CASE WHEN tf THEN 1 ELSE 0 END) AS ct FROM fe GROUP BY b), "
     "tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt), "
-    "sc AS (SELECT b, round(ln((ct + 1)::DOUBLE / (nt + 4096)::DOUBLE) "
-    "- ln((cr + 1)::DOUBLE / (nr + 4096)::DOUBLE), 8) AS s "
+    "sc AS (SELECT b, CAST(round((ln((ct + 1)::DOUBLE / (nt + 4096)::DOUBLE) "
+    "- ln((cr + 1)::DOUBLE / (nr + 4096)::DOUBLE)) * 100000000) AS BIGINT) AS s8 "
     "FROM cnt CROSS JOIN tot) "
-    "SELECT fe.doc_id, count(*) AS n_feats, round(sum(sc.s), 4) + 0 AS weight "
+    "SELECT fe.doc_id, count(*) AS n_feats, "
+    "CAST(floor((sum(sc.s8) + 5000) / 10000.0) AS BIGINT) / 10000.0 AS weight "
     "FROM fe JOIN sc ON sc.b = fe.b GROUP BY fe.doc_id",
     "DSIR importance weights: hashed-bigram target-vs-raw "
     "log-likelihood ratio per document — one B-bounded bucket "
