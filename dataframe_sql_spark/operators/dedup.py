@@ -488,9 +488,28 @@ def ngram_jaccard_pairs(
         sh = hashed_shingle_frame(df, id_col, text_col, shingle_k, out_col="__sh")
     else:
         sh = shingle_frame(df, id_col, text_col, shingle_k)
+    # merge hints: the shingle-set sides carry a per-doc array column,
+    # which Catalyst's width estimator counts as ONE element
+    # (ArrayType.defaultSize) — so a corpus-scaled multi-GB side can sit
+    # under the broadcast threshold in the mid-scale window and die at
+    # the driver collect under memory pressure (the round-10
+    # prefix_filter_pairs class; tools/broadcast_audit.py flagged this
+    # join at 10× estimates). Sort-merge is the spill-safe shape and
+    # the candidate table is already id-keyed, so the exchange is the
+    # honest cost.
     j = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        pairs.join(
+            sh.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed("__sh", "sh_a")
+            .hint("merge"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("__sh", "sh_b")
+            .hint("merge"),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
@@ -525,8 +544,11 @@ def blocked_ngram_jaccard(
     Shingle arrays are materialized before the join so each side
     tokenizes once.
     """
+    # merge hint: both self-join sides carry the shingle array, whose
+    # width the estimator cannot see (see ngram_jaccard_pairs) — never
+    # broadcast a corpus-scaled array side
     sh = shingle_frame(df, id_col, text_col, shingle_k, extra_cols=tuple(block_cols))
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = sh.alias("a"), sh.hint("merge").alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -894,8 +916,14 @@ def simhash_candidate_pairs(
             .filter(F.col("__n") <= max_bucket)
             .select("chunk", "piece")
         )
+        # merge hint: both probe and exact sides are post-explode
+        # streams (rows × probes-per-signature) — count AND width blind
+        # to the estimator; never broadcast (broadcast_audit finding)
         pairs = (
-            probes.join(exact.withColumnRenamed("item", "b"), ["chunk", "piece"])
+            probes.join(
+                exact.withColumnRenamed("item", "b").hint("merge"),
+                ["chunk", "piece"],
+            )
             .join(ok, ["chunk", "piece"], "left_semi")
             .filter(F.col("a.id") < F.col("b.id"))
         )
@@ -966,7 +994,11 @@ def embedding_cosine_pairs(
     if block_col:
         sel.append(F.col(block_col).alias("__blk"))
     base = df.select(*sel)
-    a, b = base.alias("a"), base.alias("b")
+    # merge hint: the vector side's width is estimator-blind
+    # (ArrayType.defaultSize counts one element), so a corpus-scaled
+    # embedding side can slip under the broadcast threshold while being
+    # GBs in memory — the round-10 broadcast_audit class
+    a, b = base.alias("a"), base.hint("merge").alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col("a.__blk") == F.col("b.__blk"))

@@ -693,7 +693,14 @@ def knn_join_cells(
     fixed (see tools/scale_stress.py::op_knn_join_ivf for the
     measured decomposition and the two quadratic mis-configurations).
     """
-    pairs = lv.join(rv, "__cell")
+    # merge hint on the index side: both sides carry vector arrays whose
+    # width the estimator cannot see (ArrayType.defaultSize = one
+    # element), so a corpus-scaled rv can sit under the broadcast
+    # threshold while its HashedRelation is GBs — the round-10
+    # broadcast_audit finding. Sort-merge on the bounded cell key is
+    # the spill-safe shape; at small SF AQE's coalescing keeps the two
+    # extra sorts cheap.
+    pairs = lv.join(rv.hint("merge"), "__cell")
     if exclude_self:
         pairs = pairs.filter(F.col(left_id) != F.col(right_id))
     dot = F.aggregate(

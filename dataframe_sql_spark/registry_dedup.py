@@ -190,16 +190,18 @@ _reg(
         "text",
         threshold=0.8,
     )
+    # merge hints: shingle-array sides are width-blind to the estimator
+    # (broadcast_audit class) — never broadcast a corpus-scaled side
     .join(
-        shingle_frame(_docs(spark, sf_dir), "doc_id", "text").select(
-            F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a")
-        ),
+        shingle_frame(_docs(spark, sf_dir), "doc_id", "text")
+        .select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+        .hint("merge"),
         "id_a",
     )
     .join(
-        shingle_frame(_docs(spark, sf_dir), "doc_id", "text").select(
-            F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b")
-        ),
+        shingle_frame(_docs(spark, sf_dir), "doc_id", "text")
+        .select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+        .hint("merge"),
         "id_b",
     )
     .select(
@@ -984,13 +986,20 @@ def _dd_minhash_est_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = raw.select(
         "doc_id", oph_densify_rotation(F.col("__raw"), 64).alias("sig")
     )
+    # merge hints: the signature sides carry 64-slot arrays whose width
+    # the estimator can't see (broadcast_audit class — never broadcast
+    # a corpus-scaled array side)
     est = (
         exact.join(
-            sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
+            sig.select(
+                F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+            ).hint("merge"),
             "id_a",
         )
         .join(
-            sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
+            sig.select(
+                F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+            ).hint("merge"),
             "id_b",
         )
         .withColumn(
@@ -1044,7 +1053,9 @@ def _dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     sh = shingle_frame(docs, "doc_id", "text", extra_cols=("lang", "source"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # merge hint: shingle-array sides are width-blind to the estimator
+    # (broadcast_audit class) — never broadcast a corpus-scaled side
+    a, b = sh.alias("a"), sh.hint("merge").alias("b")
     inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
     smaller = F.least(F.size(F.col("a.__sh")), F.size(F.col("b.__sh")))
     return a.join(
