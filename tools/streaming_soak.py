@@ -26,6 +26,14 @@ run. This tool:
 Run from the repo root (fresh session; prints one JSON line):
 
     python tools/streaming_soak.py [--files=120] [--failures=17,43,77,101]
+        [--expand-users=R] [--rocksdb]
+
+``--expand-users=R`` unions R id-shifted replicas of the source so the
+state store holds R× the keys (1,500 → 150k at R=100) — the
+CARDINALITY axis of the soak: exactly-once must hold and per-batch
+commit time must stay flat when state stops being trivially small.
+``--rocksdb`` switches the state store to the RocksDB provider (the
+off-heap store a production deployment would run at millions of keys).
 """
 
 from __future__ import annotations
@@ -42,11 +50,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> int:
     n_files = 120
     fail_at = {17, 43, 77, 101}
+    expand_users = 1
+    rocksdb = False
     for a in sys.argv[1:]:
         if a.startswith("--files="):
             n_files = int(a.split("=", 1)[1])
         elif a.startswith("--failures="):
             fail_at = {int(x) for x in a.split("=", 1)[1].split(",") if x}
+        elif a.startswith("--expand-users="):
+            expand_users = int(a.split("=", 1)[1])
+        elif a == "--rocksdb":
+            rocksdb = True
 
     import shutil
     import tempfile
@@ -61,6 +75,12 @@ def main() -> int:
 
     spark = get_spark("streaming_soak")
     spark.sparkContext.setLogLevel("ERROR")
+    if rocksdb:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     root = tempfile.mkdtemp(prefix=f"stream_soak_{os.getpid()}_")
@@ -72,6 +92,22 @@ def main() -> int:
         events = read_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value", "ts"
         )
+        if expand_users > 1:
+            # R id-shifted replicas: every replica contributes a disjoint
+            # user-id range, so key cardinality scales exactly R× while
+            # per-key row counts stay identical to the 1× soak
+            from functools import reduce
+
+            events = reduce(
+                lambda x, y: x.unionByName(y),
+                [
+                    events.withColumn(
+                        "user_id",
+                        F.col("user_id") + F.lit(r * 10_000_000),
+                    )
+                    for r in range(expand_users)
+                ],
+            )
         events.repartition(n_files).write.parquet(src)
         # one micro-batch per SOURCE FILE: count what the writer
         # actually produced rather than trusting the repartition target
@@ -81,10 +117,14 @@ def main() -> int:
             if p.name.startswith("part-") and p.suffix == ".parquet"
         )
 
+        batch_walls: dict[int, float] = {}
+
         def failing_sink(batch_df, batch_id: int) -> None:
+            t = time.perf_counter()
             batch_df.withColumn("__bid", F.lit(batch_id)).write.mode(
                 "overwrite"
             ).parquet(f"{out}/b{batch_id}")
+            batch_walls[batch_id] = round(time.perf_counter() - t, 3)
             flag = f"{flags}/{batch_id}"
             if batch_id in fail_at and not os.path.exists(flag):
                 open(flag, "w").close()
@@ -140,6 +180,17 @@ def main() -> int:
         }
         state_ok = got == want and len(got) > 0
         all_batches = batch_ids == list(range(n_src_files))
+        # commit-time flatness: as state accumulates, per-batch sink wall
+        # must not grow with batch index (a growing trend means the state
+        # store rescans instead of doing incremental commits)
+        ordered = [batch_walls[b] for b in batch_ids if b in batch_walls]
+        head = ordered[1 : max(2, len(ordered) // 4)]  # skip warm-up batch 0
+        tail = ordered[-max(1, len(ordered) // 4) :]
+        flatness = (
+            round((sum(tail) / len(tail)) / (sum(head) / len(head)), 2)
+            if head and tail
+            else None
+        )
         print(
             json.dumps(
                 {
@@ -150,7 +201,10 @@ def main() -> int:
                     "injected_failures": sorted(fail_at),
                     "restarts": restarts,
                     "users": len(got),
+                    "expand_users": expand_users,
+                    "rocksdb": rocksdb,
                     "state_exactly_once": state_ok,
+                    "commit_wall_tail_over_head": flatness,
                     "wall_sec": round(time.perf_counter() - t_start, 2),
                 }
             )
