@@ -149,3 +149,66 @@ def test_w_rank_no_single_partition_window(plans):
     assert "Exchange hashpartitioning" in plan or (
         "Exchange rangepartitioning" in plan
     ), plan
+
+
+# ---------------------------------------------------------------------------
+# Top-bench-key pins (round-10 frontier item 5): the ops where a plan
+# regression costs the most wall time. Same philosophy as the anchor
+# pins — positive shapes, SF-invariant by construction — plus pins on
+# the round-10 merge-hint fixes (a silently dropped hint would revert
+# an op to the estimator-blind broadcast class).
+# ---------------------------------------------------------------------------
+
+BENCH_KEYS = [
+    "dd_simhash_probed",
+    "dd_minhash_pairs",
+    "sim_knn_join_probed",
+    "x_dsir_weights",
+]
+
+
+@pytest.fixture(scope="module")
+def bench_plans(spark):
+    qs = spark_queries()
+    out = {}
+    for name in BENCH_KEYS:
+        df = qs[name](spark, SF_DIR)
+        out[name] = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+    return out
+
+
+def test_simhash_probe_join_stays_sort_merge(bench_plans):
+    # probe↔exact candidate join: both sides post-explode (count AND
+    # width blind to the estimator) — must never broadcast
+    plan = bench_plans["dd_simhash_probed"]
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_minhash_verify_joins_stay_sort_merge(bench_plans):
+    # the two shingle-set verification joins carry corpus-scaled array
+    # sides (width-blind) — merge-hinted in round 10
+    plan = bench_plans["dd_minhash_pairs"]
+    assert plan.count("SortMergeJoin") >= 2, plan
+
+
+def test_knn_probed_cell_join_stays_sort_merge(bench_plans):
+    # the cell-key equi-join's index side carries embedding arrays —
+    # merge-hinted; per-left top-k stays a partitioned window
+    plan = bench_plans["sim_knn_join_probed"]
+    assert "SortMergeJoin" in plan, plan
+    assert "Window" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_dsir_single_bucket_shuffle_shape(bench_plans):
+    # design contract: ONE B-bounded bucket groupBy + the final
+    # doc-keyed sum; score/total tables attach via broadcast — so the
+    # plan carries few hash exchanges and at least one broadcast join,
+    # and nothing exchanges on raw text (global lint) or runs
+    # row-at-a-time Python
+    plan = bench_plans["x_dsir_weights"]
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
