@@ -954,16 +954,18 @@ _PRIOR_GREEN: list[str] = [
     "o_orderby_limit",
 ]
 
-# ROUND 10 ROTATION (executed): _R10_BLOCK now occupies the scoring
-# window — 8 anchors + 41 staged entries = 49, plus f_array_setops
-# (head of _R9_BLOCK) at position 50. After this round every catalog
-# entry has at least one driver attestation.
-# ROUND 11 RECIPE (oldest-first policy — see the _R11_BLOCK comment):
-#   PRIORITY = _ANCHORS + _R11_BLOCK + _R10_BLOCK + _R9_BLOCK + _PRIOR_GREEN
-# (verify _R11_BLOCK against a fresh
-#  `tools/attestation_ledger.py --propose-window` once CORRECTNESS_r10
-#  exists, then regenerate COVERAGE.md).
-PRIORITY: list[str] = _ANCHORS + _R10_BLOCK + _R9_BLOCK + _R11_BLOCK + _PRIOR_GREEN
+# ROUND 11 ROTATION (executed): first OLDEST-FIRST window — 8 anchors
+# + the 42 stalest attestations (r2–r5 cohort). Verified against the
+# REAL CORRECTNESS_r10.json via a fresh
+#   python tools/attestation_ledger.py --propose-window
+# (no --assume flag; rows-only r10 rows count green per _row_green —
+# they were attested in the r10 window with certificates green in the
+# same window) — the fresh proposal matched the staged block exactly,
+# 42/42 names in order.
+# ROUND 12 RECIPE: re-run --propose-window once CORRECTNESS_r11
+# exists, stage _R12_BLOCK, and set
+#   PRIORITY = _ANCHORS + _R12_BLOCK + _R11_BLOCK + ... + _PRIOR_GREEN
+PRIORITY: list[str] = _ANCHORS + _R11_BLOCK + _R10_BLOCK + _R9_BLOCK + _PRIOR_GREEN
 
 
 def _ordered_names() -> list[str]:

@@ -136,10 +136,22 @@ def main() -> int:
     # ``oracle_max_sf`` on its QuerySpec and is auto-skipped below.
     excluded: list[str] = []
     driver_memory: str | None = None
+    first_n: int | None = None
+    exact_names: set[str] | None = None
     i = 0
     while i < len(args):
         if args[i].startswith("--driver-memory="):
             driver_memory = args.pop(i).split("=", 1)[1]
+        elif args[i].startswith("--first="):
+            # driver-faithful window: score exactly the first N
+            # queries() entries (the driver scores the first 50)
+            first_n = int(args.pop(i).split("=", 1)[1])
+        elif args[i].startswith("--names="):
+            # EXACT entry names (comma-separated) — unlike positional
+            # name filters, which substring-match ('d_' matches every
+            # dd_* entry), this selects precisely the listed entries.
+            # tools/sf1_sweep.py uses it to keep its axes disjoint.
+            exact_names = set(args.pop(i).split("=", 1)[1].split(","))
         elif args[i].startswith("--exclude="):
             excluded = args.pop(i).split("=", 1)[1].split(",")
         elif args[i] == "--exclude":
@@ -184,9 +196,13 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs = entrymod.queries()
+    if first_n is not None:
+        qs = dict(list(qs.items())[:first_n])
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if exact_names is not None and name not in exact_names:
+            continue
         if name_filter and not any(f in name for f in name_filter):
             continue
         if excluded and any(e and e in name for e in excluded):

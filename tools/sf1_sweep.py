@@ -37,21 +37,66 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# Entry-name filters per axis: the axis's scaled tables are the ones
+# Entry-name PREFIXES per axis: the axis's scaled tables are the ones
 # its entries actually stress (everything else in the dir is a 1x
 # symlink, which would make the run a slower repeat of the sf0.1 gate).
-AXIS_FILTERS = {
+# These are anchored — axis_entries() expands them against the catalog
+# with str.startswith and passes the resulting EXACT list to
+# check_oracle --names=, because check_oracle's positional filters
+# substring-match ('d_' would match every dd_* entry, 'p_' would match
+# pipe_*, re-running most of the docs axis against 1x symlinks).
+AXIS_PREFIXES = {
     "tpch": [
         "tpch_", "p_", "d_", "j_", "a_", "w_", "o_", "u_", "q_",
         "f_", "g_", "ts_", "st_", "x_sessionize", "x_funnel",
         "x_sorted_neighborhood", "x_pagerank",
+        # x_* whose oracle reads events/lineitem/orders/customer
+        "x_cohort_retention", "x_grouped_agg_udaf", "x_grouped_map",
+        "x_pivot", "x_record_linkage", "x_scd2_intervals",
+        "x_skew_report", "x_topk_per_group", "x_topk_with_ties",
+        "x_unpivot",
     ],
     "docs": [
         "dd_", "txt_", "emb_", "sim_", "mm_", "pipe_", "x_dsir",
         "x_quality", "x_dataset_mix", "x_split_decontaminate",
         "x_source_cap", "x_pack_sequences",
+        # x_* whose oracle reads documents/embeddings
+        "x_bottomk_sample", "x_curriculum_order", "x_file_metadata",
+        "x_global_shuffle", "x_hash_sample", "x_hash_split",
+        "x_negative_pairs", "x_profile", "x_score_calibration",
+        "x_snapshot_diff", "x_stratified_sample", "x_temperature_mix",
+        "x_weighted_sample", "x_winsorize",
     ],
 }
+
+
+def axis_entries(axis: str) -> list[str]:
+    """Exact catalog entry names whose name starts with one of the
+    axis's anchored prefixes. Asserts the two axes stay disjoint so a
+    new entry can't silently run on the wrong axis's scaled tables."""
+    from dataframe_sql_spark import registry
+
+    names = registry._ordered_names()
+    picked = [
+        n for n in names
+        if any(n.startswith(p) for p in AXIS_PREFIXES[axis])
+    ]
+    other = "docs" if axis == "tpch" else "tpch"
+    overlap = {
+        n for n in picked
+        if any(n.startswith(p) for p in AXIS_PREFIXES[other])
+    }
+    assert not overlap, f"entries on both axes: {sorted(overlap)}"
+    # total coverage: a NEW catalog entry must be assigned to exactly
+    # one axis here, or it would silently never run at sf1 scale
+    neither = {
+        n for n in names
+        if not any(
+            n.startswith(p) for ax in AXIS_PREFIXES.values() for p in ax
+        )
+    }
+    assert not neither, f"catalog entries on neither sweep axis: {sorted(neither)}"
+    return picked
 
 
 def build_dir(axis: str) -> str:
@@ -86,8 +131,8 @@ def run_axis(axis: str) -> dict:
                 # heap regardless of plan shape; memory is an
                 # environment axis, sized like a real deploy would
                 "--driver-memory=8g",
+                f"--names={','.join(axis_entries(axis))}",
                 d,
-                *AXIS_FILTERS[axis],
             ],
             capture_output=True,
             text=True,
