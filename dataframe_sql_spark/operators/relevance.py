@@ -385,9 +385,20 @@ def bigram_lm_scores(
         F.count("*").alias("c1")
     )
     vocab = uni.select(F.count("*").alias("v"))
+    # c12 joins via SMJ, not broadcast: the UNPRUNED bigram-count table
+    # has near-corpus cardinality at build time (most bigram types are
+    # rare) and its size estimate is post-explode-blind — the round-11
+    # broadcast_audit flagged it as a corpus-scaled broadcast. The
+    # (w1, w2) keys are fixed-width, and the c12 aggregate already
+    # partitions by them, so the merge join adds only the bg-side
+    # shuffle. The UNIGRAM table stays broadcast: vocab grows
+    # sublinearly (Heaps), and shuffling the exploded word stream to
+    # avoid it would be strictly worse — the standard map-side-join
+    # call. A production LM with tail pruning (min-count cap) should
+    # flip c12 back to broadcast.
     scored = (
         broadcast_attach(
-            bg.join(F.broadcast(c12), ["w1", "w2"])
+            bg.join(c12.hint("merge"), ["w1", "w2"])
             .join(F.broadcast(uni.withColumnRenamed("word", "w1")), "w1"),
             vocab,
         )

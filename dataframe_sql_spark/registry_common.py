@@ -75,10 +75,15 @@ def _shingle_sharing_candidates(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.explode("__sh").alias("g"))
         .distinct()
     )
+    # merge hint: both sides are the post-explode (doc_id, shingle)
+    # stream — corpus-scaled with a fan-out the size estimator cannot
+    # see (round-11 broadcast_audit hit: the right side was broadcast
+    # at 10× stats). SMJ on the fixed-width shingle key is the scale
+    # plan; the id_a < id_b predicate applies post-match.
     return (
         ex.alias("a")
         .join(
-            ex.alias("b"),
+            ex.alias("b").hint("merge"),
             (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))

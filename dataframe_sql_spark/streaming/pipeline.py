@@ -163,24 +163,32 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
-def running_user_totals(events: DataFrame, timeout_minutes: int = 0) -> DataFrame:
+def running_user_totals(
+    events: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (the escape hatch for semantics no built-in stateful op covers):
     per-user running event count + value total, emitted per batch.
 
-    ``timeout_minutes`` > 0 evicts state after that much
-    processing-time inactivity so state stays bounded on an unbounded
-    24/7 stream. It defaults to 0 (``NoTimeout``) because a
-    processing-time timeout makes ``trigger(availableNow=True)`` drains
-    NEVER TERMINATE: after the source is exhausted, the micro-batch
-    engine keeps scheduling empty batches forever to give pending
-    timeouts a chance to fire (observed: 80+ empty batches and
-    ``isActive`` still true 3 minutes after the last data batch; the
-    round-10 streaming soak is what surfaced it). Continuous
-    deployments that want eviction should pass an explicit timeout and
-    use a processing-time trigger; drain-style jobs (backfills, tests,
-    exactly-once gates) need the NoTimeout default to reach
-    termination.
+    ``timeout_minutes`` is a REQUIRED choice for streaming input,
+    because neither default is safe for both deployment styles:
+
+    - ``timeout_minutes=N`` (> 0) evicts a user's state after N minutes
+      of processing-time inactivity — what a continuous 24/7 stream
+      needs, or state grows with lifetime key cardinality. BUT a
+      processing-time timeout makes ``trigger(availableNow=True)``
+      drains NEVER TERMINATE: after the source is exhausted the
+      micro-batch engine keeps scheduling empty batches forever to give
+      pending timeouts a chance to fire (observed: 80+ empty batches,
+      ``isActive`` still true 3 min after the last data batch — the
+      round-10 streaming soak surfaced it).
+    - ``timeout_minutes=0`` (``NoTimeout``) is what drain-style jobs
+      (backfills, tests, exactly-once gates) need to reach termination
+      — BUT on a continuous stream it accumulates state unboundedly.
+
+    A silent default would change production semantics at call sites
+    (round-10 flipped 60 → 0 and the advisor rightly flagged it), so
+    streaming callers must pass it explicitly. Batch input ignores it.
 
     In batch mode, falls back to the equivalent groupBy aggregate
     (same output schema) — mirroring how the windowed transforms stay
@@ -189,6 +197,15 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 0) -> DataFram
     if not events.isStreaming:
         return events.groupBy("user_id").agg(
             F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+        )
+    if timeout_minutes is None:
+        raise ValueError(
+            "running_user_totals on a streaming DataFrame requires an "
+            "explicit timeout_minutes: 0 (NoTimeout) for drain-style "
+            "jobs that must terminate under trigger(availableNow), or "
+            "> 0 (processing-time eviction) for continuous streams so "
+            "state stays bounded. See the docstring for why there is "
+            "no safe default."
         )
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

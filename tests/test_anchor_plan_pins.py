@@ -164,6 +164,9 @@ BENCH_KEYS = [
     "dd_minhash_pairs",
     "sim_knn_join_probed",
     "x_dsir_weights",
+    "a_cms_heavy_hitters",
+    "txt_winnow_fingerprint",
+    "txt_winnow_maponly",
 ]
 
 
@@ -200,6 +203,80 @@ def test_knn_probed_cell_join_stays_sort_merge(bench_plans):
     assert "SortMergeJoin" in plan, plan
     assert "Window" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_cms_heavy_hitters_partials_and_bounded_topk(bench_plans):
+    # per-segment CMS partials merge map-side (partial+final aggregate
+    # pairs), the exact top-10 is a TakeOrderedAndProject (bounded k,
+    # never a global sort), and the only broadcast sides are the
+    # 10-row probe list / counter table — no corpus-sized exchange
+    # beyond the word-keyed count, and no single-partition stage
+    plan = bench_plans["a_cms_heavy_hitters"]
+    assert "TakeOrderedAndProject(limit=10" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_winnow_window_form_single_bounded_exchange(bench_plans):
+    # the window formulation's design contract: ONE corpus exchange,
+    # keyed on doc_id (the distinct's (doc_id, fp) requirement is
+    # satisfied by the window's doc_id partitioning, so no second
+    # shuffle appears) — a regression adding an exchange would erase
+    # its advantage over the map-only twin
+    plan = bench_plans["txt_winnow_fingerprint"]
+    assert plan.count("Exchange ") == 1, plan
+    keys = _exchange_keys(plan)
+    assert len(keys) == 1 and "doc_id#" in keys[0], plan
+    assert "Window" in plan, plan
+
+
+def test_winnow_maponly_form_has_zero_exchanges(bench_plans):
+    # the map-only twin exists PRECISELY to have no exchange at all —
+    # the formulation for when the corpus-wide shuffle, not CPU, is
+    # the bottleneck; any Exchange in this plan defeats its purpose
+    plan = bench_plans["txt_winnow_maponly"]
+    assert "Exchange" not in plan, plan
+    assert "Sort" not in plan, plan
+
+
+def test_ivfpq_build_collects_are_bounded(spark, tmp_path):
+    # "bounded sample → driver codebooks, no full-corpus collect": every
+    # DataFrame.collect() the IVF-PQ index build performs must carry a
+    # bounding operator in its physical plan (top-k sample / limit /
+    # bounded-key aggregate output) — the property that keeps the build
+    # at sample·dim floats on the driver at ANY corpus size. Intercept
+    # collect() and inspect the executed plan of each collected frame.
+    # pyspark 4: pyspark.sql.DataFrame is the abstract facade; live
+    # sessions hand out the classic subclass — patch the class whose
+    # collect actually runs
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from dataframe_sql_spark.operators.similarity import ivfpq_index_write
+    from dataframe_sql_spark.registry_ext import _emb
+
+    collected_plans: list[str] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        collected_plans.append(
+            self._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig(self)
+
+    DataFrame.collect = spy
+    try:
+        ivfpq_index_write(
+            _emb(spark, SF_DIR), str(tmp_path / "idx"),
+            n_cells=8, n_sub=4, n_codes=16, dim=64,
+        )
+    finally:
+        DataFrame.collect = orig
+    assert collected_plans, "build performed no collects?"
+    for plan in collected_plans:
+        assert re.search(
+            r"TakeOrderedAndProject|GlobalLimit|CollectLimit", plan
+        ), f"unbounded collect during IVF-PQ build:\n{plan[:1500]}"
 
 
 def test_dsir_single_bucket_shuffle_shape(bench_plans):

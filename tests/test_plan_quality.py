@@ -423,21 +423,32 @@ def test_global_rank_matches_sql_window(engine):
 
 
 def test_relevance_family_vocab_joins_broadcast(spark):
-    """TF-IDF/BM25/LM-score vocab-statistics joins must be
-    BroadcastHashJoin (the post-agg vocab tables are Zipf-bounded),
-    never SortMergeJoin — a sort-merge here would shuffle the exploded
-    token stream a second time at 100 TB."""
+    """TF-IDF/BM25 vocab-statistics joins must be BroadcastHashJoin
+    (the post-agg UNIGRAM vocab tables are Zipf-bounded), never
+    SortMergeJoin — a sort-merge here would shuffle the exploded token
+    stream a second time at 100 TB. txt_lm_score is the split case
+    (round-11 broadcast audit): its unigram table stays broadcast, but
+    the UNPRUNED bigram-count table has near-corpus cardinality with a
+    post-explode-blind estimate, so that join is pinned SortMergeJoin
+    — a dropped merge hint would revert it to the estimator-blind
+    broadcast class."""
     import __spark_entry__ as entrymod
     from tests.conftest import SF_DIR
 
     qs = entrymod.queries()
-    for name in ("txt_tfidf", "txt_bm25", "txt_lm_score", "dd_lines"):
+    for name in ("txt_tfidf", "txt_bm25", "dd_lines"):
         df = qs[name](spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
         assert "SortMergeJoin" not in plan, f"{name} fell back to SMJ"
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcasts"
+    df = qs["txt_lm_score"](spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan, "lm_score bigram join lost its merge hint"
+    assert "BroadcastHashJoin" in plan, "lm_score unigram join lost broadcast"
 
 
 def test_range_and_linkage_joins_are_hash_joins(spark):

@@ -44,11 +44,21 @@ def test_session_stream_runs(spark, events_stream):
     assert len(rows) > 0 and all(r.n_events >= 1 for r in rows)
 
 
+def test_stateful_requires_explicit_timeout_on_stream(events_stream):
+    # No safe default exists: NoTimeout never evicts on a 24/7 stream,
+    # ProcessingTimeTimeout never terminates under availableNow drains.
+    # Streaming callers must choose; batch callers need not.
+    from dataframe_sql_spark.streaming.pipeline import running_user_totals
+
+    with pytest.raises(ValueError, match="timeout_minutes"):
+        running_user_totals(events_stream)
+
+
 def test_stateful_running_totals_stream(spark, engine, events_stream):
     from dataframe_sql_spark.streaming.pipeline import running_user_totals
 
     streamed = run_stream_to_memory(
-        running_user_totals(events_stream), "t_stateful", spark, output_mode="update"
+        running_user_totals(events_stream, timeout_minutes=0), "t_stateful", spark, output_mode="update"
     )
     # single-batch availableNow run → final state equals the batch aggregate
     batch = {
@@ -425,7 +435,7 @@ def test_stateful_restart_after_failure_state_exactly_once(spark, tmp_path):
             .parquet(src)
         )
         q = (
-            running_user_totals(stream)
+            running_user_totals(stream, timeout_minutes=0)
             .writeStream.foreachBatch(failing_sink)
             .option("checkpointLocation", ckpt)
             .outputMode("update")

@@ -43,25 +43,68 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # the blindness class doesn't apply the same way there.
 DEFAULT_PREFIXES = ("dd_", "txt_", "emb_", "sim_", "x_", "pipe_", "mm_")
 
-# Adjudicated-OK broadcasts (round 10): entries whose remaining hits
-# are bounded BY DESIGN, not by estimate. dd_incremental*: the
-# broadcast side is the incremental BATCH's banded keys — in
-# production that is the delta, bounded by batch sizing policy, and
-# broadcasting it against the big history index is exactly the
-# intended plan (the docstring says so). dd_fuzzy_decontaminate /
-# pipe_dedup_funnel: the flagged sides are thin scalar projections
-# (doc_id + bool / bare vec_id, ≤9-byte rows) whose width the
-# estimator sees HONESTLY — at real scale the row count pushes the
-# estimate over the threshold and AQE/static planning flips to SMJ on
-# its own; hinting would just slow the small case. Every OTHER hit
-# class (array-carrying corpus sides — width-blind via
-# ArrayType.defaultSize) is fixed with merge hints at the operator
-# sites; see SCALE.md round-10.
+# Adjudicated-OK broadcasts, by entry, each with its reason CLASS
+# (round 11 — the round-10 set plus the entries surfaced when the
+# 'any aggregate bounds' false-negative was removed). The classes:
+#
+# honest_thin — agg-topped scalar side (fingerprint→min-id survivor
+#   tables, per-doc count/length tables): output rows are LINEAR in
+#   the corpus and the estimator sees both the width and the growth
+#   honestly, so at real scale the estimate crosses the threshold and
+#   static planning/AQE flips to SMJ on its own; broadcast is the
+#   correct mid-scale plan and hinting would only slow it. (The
+#   round-10 adjudication rule, now applied per entry.)
+# bounded_keyspace — agg keys are a DESIGN constant's keyspace (bloom
+#   bit positions, simhash chunk×piece signature space with the ≤1000
+#   bucket cap, DSIR's B=10k hash buckets, x_global_shuffle's fixed
+#   salt buckets): output cardinality cannot exceed the constant no
+#   matter the corpus.
+# vocab_sublinear — unigram word→count tables (DF/IDF/rarity/unigram
+#   LM mass): vocabulary grows sublinearly (Heaps' law) and the
+#   broadcast IS the scale plan — the alternative shuffles the
+#   exploded corpus word stream, strictly worse; the standard
+#   map-side-join call. (The BIGRAM table is NOT in this class — its
+#   keyspace is near-corpus unpruned, so bigram_lm_scores merge-joins
+#   it; round-11 fix.)
+# bounded_delta — dd_incremental*'s broadcast side is the incremental
+#   BATCH's banded keys: in production that is the delta, bounded by
+#   batch sizing policy, and broadcasting it against the big history
+#   index is exactly the intended plan.
+#
+# Width-blind ARRAY-carrying corpus sides are never adjudicated —
+# that class is fixed with merge hints at the operator sites
+# (SCALE.md round-10; _shingle_sharing_candidates and bigram c12
+# added round-11).
 ADJUDICATED_OK = {
-    "dd_incremental",
-    "dd_incremental_verified",
-    "dd_fuzzy_decontaminate",
-    "pipe_dedup_funnel",
+    "dd_incremental": "bounded_delta",
+    "dd_incremental_verified": "bounded_delta",
+    "dd_fuzzy_decontaminate": "honest_thin",
+    "pipe_dedup_funnel": "honest_thin",
+    "dd_exact": "honest_thin",
+    "dd_exact_normalized": "honest_thin",
+    "pipe_curation": "honest_thin",
+    "dd_decontaminate": "honest_thin",
+    "dd_substring_spans": "honest_thin",
+    "dd_substring_remove": "honest_thin",
+    "x_split_decontaminate": "honest_thin",
+    "txt_char_entropy": "honest_thin",
+    "txt_bm25": "honest_thin (doc-length table) + vocab_sublinear (DF)",
+    "dd_simhash": "honest_thin (dupe-id set; 100x/2GiB zero-spill gate)",
+    "dd_bloom_cert": "bounded_keyspace (bloom bit positions)",
+    "dd_simhash_probed": "bounded_keyspace (chunk x piece, <=1000 cap)",
+    "dd_simhash_probed_verified": "bounded_keyspace (chunk x piece, <=1000 cap)",
+    "x_dsir_weights": "bounded_keyspace (B=10k hash buckets)",
+    "x_global_shuffle": "bounded_keyspace (fixed salt buckets)",
+    "dd_lines": (
+        "vocab_sublinear (boilerplate line-hash set: lines repeated "
+        "across >=min_df docs are template/chrome, Zipf-bounded — "
+        "map-side verdict lookup per line is the RefinedWeb plan; "
+        "documented in line_dedup's docstring)"
+    ),
+    "txt_tfidf": "vocab_sublinear",
+    "txt_pmi": "vocab_sublinear",
+    "txt_word_rarity": "vocab_sublinear",
+    "txt_lm_score": "vocab_sublinear (unigram side; bigram side merge-joined)",
 }
 
 # plan-build for these RUNS heavy jobs (training/iteration) at the
@@ -77,6 +120,48 @@ SKIP_HEAVY_BUILDERS = {
     "dd_clusters_verified",
     "x_pagerank",
 }
+
+
+# Grouping-key name classes for aggregate-bounded broadcasts. An
+# aggregate bounds the broadcast only if its key CARDINALITY is
+# bounded: global aggs (no keys) and aggs keyed on design-bounded
+# spaces (bands, cells, codes, segments…) are fine; an agg keyed on a
+# per-document / per-vector id has corpus cardinality — its output is
+# exactly as many rows as the corpus, so it does NOT bound the
+# broadcast (the advisor's round-10 false-negative class).
+BOUNDED_KEY_RE = re.compile(
+    r"\b(band|bucket|cell|probe|cluster|centroid|code|codebook|lane|sub"
+    r"|seg(ment)?|lang|event_type|source|split|label|grp|group|bin"
+    r"|quantile|topic|sig|r|m|k)\d*#",
+    re.I,
+)
+CORPUS_KEY_RE = re.compile(
+    r"\b(doc_id|vec_id|event_id|left[a-z_]*|right[a-z_]*|a_id|b_id|id"
+    r"|url|fingerprint|fp|hash\w*|text|line|shingle|ngram|token\w*)\d*#",
+    re.I,
+)
+
+
+def _first_agg_keys(sub: str) -> tuple[bool, str] | None:
+    """(keys_are_bounded, keys_text) for the aggregate node NEAREST the
+    BroadcastExchange (the shallowest one — it determines the broadcast
+    row count), or None if the subtree has no aggregate."""
+    m = re.search(
+        r"(?:HashAggregate|ObjectHashAggregate|SortAggregate)"
+        r"\(keys=\[([^\]]*)\]",
+        sub,
+    )
+    if not m:
+        return None
+    keys = m.group(1).strip()
+    if not keys:
+        return True, keys  # global aggregate: one row
+    if CORPUS_KEY_RE.search(keys):
+        return False, keys  # corpus-cardinality key space
+    if BOUNDED_KEY_RE.search(keys):
+        return True, keys
+    # unknown key names: conservative — needs adjudication
+    return False, keys
 
 
 def _subtrees(plan: str, marker: str):
@@ -139,30 +224,39 @@ def main() -> int:
                 corpus_scan = re.search(
                     r"FileScan parquet .*(documents|embeddings)", sub
                 )
-                has_explode = "Generate explode" in sub
+                # any Generate (explode/posexplode/inline/UDTF) is a
+                # row fan-out the size estimator cannot see
+                has_explode = "Generate " in sub
                 if not (corpus_scan or has_explode):
                     continue
-                # An aggregate or limit anywhere between the broadcast
-                # and the scan bounds the broadcast volume by key
-                # cardinality / k, not corpus bytes — the
-                # broadcast_attach totals, B-bounded score tables and
-                # capped vocab lists all look like this. A broadcast
-                # whose subtree reaches the corpus scan (or an explode)
-                # through ONLY row-preserving ops is the prefix_pairs
+                # A LIMIT between the broadcast and the scan bounds the
+                # broadcast volume by k, not corpus bytes. An AGGREGATE
+                # bounds it only when its grouping-key cardinality is
+                # bounded (global aggs, band/cell/code-keyed score
+                # tables, capped vocab lists); an agg keyed on
+                # doc_id/vec_id outputs one row PER CORPUS ROW — e.g. a
+                # groupBy(doc_id) collect_list of shingles is still a
+                # corpus-sized broadcast, so it stays a hit (advisor's
+                # round-10 false-negative class). A broadcast whose
+                # subtree reaches the corpus scan (or an explode)
+                # through only row-preserving ops is the prefix_pairs
                 # class: its size IS the corpus.
-                reduced = bool(
-                    re.search(
-                        r"HashAggregate|ObjectHashAggregate|SortAggregate"
-                        r"|TakeOrderedAndProject|GlobalLimit|CollectLimit"
-                        r"|Deduplicate",
-                        sub,
-                    )
-                )
-                if reduced:
+                if re.search(
+                    r"TakeOrderedAndProject|GlobalLimit|CollectLimit", sub
+                ):
                     continue
+                agg = _first_agg_keys(sub)
+                if agg is not None and agg[0]:
+                    continue  # bounded-key or global aggregate
+                kind = (
+                    "corpus_keyed_aggregate" if agg is not None
+                    else "row_preserving"
+                )
                 hits.append(
                     {
                         "entry": name,
+                        "kind": kind,
+                        "agg_keys": agg[1] if agg else None,
                         "explode_in_subtree": has_explode,
                         "corpus_scan": bool(corpus_scan),
                         "snippet": " | ".join(
@@ -171,8 +265,9 @@ def main() -> int:
                     }
                 )
                 print(
-                    f"HIT {name}: explode={has_explode} "
+                    f"HIT {name}: kind={kind} explode={has_explode} "
                     f"corpus_scan={bool(corpus_scan)}"
+                    + (f" agg_keys={agg[1][:60]}" if agg else "")
                 )
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -186,7 +281,7 @@ def main() -> int:
                 "build_errors": errors,
                 "raw_corpus_broadcasts": len(hits),
                 "unadjudicated": sorted(
-                    {h["entry"] for h in hits} - ADJUDICATED_OK
+                    {h["entry"] for h in hits} - set(ADJUDICATED_OK)
                 ),
                 "hit_entries": sorted({h["entry"] for h in hits}),
                 "hit_details": hits[:30],

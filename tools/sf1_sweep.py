@@ -138,23 +138,36 @@ def run_axis(axis: str) -> dict:
             text=True,
             timeout=7200,
         )
-        out = proc.stdout.replace("\r", "\n")
-        passes = len(re.findall(r"^PASS ", out, re.M))
-        fails = re.findall(r"^FAIL .*$", out, re.M)
-        skips = len(re.findall(r"^SKIP ", out, re.M))
-        return {
-            "metric": "sf1_sweep",
-            "axis": axis,
-            "dir": d,
-            "pass": passes,
-            "fail": len(fails),
-            "fail_names": [f.split(" ")[1].rstrip(":") for f in fails][:20],
-            "skipped_infeasible_oracle": skips,
-            "all_green": proc.returncode == 0 and not fails and passes > 0,
-            "wall_sec": round(time.perf_counter() - t0, 1),
-        }
+        res = parse_check_output(proc.stdout, proc.returncode)
+        res.update(
+            {
+                "metric": "sf1_sweep",
+                "axis": axis,
+                "dir": d,
+                "wall_sec": round(time.perf_counter() - t0, 1),
+            }
+        )
+        return res
     finally:
         shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def parse_check_output(stdout: str, returncode: int) -> dict:
+    """Fold a check_oracle run into the sweep's verdict fields.
+    Extracted so the red path is unit-testable (round-11 oracle-red
+    probe: a gate that has only ever confirmed green is itself
+    unverified) — see tests/test_tools.py."""
+    out = stdout.replace("\r", "\n")
+    passes = len(re.findall(r"^PASS ", out, re.M))
+    fails = re.findall(r"^FAIL .*$", out, re.M)
+    skips = len(re.findall(r"^SKIP ", out, re.M))
+    return {
+        "pass": passes,
+        "fail": len(fails),
+        "fail_names": [f.split(" ")[1].rstrip(":") for f in fails][:20],
+        "skipped_infeasible_oracle": skips,
+        "all_green": returncode == 0 and not fails and passes > 0,
+    }
 
 
 def main() -> int:

@@ -137,7 +137,7 @@ def main() -> int:
                 .parquet(src)
             )
             q = (
-                running_user_totals(stream)
+                running_user_totals(stream, timeout_minutes=0)
                 .writeStream.foreachBatch(failing_sink)
                 .option("checkpointLocation", ckpt)
                 .outputMode("update")
