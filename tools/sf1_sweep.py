@@ -99,10 +99,11 @@ def axis_entries(axis: str) -> list[str]:
     return picked
 
 
-def build_dir(axis: str) -> str:
-    """Write the 10× expansion as parquet under a dir whose basename
-    carries 'sf1' so check_oracle parses sf=1.0 (that is what arms the
-    oracle_max_sf auto-skips)."""
+def build_dir(axis: str, factor: int = 10) -> str:
+    """Write the ``factor``× expansion as parquet under a dir whose
+    basename carries the resulting sf (factor 10 → 'sf1', 100 →
+    'sf10') so check_oracle parses the right sf — that is what arms
+    the oracle_max_sf auto-skips."""
     from dataframe_sql_spark.session import get_spark
 
     import bench
@@ -110,16 +111,19 @@ def build_dir(axis: str) -> str:
     spark = get_spark(f"sf1_sweep_build_{axis}")
     spark.sparkContext.setLogLevel("ERROR")
     kind = "tpch" if axis == "tpch" else "docs"
-    raw = bench._write_scaled_dir(spark, "/root/testdata/sf0.1", 10, kind)
-    dst = os.path.join(os.path.dirname(raw), f"sf1_{axis}_{os.getpid()}", "sf1")
+    raw = bench._write_scaled_dir(spark, "/root/testdata/sf0.1", factor, kind)
+    sf_name = f"sf{0.1 * factor:g}"
+    dst = os.path.join(
+        os.path.dirname(raw), f"{sf_name}_{axis}_{os.getpid()}", sf_name
+    )
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     os.rename(raw, dst)  # symlinks inside are absolute, they survive
     return dst
 
 
-def run_axis(axis: str) -> dict:
+def run_axis(axis: str, factor: int = 10) -> dict:
     t0 = time.perf_counter()
-    d = build_dir(axis)
+    d = build_dir(axis, factor)
     try:
         proc = subprocess.run(
             [
@@ -136,13 +140,17 @@ def run_axis(axis: str) -> dict:
             ],
             capture_output=True,
             text=True,
-            timeout=7200,
+            # the 10x axes fit in 2h; larger decades get wall room in
+            # proportion (the linear-oracle subset dominates the cost)
+            timeout=7200 if factor <= 10 else 7200 + 144 * factor,
         )
         res = parse_check_output(proc.stdout, proc.returncode)
         res.update(
             {
                 "metric": "sf1_sweep",
                 "axis": axis,
+                "factor": factor,
+                "sf": round(0.1 * factor, 4),
                 "dir": d,
                 "wall_sec": round(time.perf_counter() - t0, 1),
             }
@@ -172,13 +180,19 @@ def parse_check_output(stdout: str, returncode: int) -> dict:
 
 def main() -> int:
     axis = "both"
+    factor = 10
     for a in sys.argv[1:]:
         if a.startswith("--axis="):
             axis = a.split("=", 1)[1]
+        elif a.startswith("--factor="):
+            # e.g. --factor=100 --axis=docs = the 500k-docs decade:
+            # sf10-equivalent on the corpus axis, linear-oracle entries
+            # only (quadratic oracles self-exclude via oracle_max_sf)
+            factor = int(a.split("=", 1)[1])
     axes = ["tpch", "docs"] if axis == "both" else [axis]
     ok = True
     for ax in axes:
-        res = run_axis(ax)
+        res = run_axis(ax, factor)
         print(json.dumps(res), flush=True)
         ok = ok and res["all_green"]
     return 0 if ok else 1

@@ -95,18 +95,24 @@ def main() -> int:
         if expand_users > 1:
             # R id-shifted replicas: every replica contributes a disjoint
             # user-id range, so key cardinality scales exactly R× while
-            # per-key row counts stay identical to the 1× soak
-            from functools import reduce
-
-            events = reduce(
-                lambda x, y: x.unionByName(y),
-                [
-                    events.withColumn(
-                        "user_id",
-                        F.col("user_id") + F.lit(r * 10_000_000),
-                    )
-                    for r in range(expand_users)
-                ],
+            # per-key row counts stay identical to the 1× soak. Expansion
+            # is a single explode (one narrow plan node) rather than an
+            # R-way unionByName chain — at the million-key point (R=667)
+            # a union chain is 667 plan branches, which Catalyst analyzes
+            # in superlinear time and the scheduler treats as 667 scans.
+            events = (
+                events.withColumn(
+                    "__r",
+                    F.explode(F.sequence(F.lit(0), F.lit(expand_users - 1))),
+                )
+                .withColumn(
+                    "user_id",
+                    # long math: at R=667 the shift is 6.66e9, past int32
+                    # (ANSI mode makes the overflow a hard error)
+                    F.col("user_id").cast("long")
+                    + F.col("__r").cast("long") * F.lit(10_000_000),
+                )
+                .drop("__r")
             )
         events.repartition(n_files).write.parquet(src)
         # one micro-batch per SOURCE FILE: count what the writer
@@ -168,17 +174,26 @@ def main() -> int:
                 ),
             )
             .filter("__rn = 1")
-            .select("user_id", "n_events", "total_value")
+            .select(
+                "user_id",
+                "n_events",
+                F.round("total_value", 6).alias("total_value"),
+            )
         )
-        got = {
-            r.user_id: (r.n_events, round(r.total_value, 6))
-            for r in latest.collect()
-        }
-        want = {
-            r.user_id: (r.n_events, round(r.total_value, 6))
-            for r in running_user_totals(events).collect()
-        }
-        state_ok = got == want and len(got) > 0
+        # exactly-once check stays DISTRIBUTED (symmetric exceptAll +
+        # counts): at the million-key point the old two-sided collect
+        # pulled ~2M rows into Python dicts — the comparison must scale
+        # with the state it validates, same rule as the operators.
+        want = running_user_totals(events).select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+        n_got = latest.count()
+        n_diff = (
+            latest.exceptAll(want).count() + want.exceptAll(latest).count()
+        )
+        state_ok = n_diff == 0 and n_got > 0
         all_batches = batch_ids == list(range(n_src_files))
         # commit-time flatness: as state accumulates, per-batch sink wall
         # must not grow with batch index (a growing trend means the state
@@ -200,7 +215,7 @@ def main() -> int:
                     "all_batches_emitted": all_batches,
                     "injected_failures": sorted(fail_at),
                     "restarts": restarts,
-                    "users": len(got),
+                    "users": n_got,
                     "expand_users": expand_users,
                     "rocksdb": rocksdb,
                     "state_exactly_once": state_ok,
