@@ -62,6 +62,20 @@ def test_sweep_axes_disjoint_and_total():
     assert len(t) > 100 and len(d) > 50
 
 
+def test_ledger_certificate_coverage_closed_under_growth():
+    # Same-commit certificate policy as a SUITE gate: build_table()
+    # asserts every rows-only catalog entry maps to a certificate that
+    # is itself an oracled (hash-checkable) catalog entry. Running it
+    # here means a commit that adds a rows-only entry without its
+    # certificate (or removes/downgrades a cited certificate) fails the
+    # suite in that same commit — the ledger tool no longer has to be
+    # invoked manually for the policy to bind.
+    from tools.attestation_ledger import build_table
+
+    table = build_table()
+    assert "| `dd_minhash` | rows-only |" in table
+
+
 def test_ledger_rows_only_rows_count_green():
     # the round-10 advisor bug: rows-only driver rows (err='no_oracle',
     # real spark_rows) must count as attestations or they would be
