@@ -249,13 +249,29 @@ _reg_sql(
 def _file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row provenance via the hidden _metadata struct: at 100 TB,
     tracing a corrupt row back to its source file is the difference
-    between reprocessing one file and reprocessing a day."""
+    between reprocessing one file and reprocessing a day.
+
+    The exposed ``fname`` is the DATASET path segment (first segment
+    ending in ``.parquet``), not the physical file basename: a table
+    is one file at the test SFs but a directory of part files once
+    anything rewrites it (every scaled/production layout), and the
+    r11 sf1 sweep caught the old ``element_at(split(...), -1)`` form
+    returning ``part-*.parquet`` there while the oracle said
+    ``documents.parquet``. The full physical path stays available to
+    callers via ``_metadata.file_path`` itself; this entry pins the
+    layout-invariant dataset-level lineage both engines can agree on."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return df.select(
         "doc_id",
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("fname"),
+        F.element_at(
+            F.filter(
+                F.split(F.col("_metadata.file_path"), "/"),
+                lambda s: s.endswith(".parquet"),
+            ),
+            1,
+        ).alias("fname"),
     )
 
 
@@ -264,8 +280,9 @@ _reg(
     "x_file_metadata",
     _file_metadata,
     "SELECT doc_id, 'documents.parquet' AS fname FROM documents",
-    "hidden _metadata.file_path column exposed as row-level lineage "
-    "(constant oracle works because each table is a single parquet file)",
+    "hidden _metadata.file_path column exposed as dataset-level row "
+    "lineage (layout-invariant: same value whether the table is a "
+    "single parquet file or a directory of part files)",
 )
 
 

@@ -444,3 +444,20 @@ def test_broadcast_attach_skips_unhashable_first_column(spark):
     # all-complex frame: to_json fallback path
     df2 = spark.range(3).select(F.create_map(F.lit("k"), F.col("id")).alias("m"))
     assert broadcast_attach(df2, small).count() == 3
+
+
+def test_file_metadata_fname_is_layout_invariant(spark, tmp_path):
+    """x_file_metadata must report the DATASET path segment, not the
+    physical part-file basename: tables are single files at test SFs
+    but directories of part files in every rewritten/scaled layout
+    (the r11 sf1 sweep caught the old basename form diverging from
+    the oracle there)."""
+    from dataframe_sql_spark.registry_analytics import _file_metadata
+
+    src = spark.range(10).selectExpr("id as doc_id", "'t' as text")
+    # multi-file layout: documents.parquet is a DIRECTORY of parts
+    src.repartition(3).write.parquet(str(tmp_path / "documents.parquet"))
+    out = _file_metadata(spark, str(tmp_path))
+    names = {r.fname for r in out.select("fname").distinct().collect()}
+    assert names == {"documents.parquet"}
+    assert out.count() == 10
