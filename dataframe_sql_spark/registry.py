@@ -962,10 +962,63 @@ _PRIOR_GREEN: list[str] = [
 # they were attested in the r10 window with certificates green in the
 # same window) — the fresh proposal matched the staged block exactly,
 # 42/42 names in order.
-# ROUND 12 RECIPE: re-run --propose-window once CORRECTNESS_r11
-# exists, stage _R12_BLOCK, and set
-#   PRIORITY = _ANCHORS + _R12_BLOCK + _R11_BLOCK + ... + _PRIOR_GREEN
-PRIORITY: list[str] = _ANCHORS + _R11_BLOCK + _R10_BLOCK + _R9_BLOCK + _PRIOR_GREEN
+# ROUND 12 ROTATION (executed): deterministic output of
+#   python tools/attestation_ledger.py --propose-window
+# against the REAL CORRECTNESS_r11.json (50/50 green, so no red
+# re-entries). Refresh targets: the r5-era join/sketch/tpch cohort
+# plus the head of the r6/r7 dialect/join/agg block — exactly the
+# stalest-42 by last-green round, ties by catalog order.
+# ROUND 13 RECIPE: re-run --propose-window once CORRECTNESS_r12
+# exists, stage _R13_BLOCK, and set
+#   PRIORITY = _ANCHORS + _R13_BLOCK + _R12_BLOCK + ... + _PRIOR_GREEN
+_R12_BLOCK: list[str] = [
+    "j_bloom_prefilter",  # last green: r5
+    "j_interval_overlap",  # last green: r5
+    "a_hll_sketch_rollup",  # last green: r5
+    "a_hll_intersect_cert",  # last green: r5
+    "a_cms_heavy_hitters",  # last green: r5
+    "x_cohort_retention",  # last green: r5
+    "x_temperature_mix",  # last green: r5
+    "x_record_linkage",  # last green: r5
+    "g_triangles",  # last green: r5
+    "mm_audio_chunks",  # last green: r5
+    "mm_video_frames",  # last green: r5
+    "pipe_dedup_funnel",  # last green: r5
+    "tpch_q7_volume",  # last green: r5
+    "tpch_q9_profit",  # last green: r5
+    "tpch_q13_custdist",  # last green: r5
+    "tpch_q15_top_supplier",  # last green: r5
+    "tpch_q17_small_qty",  # last green: r5
+    "tpch_q19_disjunctive",  # last green: r5
+    "tpch_q21_waiting",  # last green: r5
+    "tpch_q20_share_suppliers",  # last green: r5
+    "p_project_alias",  # last green: r7
+    "p_autonaming",  # last green: r7
+    "p_arith",  # last green: r7
+    "p_string_literal",  # last green: r7
+    "p_cast",  # last green: r7
+    "p_filter_predicates",  # last green: r7
+    "p_between_in",  # last green: r7
+    "p_distinct",  # last green: r7
+    "d_timestamp_fn",  # last green: r7
+    "j_inner",  # last green: r7
+    "j_left",  # last green: r7
+    "j_right",  # last green: r7
+    "j_full",  # last green: r7
+    "j_cross",  # last green: r7
+    "j_comma_implicit",  # last green: r7
+    "j_self_alias",  # last green: r7
+    "a_global",  # last green: r7
+    "a_groupby_bare",  # last green: r7
+    "a_groupby_having",  # last green: r7
+    "a_having_no_groupby",  # last green: r7
+    "a_count_distinct",  # last green: r7
+    "a_rollup",  # last green: r7
+]
+
+PRIORITY: list[str] = (
+    _ANCHORS + _R12_BLOCK + _R11_BLOCK + _R10_BLOCK + _R9_BLOCK + _PRIOR_GREEN
+)
 
 
 def _ordered_names() -> list[str]:

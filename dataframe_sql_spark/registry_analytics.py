@@ -251,23 +251,37 @@ def _file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracing a corrupt row back to its source file is the difference
     between reprocessing one file and reprocessing a day.
 
-    The exposed ``fname`` is the DATASET path segment (first segment
-    ending in ``.parquet``), not the physical file basename: a table
-    is one file at the test SFs but a directory of part files once
-    anything rewrites it (every scaled/production layout), and the
-    r11 sf1 sweep caught the old ``element_at(split(...), -1)`` form
-    returning ``part-*.parquet`` there while the oracle said
-    ``documents.parquet``. The full physical path stays available to
-    callers via ``_metadata.file_path`` itself; this entry pins the
-    layout-invariant dataset-level lineage both engines can agree on."""
+    The exposed ``fname`` is the DATASET path segment, not the
+    physical file basename: a table is one file at the test SFs but a
+    directory of part files once anything rewrites it (every scaled/
+    production layout), and the r11 sf1 sweep caught the old
+    ``element_at(split(...), -1)`` form returning ``part-*.parquet``
+    there while the oracle said ``documents.parquet``. Anchoring: the
+    path remainder AFTER the known ``sf_dir`` prefix is split and its
+    first ``.parquet``-suffixed segment taken, so an ancestor
+    directory that itself ends in ``.parquet`` (a lake layout like
+    ``/data/corpus.parquet/sf0.1``) can't shadow the dataset segment
+    (r11 advisor catch). If the prefix is absent from
+    ``_metadata.file_path`` (symlink-resolved listing), the split
+    degrades to the whole path and the first ``.parquet`` segment —
+    the pre-r12 behavior. The full physical path stays available to
+    callers via ``_metadata.file_path`` itself."""
+    import os
+
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prefix = os.path.abspath(sf_dir).rstrip("/") + "/"
     return df.select(
         "doc_id",
         F.element_at(
             F.filter(
-                F.split(F.col("_metadata.file_path"), "/"),
+                F.split(
+                    F.substring_index(
+                        F.col("_metadata.file_path"), prefix, -1
+                    ),
+                    "/",
+                ),
                 lambda s: s.endswith(".parquet"),
             ),
             1,

@@ -461,3 +461,11 @@ def test_file_metadata_fname_is_layout_invariant(spark, tmp_path):
     names = {r.fname for r in out.select("fname").distinct().collect()}
     assert names == {"documents.parquet"}
     assert out.count() == 10
+    # ancestor dir itself named *.parquet (lake layout,
+    # r11 advisor catch): the sf_dir-anchored split must still
+    # report the dataset segment, not the ancestor
+    lake = tmp_path / "corpus.parquet" / "sf0.1"
+    src.repartition(2).write.parquet(str(lake / "documents.parquet"))
+    out2 = _file_metadata(spark, str(lake))
+    names2 = {r.fname for r in out2.select("fname").distinct().collect()}
+    assert names2 == {"documents.parquet"}

@@ -125,25 +125,51 @@ def run_axis(axis: str, factor: int = 10) -> dict:
     t0 = time.perf_counter()
     d = build_dir(axis, factor)
     try:
-        proc = subprocess.run(
-            [
-                sys.executable,
-                "tools/check_oracle.py",
-                "--vanilla",
-                "--strict",
-                # a 6M-row axis on 32 local threads OOMs the 1g default
-                # heap regardless of plan shape; memory is an
-                # environment axis, sized like a real deploy would
-                "--driver-memory=8g",
-                f"--names={','.join(axis_entries(axis))}",
-                d,
-            ],
-            capture_output=True,
-            text=True,
-            # the 10x axes fit in 2h; larger decades get wall room in
-            # proportion (the linear-oracle subset dominates the cost)
-            timeout=7200 if factor <= 10 else 7200 + 144 * factor,
-        )
+        # the 10x axes fit in 2h; larger decades scale the wall
+        # MULTIPLICATIVELY (tpch took 3288s at 10x and the
+        # linear-oracle subset dominates, so ~720s/decade-unit is the
+        # observed slope with headroom) — an additive formula gave
+        # factor=100 tpch no chance of finishing inside its wall.
+        wall = 7200 if factor <= 10 else 720 * factor
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    "tools/check_oracle.py",
+                    "--vanilla",
+                    "--strict",
+                    # a 6M-row axis on 32 local threads OOMs the 1g
+                    # default heap regardless of plan shape; memory is
+                    # an environment axis, sized like a real deploy
+                    "--driver-memory=8g",
+                    f"--names={','.join(axis_entries(axis))}",
+                    d,
+                ],
+                capture_output=True,
+                text=True,
+                timeout=wall,
+            )
+        except subprocess.TimeoutExpired as exc:
+            # fold a wall overrun into a red verdict instead of a
+            # traceback: partial PASS/FAIL lines are still parsed so
+            # the operator sees how far the run got before the wall
+            partial = (exc.stdout or b"")
+            if isinstance(partial, bytes):
+                partial = partial.decode("utf-8", "replace")
+            res = parse_check_output(partial, returncode=124)
+            res["all_green"] = False
+            res["timeout_sec"] = wall
+            res.update(
+                {
+                    "metric": "sf1_sweep",
+                    "axis": axis,
+                    "factor": factor,
+                    "sf": round(0.1 * factor, 4),
+                    "dir": d,
+                    "wall_sec": round(time.perf_counter() - t0, 1),
+                }
+            )
+            return res
         res = parse_check_output(proc.stdout, proc.returncode)
         res.update(
             {
