@@ -218,6 +218,101 @@ def _write_scaled_dir(spark, sf_dir: str, r: int, kind: str = "docs") -> str:
     return out
 
 
+def _duckdb_ab_mode(factor: int = 10) -> None:
+    """`bench.py --duckdb-ab[=FACTOR]`: same-host Spark-vs-DuckDB A/B
+    at a FACTOR× expansion of sf0.1 (default 10 → sf1-equivalent: 6M
+    lineitem / 1.5M orders) for the 14 BASELINE.md queries + the 8
+    TPC-H shapes (r11 verdict item 4). Converts the standing "the
+    sub-second sf0.1 queries are fixed-overhead-dominated and invert
+    at scale" adjudication from a slope argument into a recorded
+    same-host measurement — BASELINE.md's second scale point.
+
+    Methodology: both engines read the SAME Spark-written parquet dir
+    (multi-file; DuckDB views glob it), both materialize the full
+    result into a pandas DataFrame (`toPandas()` vs `.df()` — the
+    driver's own hash path), one untimed warm-up per query per engine
+    then median of N_RUNS. Prints one JSON line with per-query
+    spark/duckdb/ratio plus the env stamp."""
+    import shutil as _sh
+    import statistics
+
+    import duckdb
+
+    from dataframe_sql_spark.registry import CATALOG, spark_queries
+    from dataframe_sql_spark.sources.io import TESTDATA_TABLES
+
+    env_start = _env_stamp()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench_ab")
+    d = _write_scaled_dir(spark, sf_dir, factor, kind="tpch")
+    try:
+        eng = engine_for(spark, d)
+        con = duckdb.connect()
+        for t in TESTDATA_TABLES:
+            p = Path(d) / f"{t}.parquet"
+            src = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+            )
+
+        def med(run) -> float:
+            run()  # warm-up: page cache, plan, JVM/codegen or duckdb JIT
+            return round(
+                statistics.median(
+                    _timeit(run) for _ in range(N_RUNS)
+                ),
+                4,
+            )
+
+        def _timeit(run) -> float:
+            t0 = time.perf_counter()
+            run()
+            return time.perf_counter() - t0
+
+        qs = spark_queries()
+        per: dict[str, dict] = {}
+        jobs: list[tuple[str, object, str]] = [
+            (name, (lambda s=sql: eng.query(s).toPandas()), sql)
+            for name, sql in QUERIES.items()
+        ] + [
+            (
+                name,
+                (lambda n=name: qs[n](spark, d).toPandas()),
+                CATALOG[name].oracle,
+            )
+            for name in TPCH_SHAPES
+        ]
+        for name, spark_run, oracle_sql in jobs:
+            s = med(spark_run)
+            k = med(lambda: con.execute(oracle_sql).df())
+            per[name] = {
+                "spark": s,
+                "duckdb": k,
+                "ratio": round(s / k, 2) if k > 0 else None,
+            }
+            print(f"# {name}: spark={s}s duckdb={k}s ratio={per[name]['ratio']}", file=sys.stderr, flush=True)
+        over = [n for n, v in per.items() if v["ratio"] and v["ratio"] > 2.0]
+        print(
+            json.dumps(
+                {
+                    "metric": "duckdb_ab",
+                    "unit": "sec",
+                    "sf": round(0.1 * factor, 4),
+                    "factor": factor,
+                    "n_runs": N_RUNS,
+                    "queries": per,
+                    "spark_total": round(sum(v["spark"] for v in per.values()), 4),
+                    "duckdb_total": round(sum(v["duckdb"] for v in per.values()), 4),
+                    "over_2x": over,
+                    "env": {"start": env_start, "end": _env_stamp()},
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
 def _scale_mode(r: int, kind: str = "docs") -> None:
     """`bench.py --scale=R`: measured scaling point for the most
     expensive pipeline ops (SCALE.md roadmap #1). BOTH endpoints are
@@ -315,9 +410,15 @@ def main() -> None:
         if a.startswith("--scale-tpch="):
             _scale_mode(int(a.split("=", 1)[1]), kind="tpch")
             return
+        if a == "--duckdb-ab" or a.startswith("--duckdb-ab="):
+            _duckdb_ab_mode(
+                int(a.split("=", 1)[1]) if "=" in a else 10
+            )
+            return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_match = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(sf_match.group(1)) if sf_match else -1.0
+    env_start = _env_stamp()
     spark = get_spark("bench")
     eng = engine_for(spark, sf_dir)
 
@@ -432,9 +533,41 @@ def main() -> None:
                 "tpch_shapes": tpch,
                 "pipeline_ops_total": round(sum(pipeline.values()), 4),
                 "pipeline_ops": pipeline,
+                # environment stamp (r11 verdict item 8): load and
+                # page-cache state at bench start + end, so a
+                # driver-vs-builder timing disagreement can be
+                # adjudicated from data (contended box / cold cache)
+                # instead of narrative
+                "env": {"start": env_start, "end": _env_stamp()},
             }
         )
     )
+
+
+def _env_stamp() -> dict:
+    """One-line machine-state snapshot: 1/5/15-min load averages and
+    page-cache / available memory in GiB (Linux /proc; best-effort
+    empty elsewhere). A bench run on a loaded box (load1 >> ncpu used
+    by Spark) or with a cold page cache (cached_gib small relative to
+    the sf dir) is NOT comparable to a quiet warm run."""
+    stamp: dict = {}
+    try:
+        stamp["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        mem = {}
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                k, v = line.split(":", 1)
+                if k in ("MemAvailable", "Cached", "Dirty"):
+                    mem[k] = int(v.strip().split()[0])
+        stamp["mem_available_gib"] = round(mem.get("MemAvailable", 0) / 2**20, 1)
+        stamp["page_cache_gib"] = round(mem.get("Cached", 0) / 2**20, 1)
+        stamp["dirty_mib"] = round(mem.get("Dirty", 0) / 2**10, 1)
+    except OSError:
+        pass
+    return stamp
 
 
 if __name__ == "__main__":
