@@ -160,6 +160,7 @@ def test_w_rank_no_single_partition_window(plans):
 # ---------------------------------------------------------------------------
 
 BENCH_KEYS = [
+    "dd_simhash",
     "dd_simhash_probed",
     "dd_minhash_pairs",
     "sim_knn_join_probed",
@@ -187,6 +188,48 @@ def test_simhash_probe_join_stays_sort_merge(bench_plans):
     # width blind to the estimator) — must never broadcast
     plan = bench_plans["dd_simhash_probed"]
     assert "SortMergeJoin" in plan, plan
+
+
+def test_simhash_default_band_shuffle_shape(bench_plans):
+    # r11 verdict item 6: positive per-stage pins for the RAW simhash
+    # pipeline (the probed sibling had them; this one had only lints).
+    # Design contract: exactly two hash exchanges, both on fixed-width
+    # keys — the (chunk, piece) bucket groupBy (fed by a map-side
+    # partial collect) and the loser-id distinct — and the hamming
+    # radius verify runs BELOW the distinct exchange, so only verified
+    # near-pairs ever shuffle (plan text is outermost-first).
+    plan = bench_plans["dd_simhash"]
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    keys = _exchange_keys(plan)
+    assert any("chunk#" in k and "piece#" in k for k in keys), plan
+    assert "partial_collect_list" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    doc_ex = plan.find("Exchange hashpartitioning(doc_id")
+    verify = plan.find("bit_count(")
+    assert 0 <= doc_ex < verify, plan
+    # the only broadcast side is the deduped loser-id set feeding the
+    # survivor anti-join (HashAggregate-bounded), never the corpus
+    assert plan.count("BroadcastExchange") <= 1, plan
+
+
+def test_minhash_pairs_band_pipeline_shape(bench_plans):
+    # r11 verdict item 6: positive pins for the full banded minhash
+    # pipeline, beyond the verify-SMJ pin below. Candidate generation
+    # exchanges on the fixed-width (band, bucket) key with a map-side
+    # partial collect; NOTHING broadcasts (both verify sides carry
+    # corpus-scaled shingle arrays — width-blind to the estimator);
+    # and the exact-Jaccard verify evaluates INSIDE the SMJ as its
+    # join condition, so candidates are verified before any
+    # downstream operator sees them.
+    plan = bench_plans["dd_minhash_pairs"]
+    keys = _exchange_keys(plan)
+    assert any("band#" in k and "bucket#" in k for k in keys), plan
+    assert "partial_collect_list" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert re.search(r"SortMergeJoin.*array_intersect", plan), plan
 
 
 def test_minhash_verify_joins_stay_sort_merge(bench_plans):
