@@ -32,6 +32,7 @@ import re
 import shutil
 import subprocess
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -131,32 +132,43 @@ def run_axis(axis: str, factor: int = 10) -> dict:
         # observed slope with headroom) — an additive formula gave
         # factor=100 tpch no chance of finishing inside its wall.
         wall = 7200 if factor <= 10 else 720 * factor
+        # child output streams to a tailable file instead of a pipe:
+        # a multi-hour 100× axis with capture_output is a black box
+        # (pipe-buffered until exit), and an operator can't tell a
+        # slow entry from a hang. `python -u` keeps the child's PASS/
+        # FAIL lines unbuffered so `tail -f` shows live progress.
+        logp = Path(tempfile.gettempdir()) / (
+            f"sf1_sweep_{axis}_{factor}x_{os.getpid()}.log"
+        )
+        print(f"# {axis} axis: progress -> {logp}", file=sys.stderr, flush=True)
         try:
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    "tools/check_oracle.py",
-                    "--vanilla",
-                    "--strict",
-                    # a 6M-row axis on 32 local threads OOMs the 1g
-                    # default heap regardless of plan shape; memory is
-                    # an environment axis, sized like a real deploy
-                    "--driver-memory=8g",
-                    f"--names={','.join(axis_entries(axis))}",
-                    d,
-                ],
-                capture_output=True,
-                text=True,
-                timeout=wall,
-            )
-        except subprocess.TimeoutExpired as exc:
+            with open(logp, "w") as lf:
+                proc_rc = subprocess.run(
+                    [
+                        sys.executable,
+                        "-u",
+                        "tools/check_oracle.py",
+                        "--vanilla",
+                        "--strict",
+                        # a 6M-row axis on 32 local threads OOMs the 1g
+                        # default heap regardless of plan shape; memory
+                        # is an environment axis, sized like a real
+                        # deploy would
+                        "--driver-memory=8g",
+                        f"--names={','.join(axis_entries(axis))}",
+                        d,
+                    ],
+                    stdout=lf,
+                    stderr=subprocess.STDOUT,
+                    timeout=wall,
+                ).returncode
+        except subprocess.TimeoutExpired:
             # fold a wall overrun into a red verdict instead of a
             # traceback: partial PASS/FAIL lines are still parsed so
             # the operator sees how far the run got before the wall
-            partial = (exc.stdout or b"")
-            if isinstance(partial, bytes):
-                partial = partial.decode("utf-8", "replace")
-            res = parse_check_output(partial, returncode=124)
+            res = parse_check_output(
+                logp.read_text(errors="replace"), returncode=124
+            )
             res["all_green"] = False
             res["timeout_sec"] = wall
             res.update(
@@ -170,7 +182,7 @@ def run_axis(axis: str, factor: int = 10) -> dict:
                 }
             )
             return res
-        res = parse_check_output(proc.stdout, proc.returncode)
+        res = parse_check_output(logp.read_text(errors="replace"), proc_rc)
         res.update(
             {
                 "metric": "sf1_sweep",
