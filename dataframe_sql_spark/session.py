@@ -49,6 +49,12 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Dims like region/nation/supplier stay broadcast at fact scale.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Honest scan-size estimates: compressed parquet decodes to ~3-10×
+    # its file bytes in memory, and the default factor of 1.0 let a
+    # column-pruned FACT scan slip under the broadcast threshold
+    # (r12 sf1 A/B: Catalyst broadcast 6M-row lineitem — ~2× wall at
+    # sf1, OOM-class at 100 TB). See the builder comment in get_spark.
+    "spark.sql.sources.fileCompressionFactor": "3.0",
 }
 
 
@@ -95,6 +101,20 @@ def get_spark(app_name: str = "dataframe_sql_spark") -> SparkSession:
         # Broadcast threshold: dims like region/nation/supplier stay
         # broadcast even at 100 TB fact scale.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Honest scan-size estimates (r12 sf1 A/B catch): Spark's
+        # file-size-based sizeInBytes treats compressed+encoded
+        # parquet bytes as in-memory bytes, so a column-pruned FACT
+        # scan (6M-row lineitem, 3 cols) estimated under the 64MB
+        # threshold and Catalyst BROADCAST THE FACT TABLE — ~2× wall
+        # on every multi-join shape at sf1 (q_join_multi 3.98→1.97 s,
+        # tpch_q5 4.00→1.97 s) and an OOM-class plan at 100 TB. 3×
+        # is the conservative end of parquet's measured 3-10×
+        # decode expansion; with honest sizes the static planner
+        # keeps big sides on SMJ and AQE still builds the genuinely
+        # small side from REAL post-shuffle bytes at runtime —
+        # size-based decisions stay correct at every scale instead
+        # of only below the estimate error.
+        .config("spark.sql.sources.fileCompressionFactor", "3.0")
         # Order-by-ordinal + case-insensitive resolution match the
         # reference dialect (SURVEY.md §1, §2.7 O5).
         .config("spark.sql.caseSensitive", "false")

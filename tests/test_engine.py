@@ -175,6 +175,12 @@ def test_engine_confs_applied_to_foreign_session(spark):
     assert fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     assert fresh.conf.get("spark.sql.session.timeZone") == "UTC"
     assert eng.spark.table("events").count() > 0
+    # honest scan-size estimates (r12: the default factor of 1.0 let a
+    # column-pruned fact scan broadcast — OOM-class at 100 TB); a
+    # dropped factor must fail here, on the foreign-session path too
+    assert (
+        fresh.conf.get("spark.sql.sources.fileCompressionFactor") == "3.0"
+    )
 
 
 def test_pivot_dynamic_cardinality_guard(spark):
