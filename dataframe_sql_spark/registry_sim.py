@@ -126,6 +126,21 @@ _reg(
     "algorithm replayed in the oracle (deterministic centroids make "
     "assignment/probe/candidates SQL-expressible) — certifies the "
     "approximate path itself",
+    # sf1-proven envelope (r12 100×-docs sweep catch): with 16 FIXED
+    # cells, candidate volume is left_rows × n_probe × (right_rows/16)
+    # — quadratic in corpus growth. At 100× (2.5M right rows) the
+    # interpreted zip_with/aggregate cosine filter ran 8 cores for
+    # 2h+ before the sweep was stopped (root-caused via jstack). The
+    # cell count CANNOT simply scale here: the replay contract derives
+    # centroids by `ORDER BY md5(id) LIMIT n`, so assignment costs
+    # rows × n_cells interpreted cosines and becomes the quadratic
+    # term itself beyond ~1-2k cells. This entry certifies the
+    # partial-probe ALGORITHM at up to sf1 (500k vectors — proven
+    # green in the r12 factor=10 sweep); the 100-TB form is
+    # sim_knn_join_indexed / ivf_index_write (cells ∝ rows with the
+    # 4096 cap, codegen flat assignment, partition-pruned probes),
+    # bench- and pytest-covered.
+    oracle_max_sf=1.0,
 )
 
 
