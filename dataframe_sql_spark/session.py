@@ -55,6 +55,23 @@ _RUNTIME_CONFS = {
     # (r12 sf1 A/B: Catalyst broadcast 6M-row lineitem — ~2× wall at
     # sf1, OOM-class at 100 TB). See the builder comment in get_spark.
     "spark.sql.sources.fileCompressionFactor": "3.0",
+    # Shuffled hash join over sort-merge when a side's honest estimate
+    # fits a per-partition hash map (canBuildLocalHashMap: size <
+    # broadcast threshold × shuffle partitions, so the per-partition
+    # build stays ~64 MB at ANY cluster width — the bound scales with
+    # partition count). Skips both sort passes: measured 10-20% on
+    # every sf1 join shape (q_join_multi 2.52→1.94 s, tpch_q21
+    # 2.38→1.91 s; SCALE.md r12). Corpus-array joins whose width the
+    # estimator can't see keep their explicit merge hints — hints
+    # outrank this preference, so the no-broadcast pins are unaffected.
+    # AQE skew splitting covers SHJ (Spark 3.2+), and sizes are honest
+    # post-fileCompressionFactor, so the no-spill build side is bounded.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    # Belt-and-braces runtime form: even when static estimates are too
+    # big, AQE converts SMJ→SHJ from OBSERVED per-partition shuffle
+    # bytes when every partition fits the local map (≥ advisory size,
+    # 64MB, so coalescing doesn't disarm it).
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64MB",
 }
 
 
@@ -115,6 +132,13 @@ def get_spark(app_name: str = "dataframe_sql_spark") -> SparkSession:
         # size-based decisions stay correct at every scale instead
         # of only below the estimate error.
         .config("spark.sql.sources.fileCompressionFactor", "3.0")
+        # Hash join without the sort passes wherever a side's honest
+        # estimate fits a per-partition build (measured 10-20% on sf1
+        # join shapes, SCALE.md r12); merge hints on width-blind
+        # corpus joins outrank this. AQE's runtime SMJ→SHJ conversion
+        # from observed partition bytes backs up the static choice.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
         # Order-by-ordinal + case-insensitive resolution match the
         # reference dialect (SURVEY.md §1, §2.7 O5).
         .config("spark.sql.caseSensitive", "false")

@@ -181,6 +181,16 @@ def test_engine_confs_applied_to_foreign_session(spark):
     assert (
         fresh.conf.get("spark.sql.sources.fileCompressionFactor") == "3.0"
     )
+    # the measured SHJ lever (r13): sort-free hash joins where a side's
+    # honest estimate fits the per-partition build; a dropped conf
+    # reverts every unhinted big join to two extra sort passes
+    assert fresh.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
+    assert (
+        fresh.conf.get(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+        )
+        == "64MB"
+    )
 
 
 def test_pivot_dynamic_cardinality_guard(spark):
