@@ -255,11 +255,11 @@ def _duckdb_ab_mode(factor: int = 10) -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
             )
 
-        def med(run) -> float:
+        def med(run, n: int = N_RUNS) -> float:
             run()  # warm-up: page cache, plan, JVM/codegen or duckdb JIT
             return round(
                 statistics.median(
-                    _timeit(run) for _ in range(N_RUNS)
+                    _timeit(run) for _ in range(n)
                 ),
                 4,
             )
@@ -271,20 +271,25 @@ def _duckdb_ab_mode(factor: int = 10) -> None:
 
         qs = spark_queries()
         per: dict[str, dict] = {}
-        jobs: list[tuple[str, object, str]] = [
-            (name, (lambda s=sql: eng.query(s).toPandas()), sql)
+        # the BASELINE set's actions are 0.1-0.7 s — exactly the range
+        # the module's N_RUNS_BASELINE rationale says needs 5 samples
+        # for a stable median (r12 advisor note); the heavier TPC-H
+        # shapes keep N_RUNS
+        jobs: list[tuple[str, object, str, int]] = [
+            (name, (lambda s=sql: eng.query(s).toPandas()), sql, N_RUNS_BASELINE)
             for name, sql in QUERIES.items()
         ] + [
             (
                 name,
                 (lambda n=name: qs[n](spark, d).toPandas()),
                 CATALOG[name].oracle,
+                N_RUNS,
             )
             for name in TPCH_SHAPES
         ]
-        for name, spark_run, oracle_sql in jobs:
-            s = med(spark_run)
-            k = med(lambda: con.execute(oracle_sql).df())
+        for name, spark_run, oracle_sql, n in jobs:
+            s = med(spark_run, n)
+            k = med(lambda: con.execute(oracle_sql).df(), n)
             per[name] = {
                 "spark": s,
                 "duckdb": k,
@@ -299,7 +304,10 @@ def _duckdb_ab_mode(factor: int = 10) -> None:
                     "unit": "sec",
                     "sf": round(0.1 * factor, 4),
                     "factor": factor,
-                    "n_runs": N_RUNS,
+                    "n_runs": {
+                        "baseline_set": N_RUNS_BASELINE,
+                        "tpch_shapes": N_RUNS,
+                    },
                     "queries": per,
                     "spark_total": round(sum(v["spark"] for v in per.values()), 4),
                     "duckdb_total": round(sum(v["duckdb"] for v in per.values()), 4),

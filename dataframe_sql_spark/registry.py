@@ -55,6 +55,15 @@ class QuerySpec:
     # and auto-skips (with the reason printed) instead of relying on a
     # hand-maintained --exclude list for beyond-driver-SF runs.
     oracle_max_sf: float | None = None
+    # Why the entry stops at oracle_max_sf — printed verbatim in the
+    # gate's SKIP line so the sweep output attributes the bound to the
+    # right side. Most envelopes are oracle-side (the default message
+    # covers them); a few are ENGINE-side (e.g. a replay certificate
+    # whose pinned configuration is corpus-quadratic in the engine
+    # pipeline itself) and a generic "oracle infeasible" line would
+    # misreport a green sweep as having executed an entry that would
+    # hang (r12 advisor note).
+    max_sf_reason: str | None = None
 
 
 # --------------------------------------------------------------------------

@@ -261,27 +261,50 @@ def _file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     first ``.parquet``-suffixed segment taken, so an ancestor
     directory that itself ends in ``.parquet`` (a lake layout like
     ``/data/corpus.parquet/sf0.1``) can't shadow the dataset segment
-    (r11 advisor catch). If the prefix is absent from
-    ``_metadata.file_path`` (symlink-resolved listing), the split
+    (r11 advisor catch). Several anchors are tried and the first that
+    actually strips wins (r12 advisor catch: abspath alone never
+    matches a symlink-resolved listing or a URI store, silently
+    reverting to the ancestor-dir-named-*.parquet bug): the raw
+    ``sf_dir`` string, its scheme-stripped form for URI stores
+    (``s3://…`` listings come back ``s3a://…``-spelled), and for
+    local paths abspath + realpath (symlinked dirs resolve in the
+    listing). If none occurs in ``_metadata.file_path``, the split
     degrades to the whole path and the first ``.parquet`` segment —
     the pre-r12 behavior. The full physical path stays available to
     callers via ``_metadata.file_path`` itself."""
     import os
+    import re
 
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    prefix = os.path.abspath(sf_dir).rstrip("/") + "/"
+
+    raw = sf_dir.rstrip("/")
+    candidates = [raw]
+    scheme = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", raw)
+    if scheme:
+        candidates.append(raw[scheme.end():])  # path part, any scheme spelling
+    else:
+        candidates.append(os.path.abspath(raw))
+        candidates.append(os.path.realpath(raw))
+    anchors: list[str] = []
+    for c in candidates:
+        c = c.rstrip("/") + "/"
+        if c not in anchors:
+            anchors.append(c)
+
+    fp = F.col("_metadata.file_path")
+    # first anchor that occurs in the path wins; substring_index
+    # returns the input unchanged when the anchor is absent
+    suffix = fp
+    for a in reversed(anchors):
+        stripped = F.substring_index(fp, a, -1)
+        suffix = F.when(stripped != fp, stripped).otherwise(suffix)
     return df.select(
         "doc_id",
         F.element_at(
             F.filter(
-                F.split(
-                    F.substring_index(
-                        F.col("_metadata.file_path"), prefix, -1
-                    ),
-                    "/",
-                ),
+                F.split(suffix, "/"),
                 lambda s: s.endswith(".parquet"),
             ),
             1,

@@ -56,9 +56,15 @@ def _reg(
     oracle: str | None,
     doc: str,
     oracle_max_sf: float | None = None,
+    max_sf_reason: str | None = None,
 ) -> None:
     CATALOG[name] = QuerySpec(
-        engine_sql=None, oracle=oracle, fn=fn, doc=doc, oracle_max_sf=oracle_max_sf
+        engine_sql=None,
+        oracle=oracle,
+        fn=fn,
+        doc=doc,
+        oracle_max_sf=oracle_max_sf,
+        max_sf_reason=max_sf_reason,
     )
 
 

@@ -69,6 +69,12 @@ _reg(
     "k-NN join: 3 nearest corpus vectors per query vector via the IVF "
     "cell-keyed equi-join (exact at full probe; no cartesian product)",
     oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
+    max_sf_reason=(
+        "BOTH sides quadratic at this replay config: full probe over 16 "
+        "fixed cells makes the ENGINE candidate volume all-pairs (exact "
+        "by construction) and the brute-force oracle matches it; the "
+        "100-TB form is sim_knn_join_indexed/ivf_index_write"
+    ),
 )
 
 
@@ -141,6 +147,14 @@ _reg(
     # 4096 cap, codegen flat assignment, partition-pruned probes),
     # bench- and pytest-covered.
     oracle_max_sf=1.0,
+    max_sf_reason=(
+        "ENGINE-side envelope, not oracle infeasibility: the replay "
+        "contract pins 16 fixed cells, so the ENGINE pipeline's "
+        "candidate volume is corpus-quadratic (interpreted-HOF cosines; "
+        "8 cores for 2h+ at 100x) — the entry would hang, not just the "
+        "oracle; algorithm certified through sf1/500k vectors, the "
+        "100-TB path is sim_knn_join_indexed/ivf_index_write"
+    ),
 )
 
 

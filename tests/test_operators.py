@@ -469,3 +469,12 @@ def test_file_metadata_fname_is_layout_invariant(spark, tmp_path):
     out2 = _file_metadata(spark, str(lake))
     names2 = {r.fname for r in out2.select("fname").distinct().collect()}
     assert names2 == {"documents.parquet"}
+    # symlinked sf_dir (r12 advisor catch): the file listing resolves
+    # to the real path, so an abspath-only anchor never matches and the
+    # split silently reverts to the ancestor-named-*.parquet bug above;
+    # the realpath alternate anchor must keep the dataset segment
+    link = tmp_path / "link_sf"
+    link.symlink_to(lake, target_is_directory=True)
+    out3 = _file_metadata(spark, str(link))
+    names3 = {r.fname for r in out3.select("fname").distinct().collect()}
+    assert names3 == {"documents.parquet"}

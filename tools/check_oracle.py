@@ -215,10 +215,13 @@ def main() -> int:
             and spec.oracle_max_sf is not None
             and sf > spec.oracle_max_sf
         ):
+            reason = spec.max_sf_reason or (
+                "the oracle is declared infeasible or corpus-pinned beyond "
+                "that sf; see the entry's registration comment"
+            )
             print(
                 f"SKIP {name} (oracle_max_sf={spec.oracle_max_sf:g} < sf{sf:g} "
-                "— the oracle is declared infeasible or corpus-pinned beyond "
-                "that sf; see the entry's registration comment)"
+                f"— {reason})"
             )
             continue
         try:
