@@ -505,16 +505,47 @@ def _sim_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
       a constant rerank over a growing corpus is a shrinking fraction
       — the exact failure mode of the old cert.
 
+    The certificate corpus is CAPPED at a deterministic md5-ordered
+    subsample of 65 536 vectors (r13 one-JVM 100× measurement: with
+    corpus-derived cells the flat-assignment term is rows × cells —
+    rows²/128 below the 4096-cell cap, rows × 4096 above it — and at
+    200k vectors each of the five pipelines ran ~9 min uncontended, so
+    the uncapped cert blows any per-entry wall while measuring nothing
+    new: recall is a property of algorithm + config-DERIVATION, and the
+    derivation is exercised identically on the capped corpus, where
+    cells/rerank budgets re-derive from the sample size. A bounded
+    evaluation set is also how recall is certified in practice — the
+    property being certified does not grow with the corpus, unlike the
+    operators themselves, which are covered by the indexed/2-level
+    paths at scale.)
+
     Floors hold with margin at every shipped sf (measured recall@10,
     deterministic — no RNG anywhere): ivf_halfprobe 0.9/0.7/0.8 at
     sf0.001/0.01/0.1, ivf_fullprobe 1.0 everywhere, lsh 0.9/0.9/1.0,
-    pq 0.9/0.7/1.0, ivfpq 0.9/0.9/0.8.
+    pq 0.9/0.7/1.0, ivfpq 0.9/0.9/0.8. The cap binds only above sf1
+    (sf1 is 20k vectors); at 100× (200k → 64k sample) the cert is
+    driver-hash GREEN in 489 s one-JVM (r13 measurement — the uncapped
+    form blew an 1800 s wall on the same quiet box).
     """
     from .operators.similarity import ivf_default_cells, ivfpq_topk, pq_topk
 
-    emb = _emb(spark, sf_dir).persist()
+    CERT_CAP = 65536
+    emb = _emb(spark, sf_dir)
+    n_total = emb.count()
+    if n_total > CERT_CAP:
+        # repartition after the limit: a global limit lands all CAP
+        # rows in ONE partition, which would serialize every pipeline
+        # below onto one core (measured: 180 s/pipeline single-task vs
+        # seconds at full width); hash-repartitioning on the id
+        # restores the session's shuffle parallelism deterministically
+        emb = (
+            emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(CERT_CAP)
+            .repartition("vec_id")
+        )
+    emb = emb.persist()
     try:
-        n = emb.count()
+        n = min(n_total, CERT_CAP)
         cells = ivf_default_cells(n)
         half = max(4, cells // 2)
         rr_half = max(300, n // 2)
@@ -803,4 +834,16 @@ _reg(
     "normalize, coarse assign, residual PQ training/encode, per-cell "
     "ADC, rerank — re-executed end-to-end by the SQL oracle with "
     "every rank key pinned to a fixed decimal grid",
+    # r13 one-JVM 100× measurement: the DuckDB replay materializes
+    # several corpus×dim CTEs (residuals, per-subvector slices, encode
+    # joins) and at 200k vectors spilled past 79 GB of free disk before
+    # dying ENOSPC at wall 1055 s — the oracle is the bounded side.
+    # The ENGINE pipeline is 100×-clean (sim_ann_ivfpq, same plan
+    # unrounded, 96 s rows-only in the r12 bisect).
+    oracle_max_sf=1.0,
+    max_sf_reason=(
+        "oracle-side: the end-to-end DuckDB replay spills corpus-by-dim "
+        "residual/encode CTEs (>79 GB, ENOSPC at 200k vectors / 100x); "
+        "the engine pipeline itself ran 100x-clean (sim_ann_ivfpq 96 s)"
+    ),
 )
