@@ -560,24 +560,33 @@ _reg(
     "dd_substring_remove",
     _dd_substring_remove,
     # Same gram construction as the dd_substring_spans oracle; keep-one
-    # = global first occurrence per gram by (doc_id, pos).
+    # = global first occurrence per gram by (doc_id, pos). LIST-FREE
+    # formulation (r13): the original carried the per-doc word LIST on
+    # every exploded position row, which OOM'd DuckDB (non-spillable
+    # allocation failure) at the 100× corpus — tok carries only
+    # scalars and the 5-gram is assembled with lead() windows; the
+    # end-clamp w[least(pos+k, len)] becomes coalesce(lead(k), last
+    # word), identical because lead(k) is NULL exactly when pos+k
+    # exceeds the doc length.
     r"WITH words AS (SELECT doc_id, "
     r"string_split_regex(trim(lower(text)), '\s+') AS w FROM documents), "
-    r"pos AS (SELECT doc_id, w, "
-    r"unnest(generate_series(1, greatest(len(w) - 4, 1))) AS pos FROM words), "
-    r"grams AS (SELECT doc_id, pos, "
-    r"w[pos] || ' ' || w[least(pos+1, len(w))] || ' ' || "
-    r"w[least(pos+2, len(w))] || ' ' || w[least(pos+3, len(w))] || ' ' || "
-    r"w[least(pos+4, len(w))] AS g FROM pos), "
+    r"tok AS (SELECT doc_id, unnest(w) AS word, "
+    r"unnest(generate_series(1, len(w))) AS p, len(w) AS n, "
+    r"w[len(w)] AS lw FROM words), "
+    r"grams AS (SELECT doc_id, pos, g FROM ("
+    r"SELECT doc_id, p AS pos, n, "
+    r"word || ' ' || coalesce(lead(word, 1) OVER win, lw) || ' ' || "
+    r"coalesce(lead(word, 2) OVER win, lw) || ' ' || "
+    r"coalesce(lead(word, 3) OVER win, lw) || ' ' || "
+    r"coalesce(lead(word, 4) OVER win, lw) AS g "
+    r"FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY p)) t "
+    r"WHERE pos <= greatest(n - 4, 1)), "
     r"occ AS (SELECT doc_id, pos, row_number() OVER "
     r"(PARTITION BY g ORDER BY doc_id, pos) AS rn FROM grams), "
     r"cov AS (SELECT DISTINCT doc_id, pos + o.o AS p FROM occ "
     r"CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o) o "
     r"WHERE rn > 1), "
-    r"tok AS (SELECT doc_id, w, "
-    r"unnest(generate_series(1, len(w))) AS p FROM words), "
-    r"tok2 AS (SELECT doc_id, p, w[p] AS word FROM tok), "
-    r"kept AS (SELECT t.doc_id, t.p, t.word FROM tok2 t "
+    r"kept AS (SELECT t.doc_id, t.p, t.word FROM tok t "
     r"LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p "
     r"WHERE c.p IS NULL), "
     r"reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text, "

@@ -39,6 +39,7 @@ import datetime
 import math
 import re
 import sys
+import tempfile
 from collections import Counter
 from pathlib import Path
 
@@ -187,6 +188,17 @@ def main() -> int:
     else:
         spark = get_spark("check_oracle")
     con = duckdb.connect()
+    # Bound the oracle's memory and give it a spill path (r13): the
+    # default limit is 80% of TOTAL RAM computed at connect, so on a
+    # box whose memory is partly held by the Spark JVM / page cache a
+    # transient working-set spike dies with "Failed to allocate block"
+    # instead of spilling — the same entry then passes or fails with
+    # the BOX STATE, not the code (observed on dd_substring_remove at
+    # the 100× corpus: FAIL twice after an hour-long axis run, PASS
+    # minutes later on the idle box). A fixed budget + temp_directory
+    # makes every blocking operator spill deterministically.
+    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET temp_directory='{tempfile.gettempdir()}/duckdb_oracle_spill'")
     for t in TESTDATA_TABLES:
         # /root/testdata tables are single files, but Spark-written
         # expansions (tools/sf1_sweep.py) are directories of part
