@@ -184,6 +184,13 @@ def main() -> int:
         # applied by the engine itself.
         if driver_memory:
             builder = builder.config("spark.driver.memory", driver_memory)
+        # The gate MATERIALIZES full results by design (differential
+        # compare), so the collect ceiling is the driver heap itself,
+        # not the 1g maxResultSize default — at the 100× tpch axis a
+        # full-lineitem projection (60M rows) trips the default while
+        # the heap holds it fine (r13: p_arith/p_cast failed on
+        # maxResultSize, not memory).
+        builder = builder.config("spark.driver.maxResultSize", "0")
         spark = builder.getOrCreate()
     else:
         spark = get_spark("check_oracle")
