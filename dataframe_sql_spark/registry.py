@@ -980,6 +980,58 @@ _PRIOR_GREEN: list[str] = [
 # ROUND 13 RECIPE: re-run --propose-window once CORRECTNESS_r12
 # exists, stage _R13_BLOCK, and set
 #   PRIORITY = _ANCHORS + _R13_BLOCK + _R12_BLOCK + ... + _PRIOR_GREEN
+# ROUND 14 ROTATION (executed): deterministic output of
+#   python tools/attestation_ledger.py --propose-window
+# against the REAL CORRECTNESS_r13.json (50/50 green, so no red
+# re-entries). Refresh targets: the r7 window/setop/subquery tail
+# plus the r8 streaming/timeseries/join block — exactly the
+# stalest-42 by last-green round, ties by catalog order. This
+# executes the rotation r13 staged-but-skipped (VERDICT r13 item 1).
+_R14_BLOCK: list[str] = [
+    "a_cube",  # last green: r7
+    "a_grouping_sets",  # last green: r7
+    "w_rank_multi",  # last green: r7
+    "w_dense_rank",  # last green: r7
+    "w_frames",  # last green: r7
+    "w_lag_lead",  # last green: r7
+    "w_analytics",  # last green: r7
+    "o_limit_offset",  # last green: r7
+    "o_orderby_ordinal",  # last green: r7
+    "u_union_all",  # last green: r7
+    "u_intersect",  # last green: r7
+    "u_except",  # last green: r7
+    "u_intersect_all",  # last green: r7
+    "u_except_all",  # last green: r7
+    "q_subquery_nested",  # last green: r7
+    "q_scalar_subquery",  # last green: r7
+    "q_in_subquery",  # last green: r7
+    "q_exists_correlated",  # last green: r7
+    "p_mixed_case_schema",  # last green: r7
+    "p_spaced_columns",  # last green: r7
+    "dd_substring_remove",  # last green: r8
+    "st_tumbling",  # last green: r8
+    "st_sliding",  # last green: r8
+    "st_session",  # last green: r8
+    "st_static_join",  # last green: r8
+    "st_rollup_multires",  # last green: r8
+    "st_stream_join",  # last green: r8
+    "st_dedup",  # last green: r8
+    "ts_gapfill",  # last green: r8
+    "ts_anomaly_mad",  # last green: r8
+    "ts_anomaly",  # last green: r8
+    "ts_ohlc_resample",  # last green: r8
+    "ts_ewma",  # last green: r8
+    "j_asof",  # last green: r8
+    "q_recursive_cte",  # last green: r8
+    "j_semi",  # last green: r8
+    "j_anti",  # last green: r8
+    "u_symdiff",  # last green: r8
+    "j_salted",  # last green: r8
+    "p_null_semantics",  # last green: r8
+    "w_time_range",  # last green: r8
+    "j_hint_broadcast",  # last green: r8
+]
+
 _R12_BLOCK: list[str] = [
     "j_bloom_prefilter",  # last green: r5
     "j_interval_overlap",  # last green: r5
@@ -1026,7 +1078,13 @@ _R12_BLOCK: list[str] = [
 ]
 
 PRIORITY: list[str] = (
-    _ANCHORS + _R12_BLOCK + _R11_BLOCK + _R10_BLOCK + _R9_BLOCK + _PRIOR_GREEN
+    _ANCHORS
+    + _R14_BLOCK
+    + _R12_BLOCK
+    + _R11_BLOCK
+    + _R10_BLOCK
+    + _R9_BLOCK
+    + _PRIOR_GREEN
 )
 
 
