@@ -98,3 +98,86 @@ def test_ledger_rows_only_rows_count_green():
         {"err": None, "rows_match": True, "hash_match": False}
     )
     assert not _row_green({"err": "boom", "rows_match": None})
+
+
+def test_vectorized_norm_matches_norm_cell():
+    """r14: check_oracle's factorize-vectorized compare must produce
+    EXACTLY the per-cell ``norm_cell`` strings — the gate's strictness
+    is the correctness currency, so the speedup (25 min → minutes per
+    60M-row entry at the 100x tpch decade) must be semantics-free.
+    Covers the two hand-vectorized dtype paths (shortest-repr floats,
+    per-element-trimmed datetimes) plus the fallback paths."""
+    import numpy as np
+    import pandas as pd
+
+    import tools.check_oracle as co
+
+    rng = np.random.default_rng(42)
+    adversarial = np.array(
+        [0.0, -0.0, 1e16, 1e-5, 1e-4, 123456789.123456789, 2.0**53 + 2,
+         np.inf, -np.inf, np.nan, 5e-324, 1.7976931348623157e308,
+         0.1, 1 / 3, 1e100, -1e-100, 3.0, 1e15]
+    )
+    floats = np.concatenate(
+        [rng.random(20000), rng.normal(0, 1e10, 20000),
+         rng.random(10000) * 1e-10, adversarial]
+    )
+    for strict in (True, False):
+        old = co.STRICT
+        co.STRICT = strict
+        try:
+            vec = co._norm_float_uniques(floats.copy())
+            ref = [co.norm_cell(float(x)) for x in floats]
+            assert list(vec) == ref, f"strict={strict}"
+        finally:
+            co.STRICT = old
+
+    old = co.STRICT
+    co.STRICT = True
+    try:
+        n = 30000
+        ts = pd.Series(
+            pd.to_datetime("2020-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**15, n), unit="ns")
+        )
+        ts.iloc[::1000] = pd.NaT
+        ts.iloc[::777] = ts.iloc[::777].dt.normalize()  # midnight → date
+        ts.iloc[::333] = ts.iloc[::333].dt.floor("us")  # 6-digit fraction
+        ts.iloc[::111] = ts.iloc[::111].dt.floor("s")  # no fraction
+        assert list(co._norm_datetime_uniques(ts)) == [
+            co.norm_cell(v) for v in ts
+        ]
+
+        pdf = pd.DataFrame(
+            {
+                "i": rng.integers(0, 100, 5000),
+                "f": np.where(rng.random(5000) < 0.1, np.nan, rng.random(5000)),
+                "s": pd.Series(rng.integers(0, 50, 5000)).map("s{}".format),
+                "b": rng.random(5000) < 0.5,
+                "o": [None if k % 7 == 0 else f"v{k % 3}" for k in range(5000)],
+                "arr": [[k % 3, k % 5] for k in range(5000)],  # unhashable
+            }
+        )
+        pdf.loc[0, "f"] = -0.0
+        pdf.loc[1, "f"] = 0.0
+        for c in range(len(pdf.columns)):
+            vec = co.norm_series(pdf.iloc[:, c])
+            assert list(vec) == [co.norm_cell(v) for v in pdf.iloc[:, c]], c
+
+        # row_hashes: permutation-invariant, perturbation-sensitive,
+        # and distinguishes -0.0 from 0.0 (repr-distinct in strict)
+        order = list(range(len(pdf.columns)))
+        h = co.row_hashes(pdf, order)
+        perm = pdf.sample(frac=1.0, random_state=1).reset_index(drop=True)
+        assert np.array_equal(np.sort(h), np.sort(co.row_hashes(perm, order)))
+        pert = pdf.copy()
+        pert.loc[5, "i"] = 10**6
+        assert not np.array_equal(
+            np.sort(h), np.sort(co.row_hashes(pert, order))
+        )
+        assert not np.array_equal(
+            co.row_hashes(pd.DataFrame({"f": [-0.0]}), [0]),
+            co.row_hashes(pd.DataFrame({"f": [0.0]}), [0]),
+        )
+    finally:
+        co.STRICT = old

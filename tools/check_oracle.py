@@ -37,10 +37,10 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 import re
 import sys
 import tempfile
-from collections import Counter
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -91,10 +91,6 @@ def norm_cell(v) -> str:
     return str(v)
 
 
-def frame_rows(pdf: pd.DataFrame) -> list[tuple]:
-    return list(pdf.itertuples(index=False, name=None))
-
-
 def driver_canon_error(pdf: pd.DataFrame) -> str | None:
     """Replay the DRIVER's canonicalization on the raw pandas frame.
 
@@ -118,8 +114,158 @@ def driver_canon_error(pdf: pd.DataFrame) -> str | None:
     return None
 
 
-def multiset(rows: list[tuple], col_order: list[int]) -> Counter:
-    return Counter(tuple(norm_cell(r[i]) for i in col_order) for r in rows)
+def _norm_float_uniques(uvals: np.ndarray) -> np.ndarray:
+    """Vectorized ``norm_cell`` for a float64 array (the uniques).
+
+    STRICT: numpy's elementwise str is the same shortest-roundtrip
+    algorithm as Python's ``repr(float)`` (Ryū/Grisu-style since
+    numpy 1.14) — equivalence is asserted cell-for-cell in
+    tests/test_tools.py over random and adversarial values. Loose:
+    C printf ``%.10g`` via ``np.char.mod`` matches Python's
+    ``f"{f:.10g}"`` for IEEE doubles (same round-half-even shortening;
+    also asserted in the test).
+    """
+    strs = (
+        uvals.astype(str) if STRICT else np.char.mod("%.10g", uvals)
+    ).astype(object)
+    strs[np.isnan(uvals)] = "<nan>"
+    return strs
+
+
+def _norm_datetime_uniques(s: pd.Series) -> np.ndarray:
+    """Vectorized ``norm_cell`` for naive datetime64 uniques.
+
+    Reproduces ``str(pd.Timestamp)``'s PER-ELEMENT fraction trimming
+    (no fraction when zero, 6 digits when microsecond-resolution, 9
+    when sub-microsecond) — ``Series.astype(str)`` is NOT equivalent:
+    it picks one uniform precision for the whole series, so a mixed-
+    resolution column would render '...20' as '...20.000000000'.
+    """
+    out = s.dt.strftime("%Y-%m-%d %H:%M:%S").to_numpy(dtype=object)
+    micro = np.nan_to_num(s.dt.microsecond.to_numpy(dtype=np.float64)).astype(
+        np.int64
+    )
+    nano = np.nan_to_num(s.dt.nanosecond.to_numpy(dtype=np.float64)).astype(
+        np.int64
+    )
+    sub_us = nano != 0
+    us_only = (micro != 0) & ~sub_us
+    if sub_us.any():
+        out[sub_us] = out[sub_us] + np.char.mod(
+            ".%09d", micro[sub_us] * 1000 + nano[sub_us]
+        ).astype(object)
+    if us_only.any():
+        out[us_only] = out[us_only] + np.char.mod(".%06d", micro[us_only]).astype(
+            object
+        )
+    midnight = (s.dt.normalize() == s).to_numpy()  # NaT compares False
+    if midnight.any():
+        out[midnight] = s.dt.strftime("%Y-%m-%d").to_numpy(dtype=object)[midnight]
+    out[s.isna().to_numpy()] = "<null>"
+    return out
+
+
+def norm_series(s: pd.Series) -> np.ndarray:
+    """Vectorized ``norm_cell`` over a column: object ndarray of str.
+
+    Semantics-preserving speedup (r14): factorize the column, apply
+    ``norm_cell`` to the UNIQUES only, then broadcast with a take. The
+    per-cell strings are bit-identical to the row-at-a-time path, so
+    the gate's strictness is unchanged; the cost drops from O(rows)
+    python calls to O(uniques) — the python-side Counter compare was
+    ~25 min per 60M-row entry at the 100x tpch decade (SCALE.md r13,
+    j_salted) and is the binding constraint on that axis.
+
+    Float columns factorize on the BIT PATTERN (int64 view), not the
+    value: value-equality would collapse -0.0 with 0.0 (repr-distinct,
+    so the row path distinguishes them) and would need NaN special
+    cases. Distinct NaN payloads make extra uniques that all normalize
+    to "<nan>" — harmless. Object columns that contain floats fall
+    back to the row path for the same -0.0 reason; unhashable cells
+    (lists/ndarrays) fall back because factorize raises.
+    """
+    codes, unorm = _factorized_norm(s)
+    return unorm if codes is None else unorm[codes]
+
+
+def _factorized_norm(s: pd.Series) -> tuple[np.ndarray | None, np.ndarray]:
+    """(codes, normalized-uniques) — or (None, full normalized array)
+    when the column had to take the per-cell fallback path."""
+    if pd.api.types.is_float_dtype(s.dtype):
+        a = s.to_numpy(dtype=np.float64, copy=True)
+        codes, ubits = pd.factorize(a.view(np.int64))
+        uvals = np.asarray(ubits, dtype=np.int64).view(np.float64)
+        return codes, _norm_float_uniques(uvals)
+    if pd.api.types.is_datetime64_any_dtype(s.dtype) and getattr(
+        s.dtype, "tz", None
+    ) is None:
+        codes, uniques = pd.factorize(s, use_na_sentinel=False)
+        return codes, _norm_datetime_uniques(pd.Series(uniques))
+    try:
+        codes, uniques = pd.factorize(s, use_na_sentinel=False)
+    except TypeError:  # unhashable cells (lists / ndarrays)
+        return None, np.array([norm_cell(v) for v in s], dtype=object)
+    uniq_list = list(uniques)
+    if any(isinstance(u, (float, np.floating)) for u in uniq_list):
+        # object column holding floats: factorize's value-equality
+        # would merge -0.0 into 0.0 — take the exact row path instead
+        return None, np.array([norm_cell(v) for v in s], dtype=object)
+    unorm = np.array([norm_cell(u) for u in uniq_list] or [""], dtype=object)
+    return codes, unorm
+
+
+def row_hashes(pdf: pd.DataFrame, col_order: list[int]) -> np.ndarray:
+    """Order-insensitive row identity: uint64 hash per normalized row.
+
+    Per column: factorize, normalize the UNIQUES to ``norm_cell``
+    strings, hash those with ``pandas.util.hash_array``, broadcast by
+    take, then mix columns positionally (FNV-style) — no separator
+    joining (a cell containing a would-be separator byte cannot alias
+    across column boundaries) and no n-sized string array is ever
+    materialized. Two frames are multiset-equal iff their sorted hash
+    arrays are equal (64-bit; a masking collision needs two distinct
+    rows hashing equal AND exactly offsetting counts across sides —
+    negligible against the driver's own hash compare).
+    """
+    if pdf.empty:
+        return np.empty(0, dtype=np.uint64)
+    out = np.zeros(len(pdf), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)  # FNV-1a prime; uint64 mul wraps
+    for i in col_order:
+        codes, unorm = _factorized_norm(pdf.iloc[:, i])
+        if codes is None:
+            ch = pd.util.hash_array(unorm)
+        else:
+            # hash only the UNIQUES' strings, broadcast with a take —
+            # no n-sized string array is ever materialized
+            ch = pd.util.hash_array(unorm)[codes]
+        out = out * prime + ch
+    return out
+
+
+def hash_diff_sample(
+    s_hash: np.ndarray,
+    d_hash: np.ndarray,
+    spark_pdf: pd.DataFrame,
+    duck_pdf: pd.DataFrame,
+    n: int = 3,
+) -> list:
+    """Example rows behind the first few hash-count mismatches."""
+    s_vc = pd.Series(s_hash).value_counts()
+    d_vc = pd.Series(d_hash).value_counts()
+    delta = s_vc.sub(d_vc, fill_value=0)
+    bad = delta[delta != 0]
+    out = []
+    for h, d in bad.head(2 * n).items():
+        side, pdf, hashes = (
+            ("spark", spark_pdf, s_hash) if d > 0 else ("duck", duck_pdf, d_hash)
+        )
+        idx = np.nonzero(hashes == h)[0]
+        row = tuple(norm_cell(v) for v in pdf.iloc[idx[0]])
+        out.append((side, row, int(abs(d))))
+        if len(out) >= 2 * n:
+            break
+    return out
 
 
 def main() -> int:
@@ -185,12 +331,21 @@ def main() -> int:
         if driver_memory:
             builder = builder.config("spark.driver.memory", driver_memory)
         # The gate MATERIALIZES full results by design (differential
-        # compare), so the collect ceiling is the driver heap itself,
+        # compare), so the collect ceiling should track the driver heap,
         # not the 1g maxResultSize default — at the 100× tpch axis a
         # full-lineitem projection (60M rows) trips the default while
         # the heap holds it fine (r13: p_arith/p_cast failed on
-        # maxResultSize, not memory).
-        builder = builder.config("spark.driver.maxResultSize", "0")
+        # maxResultSize, not memory). r14 (advisor): derive it as ~80%
+        # of the requested heap instead of lifting it entirely ("0"),
+        # so an over-heap result still dies with the CLEAN maxResultSize
+        # diagnostic rather than an opaque driver JVM OOM/GC stall.
+        if driver_memory:
+            m = re.fullmatch(r"(\d+)([gGmM])", driver_memory)
+            if m:
+                mb = int(m.group(1)) * (1024 if m.group(2).lower() == "g" else 1)
+                builder = builder.config(
+                    "spark.driver.maxResultSize", f"{int(mb * 0.8)}m"
+                )
         spark = builder.getOrCreate()
     else:
         spark = get_spark("check_oracle")
@@ -203,8 +358,19 @@ def main() -> int:
     # the BOX STATE, not the code (observed on dd_substring_remove at
     # the 100× corpus: FAIL twice after an hour-long axis run, PASS
     # minutes later on the idle box). A fixed budget + temp_directory
-    # makes every blocking operator spill deterministically.
-    con.execute("SET memory_limit='24GB'")
+    # makes every blocking operator spill deterministically. r14
+    # (advisor): cap at ~65% of PHYSICAL RAM too — a hardcoded 24GB on
+    # a smaller box would over-commit and get OS-OOM-killed instead of
+    # spilling, reinstating the environment-dependent verdicts the
+    # fixed budget was meant to eliminate.
+    try:
+        phys_mb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // (1 << 20)
+        )
+    except (ValueError, OSError, AttributeError):
+        phys_mb = 24 * 1024  # unknown: keep the old fixed budget
+    oracle_mb = min(24 * 1024, int(phys_mb * 0.65))
+    con.execute(f"SET memory_limit='{oracle_mb}MB'")
     con.execute(f"SET temp_directory='{tempfile.gettempdir()}/duckdb_oracle_spill'")
     for t in TESTDATA_TABLES:
         # /root/testdata tables are single files, but Spark-written
@@ -246,18 +412,16 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()
-            spark_rows = frame_rows(spark_pdf)
             spark_cols = list(spark_pdf.columns)
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, no oracle)")
+            print(f"ok?  {name}: rows-only ({len(spark_pdf)} rows, no oracle)")
             continue
         try:
             duck_pdf = con.execute(oracles[name]).df()
-            duck_rows = frame_rows(duck_pdf)
             duck_cols = list(duck_pdf.columns)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
@@ -271,27 +435,27 @@ def main() -> int:
                     f"driver canonicalizer would crash on {side} output "
                     f"({canon_err}) — serialize composite cells"
                 )
-        if len(spark_rows) != len(duck_rows):
-            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if len(spark_pdf) != len(duck_pdf):
+            problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
         if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
             problems.append(f"columns spark={spark_cols} duck={duck_cols}")
         else:
             s_order = [i for _, i in sorted((c.lower(), i) for i, c in enumerate(spark_cols))]
             d_order = [i for _, i in sorted((c.lower(), i) for i, c in enumerate(duck_cols))]
-            ms, md = multiset(spark_rows, s_order), multiset(duck_rows, d_order)
-            if ms != md:
-                diff = list((ms - md).items())[:3] + list((md - ms).items())[:3]
+            sh, dh = row_hashes(spark_pdf, s_order), row_hashes(duck_pdf, d_order)
+            if not np.array_equal(np.sort(sh), np.sort(dh)):
+                diff = hash_diff_sample(sh, dh, spark_pdf, duck_pdf)
                 problems.append(f"values differ; sample diff: {diff}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
-        elif not spark_rows:
+        elif spark_pdf.empty:
             # agreement on EMPTY certifies nothing — a broken operator
             # that returns no rows would also "pass". Round 6 found two
             # such entries (q_scalar_subquery, j_anti); keep them visible.
             print(f"PASS {name} (0 rows — TRIVIAL: empty result attests nothing)")
         else:
-            print(f"PASS {name} ({len(spark_rows)} rows)")
+            print(f"PASS {name} ({len(spark_pdf)} rows)")
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
