@@ -304,7 +304,11 @@ def _duckdb_ab_mode(factor: int = 10) -> None:
                     "unit": "sec",
                     "sf": round(0.1 * factor, 4),
                     "factor": factor,
-                    "n_runs": {
+                    # scalar for cross-round consumers (r13 advisor:
+                    # the r13 type change int -> object breaks diffing
+                    # against earlier rounds); per-set detail alongside
+                    "n_runs": N_RUNS,
+                    "n_runs_per_set": {
                         "baseline_set": N_RUNS_BASELINE,
                         "tpch_shapes": N_RUNS,
                     },

@@ -294,12 +294,15 @@ def _file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             anchors.append(c)
 
     fp = F.col("_metadata.file_path")
-    # first anchor that occurs in the path wins; substring_index
-    # returns the input unchanged when the anchor is absent
+    # first anchor that occurs in the path wins, split at its FIRST
+    # occurrence (r13 advisor: substring_index(..., -1) split at the
+    # LAST, so a physical path repeating the sf_dir string — e.g.
+    # /data/sf0.1/backup/data/sf0.1/… — stripped past the dataset root)
     suffix = fp
     for a in reversed(anchors):
-        stripped = F.substring_index(fp, a, -1)
-        suffix = F.when(stripped != fp, stripped).otherwise(suffix)
+        pos = F.locate(a, fp)  # 1-based; 0 when the anchor is absent
+        stripped = fp.substr(pos + F.lit(len(a)), F.length(fp))
+        suffix = F.when(pos > 0, stripped).otherwise(suffix)
     return df.select(
         "doc_id",
         F.element_at(

@@ -530,22 +530,25 @@ def _sim_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_default_cells, ivfpq_topk, pq_topk
 
     CERT_CAP = 65536
-    emb = _emb(spark, sf_dir)
-    n_total = emb.count()
-    if n_total > CERT_CAP:
-        # repartition after the limit: a global limit lands all CAP
-        # rows in ONE partition, which would serialize every pipeline
-        # below onto one core (measured: 180 s/pipeline single-task vs
-        # seconds at full width); hash-repartitioning on the id
-        # restores the session's shuffle parallelism deterministically
-        emb = (
-            emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-            .limit(CERT_CAP)
-            .repartition("vec_id")
-        )
-    emb = emb.persist()
+    # one pass, no pre-count (r13 advisor: a full corpus scan solely
+    # to decide whether to subsample): the ordered limit is applied
+    # unconditionally — at or below the cap it is the identity set
+    # (recall aggregates are order-insensitive), above it the
+    # deterministic md5-ordered subsample, and the count of the CAPPED
+    # persisted frame is exactly min(n_total, CERT_CAP), which is all
+    # the budget derivation below ever needed. repartition after the
+    # limit: a global limit lands all CAP rows in ONE partition, which
+    # would serialize every pipeline below onto one core (measured:
+    # 180 s/pipeline single-task vs seconds at full width).
+    emb = (
+        _emb(spark, sf_dir)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(CERT_CAP)
+        .repartition("vec_id")
+        .persist()
+    )
     try:
-        n = min(n_total, CERT_CAP)
+        n = emb.count()
         cells = ivf_default_cells(n)
         half = max(4, cells // 2)
         rr_half = max(300, n // 2)
