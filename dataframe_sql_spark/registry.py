@@ -64,6 +64,12 @@ class QuerySpec:
     # misreport a green sweep as having executed an entry that would
     # hang (r12 advisor note).
     max_sf_reason: str | None = None
+    # The scale-safe production path for the bounded semantics — the
+    # entry (or mechanism) a 100-TB user runs instead, and the gate
+    # that covers it. Required whenever oracle_max_sf is set
+    # (tools/envelope_ledger.py renders the table and the test suite
+    # asserts completeness + non-staleness).
+    scale_path: str | None = None
 
 
 # --------------------------------------------------------------------------

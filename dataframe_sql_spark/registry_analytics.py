@@ -1207,7 +1207,17 @@ _reg(
     r"ORDER BY a, b, c",
     "triangle enumeration over exact-Jaccard >= 0.5 similarity edges "
     "(degree-oriented wedge joins vs a DuckDB 3-way self-join)",
-    oracle_max_sf=0.01,  # 3-way self-join oracle infeasible beyond sf0.01
+    oracle_max_sf=0.01,
+    max_sf_reason=(
+        "oracle-side: the DuckDB 3-way self-join over the similarity edge "
+        "CTE (itself built from the complete pair set) is infeasible "
+        "beyond sf0.01"
+    ),
+    scale_path=(
+        "degree-oriented wedge join (operators/graph.py::triangle_list) "
+        "over banded candidate edges — wedge fan-out bounded by orienting "
+        "edges toward higher degree"
+    ),
 )
 
 

@@ -57,6 +57,7 @@ def _reg(
     doc: str,
     oracle_max_sf: float | None = None,
     max_sf_reason: str | None = None,
+    scale_path: str | None = None,
 ) -> None:
     CATALOG[name] = QuerySpec(
         engine_sql=None,
@@ -65,6 +66,7 @@ def _reg(
         doc=doc,
         oracle_max_sf=oracle_max_sf,
         max_sf_reason=max_sf_reason,
+        scale_path=scale_path,
     )
 
 

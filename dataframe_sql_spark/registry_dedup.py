@@ -140,7 +140,18 @@ _reg(
     r" ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id",
     "exact blocked n-gram Jaccard (integer set sizes — rounding-proof "
     "differential check over every in-block pair)",
-    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
+    oracle_max_sf=0.1,
+    max_sf_reason=(
+        "oracle-side: the complete pair set / brute-force recompute is "
+        "corpus-quadratic by construction — sf0.1-proven, infeasible at "
+        "sf1+"
+    ),
+    scale_path=(
+        "own blocked pipeline (block-key equi-join candidates, per-block "
+        "quadratic only); the banded MinHash counterparts "
+        "dd_minhash/dd_minhash_pairs ran rows-only green at the 100x docs "
+        "axis (SCALE.md r13)"
+    ),
 )
 
 
@@ -223,7 +234,16 @@ _reg(
     "minhash-LSH recall certificate: LSH candidates verified by exact "
     "Jaccard >= 0.8 must equal ALL such pairs (DuckDB recomputes over the "
     "shingle-sharing superset)",
-    oracle_max_sf=0.01,  # complete-pair-set oracle is quadratic by design
+    oracle_max_sf=0.01,
+    max_sf_reason=(
+        "oracle-side: the complete pair-set oracle is quadratic by design — "
+        "certificate bounded at sf0.01"
+    ),
+    scale_path=(
+        "dd_minhash / dd_minhash_pairs (banded OPH pipeline, plan-pinned "
+        "band exchanges) — rows-only green at the 100x docs axis (SCALE.md "
+        "r13)"
+    ),
 )
 
 
@@ -273,7 +293,15 @@ _reg(
     "transitive-closure certificate: iterative min-label propagation over "
     "exact Jaccard >= 0.5 edges (complete shingle-sharing candidates) vs "
     "a DuckDB recursive-CTE closure",
-    oracle_max_sf=0.01,  # recursive-closure oracle infeasible beyond sf0.01
+    oracle_max_sf=0.01,
+    max_sf_reason=(
+        "oracle-side: the recursive transitive-closure oracle is infeasible "
+        "beyond sf0.01"
+    ),
+    scale_path=(
+        "dd_clusters (iterated min-id label propagation over banded "
+        "candidate edges) — certificate clean at 100x (SCALE.md r13)"
+    ),
 )
 
 
@@ -441,7 +469,16 @@ WHERE doc_id NOT IN (SELECT id_b FROM dups)""",
     "replay certificate: banded OPH-minhash dedup with md5 hashes — "
     "lanes, rotation densification, banding, bucket caps, Jaccard "
     "verify and survivorship all re-executed by the SQL oracle",
-    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
+    oracle_max_sf=0.1,
+    max_sf_reason=(
+        "oracle-side: the complete pair set / brute-force recompute is "
+        "corpus-quadratic by construction — sf0.1-proven, infeasible at "
+        "sf1+"
+    ),
+    scale_path=(
+        "dd_minhash_pairs raw banded pipeline — rows-only green at the 100x "
+        "docs axis (SCALE.md r13)"
+    ),
 )
 
 
@@ -455,7 +492,17 @@ _reg(
     "  ON a.label = b.label AND a.vec_id < b.vec_id"
     " WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99)",
     "embedding cosine near-dup (≥0.99) blocked by label, greedy min-id survivors",
-    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
+    oracle_max_sf=0.1,
+    max_sf_reason=(
+        "oracle-side: the complete pair set / brute-force recompute is "
+        "corpus-quadratic by construction — sf0.1-proven, infeasible at "
+        "sf1+"
+    ),
+    scale_path=(
+        "own label-blocked cosine pipeline (block-key equi-join "
+        "candidates); the oracle's brute-force pair set is the quadratic "
+        "side"
+    ),
 )
 
 
@@ -764,7 +811,16 @@ WHERE d.doc_id IN (SELECT doc_id FROM survivors)
     "replay certificate: incremental minhash dedup (history index "
     "collision + within-batch LSH) with every stage re-executed by "
     "the SQL oracle from raw text",
-    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
+    oracle_max_sf=0.1,
+    max_sf_reason=(
+        "oracle-side: the complete pair set / brute-force recompute is "
+        "corpus-quadratic by construction — sf0.1-proven, infeasible at "
+        "sf1+"
+    ),
+    scale_path=(
+        "dd_incremental (streaming near-dup vs the persisted band index) — "
+        "replay certificate r10, clean at 100x (SCALE.md r13)"
+    ),
 )
 
 
@@ -863,7 +919,18 @@ _reg(
     "prefix-filtering set-similarity join (AllPairs/PPJoin): ALL pairs "
     "with exact 3-shingle Jaccard >= 0.7, recall 1.0 by theorem — "
     "oracle brute-forces every pair, certifying completeness",
-    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
+    oracle_max_sf=0.1,
+    max_sf_reason=(
+        "oracle-side: the complete pair set / brute-force recompute is "
+        "corpus-quadratic by construction — sf0.1-proven, infeasible at "
+        "sf1+; the engine's AllPairs/PPJoin verify set is also worst-case "
+        "quadratic at full recall by theorem"
+    ),
+    scale_path=(
+        "prefix-filter pruning bounds the verify set at the similarity "
+        "threshold; measured completing at 100x under a verified 2 GiB heap "
+        "with disk spill (SCALE.md r12 memory-pressure ledger, 286 s)"
+    ),
 )
 
 
@@ -961,7 +1028,17 @@ _reg(
     r"WHERE list_cosine_similarity(a.v, b.v) >= 0.4",
     "SemDeDup: k-means-blocked embedding near-dup pairs (cos >= 0.4) "
     "— quadratic cost bounded per cluster, not corpus-wide",
-    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
+    oracle_max_sf=0.1,
+    max_sf_reason=(
+        "oracle-side: the complete pair set / brute-force recompute is "
+        "corpus-quadratic by construction — sf0.1-proven, infeasible at "
+        "sf1+"
+    ),
+    scale_path=(
+        "own SemDeDup pipeline: k-means cluster blocking bounds the "
+        "quadratic term per cluster, not corpus-wide; clusters scale with "
+        "corpus size"
+    ),
 )
 
 
@@ -1043,7 +1120,15 @@ _reg(
     r" / len(list_distinct(list_cat(x.s, y.s))) >= 0.5",
     "minhash estimation-accuracy certificate: 64-lane OPH agreement "
     "fraction within 0.25 of exact Jaccard on every J>=0.5 pair",
-    oracle_max_sf=0.01,  # complete-pair-set oracle is quadratic by design
+    oracle_max_sf=0.01,
+    max_sf_reason=(
+        "oracle-side: the complete pair-set oracle is quadratic by design — "
+        "certificate bounded at sf0.01"
+    ),
+    scale_path=(
+        "dd_minhash banded pipeline; the estimation-accuracy property "
+        "itself does not grow with the corpus"
+    ),
 )
 
 
@@ -1100,7 +1185,16 @@ _reg(
     "containment (overlap-coefficient) stats per blocked pair with the "
     ">= 0.8 near-subset-dup flag: the duplication geometry symmetric "
     "Jaccard misses",
-    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
+    oracle_max_sf=0.1,
+    max_sf_reason=(
+        "oracle-side: the complete pair set / brute-force recompute is "
+        "corpus-quadratic by construction — sf0.1-proven, infeasible at "
+        "sf1+"
+    ),
+    scale_path=(
+        "own blocked candidates + containment verify (block-key equi-join; "
+        "per-block bounded)"
+    ),
 )
 
 
@@ -1148,7 +1242,17 @@ _reg(
     r"GROUP BY a.source, b.source ORDER BY src_a, src_b",
     "cross-source 3-gram vocabulary overlap matrix (distinct-first "
     "join is vocabulary-sized) — mixture/leakage diagnostic",
-    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
+    oracle_max_sf=0.1,
+    max_sf_reason=(
+        "oracle-side: the complete pair set / brute-force recompute is "
+        "corpus-quadratic by construction — sf0.1-proven, infeasible at "
+        "sf1+"
+    ),
+    scale_path=(
+        "own distinct-first vocabulary join (matrix is sources-squared, "
+        "vocabulary-sized inputs — sources, not documents, are the "
+        "quadratic dimension)"
+    ),
 )
 
 
@@ -1225,5 +1329,13 @@ _reg(
     "fuzzy decontamination certificate: corpus docs with verified "
     "J >= 0.8 to any benchmark doc (LSH candidates vs complete DuckDB "
     "recompute — cross-table recall 1.0)",
-    oracle_max_sf=0.01,  # complete cross-recompute oracle is quadratic by design
+    oracle_max_sf=0.01,
+    max_sf_reason=(
+        "oracle-side: the complete corpus-x-benchmark cross-recompute is "
+        "quadratic by design"
+    ),
+    scale_path=(
+        "LSH-banded doc-vs-benchmark candidates (band-key equi-join, linear "
+        "in corpus)"
+    ),
 )

@@ -303,5 +303,15 @@ _reg(
     r"cast(c2 - c3 AS BIGINT), cast(c3 AS BIGINT) FROM n",
     "three-tier dedup funnel (exact -> complete-recall near-dup -> "
     "SemDeDup), per-stage counts oracle-replayed end-to-end",
-    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
+    oracle_max_sf=0.1,
+    max_sf_reason=(
+        "oracle-side: the complete pair set / brute-force recompute is "
+        "corpus-quadratic by construction — sf0.1-proven, infeasible at "
+        "sf1+"
+    ),
+    scale_path=(
+        "the funnel's own three tiers are each hash/banded/cluster-blocked "
+        "equi-joins; driver-r13 green and ran in the 100x docs axis "
+        "(SCALE.md r13)"
+    ),
 )

@@ -68,12 +68,17 @@ _reg(
     " WHERE a.label = 0) t WHERE rn <= 3",
     "k-NN join: 3 nearest corpus vectors per query vector via the IVF "
     "cell-keyed equi-join (exact at full probe; no cartesian product)",
-    oracle_max_sf=0.1,  # corpus-quadratic oracle (complete pair set / brute force) — sf0.1-proven, infeasible at sf1+
+    oracle_max_sf=0.1,
     max_sf_reason=(
         "BOTH sides quadratic at this replay config: full probe over 16 "
         "fixed cells makes the ENGINE candidate volume all-pairs (exact "
         "by construction) and the brute-force oracle matches it; the "
         "100-TB form is sim_knn_join_indexed/ivf_index_write"
+    ),
+    scale_path=(
+        "sim_knn_join_indexed / ivf_index_write (cells proportional to rows "
+        "with the 4096 cap, codegen flat assignment, partition-pruned "
+        "probes) — bench- and pytest-covered"
     ),
 )
 
@@ -154,6 +159,11 @@ _reg(
         "8 cores for 2h+ at 100x) — the entry would hang, not just the "
         "oracle; algorithm certified through sf1/500k vectors, the "
         "100-TB path is sim_knn_join_indexed/ivf_index_write"
+    ),
+    scale_path=(
+        "sim_knn_join_indexed / ivf_index_write (cells proportional to rows "
+        "with the 4096 cap, codegen flat assignment, partition-pruned "
+        "probes) — bench- and pytest-covered"
     ),
 )
 
@@ -848,5 +858,9 @@ _reg(
         "oracle-side: the end-to-end DuckDB replay spills corpus-by-dim "
         "residual/encode CTEs (>79 GB, ENOSPC at 200k vectors / 100x); "
         "the engine pipeline itself ran 100x-clean (sim_ann_ivfpq 96 s)"
+    ),
+    scale_path=(
+        "sim_ann_ivfpq raw pipeline (same plan unrounded) — rows-only, "
+        "100x-clean in 96 s (SCALE.md r12 bisect)"
     ),
 )

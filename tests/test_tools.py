@@ -181,3 +181,31 @@ def test_vectorized_norm_matches_norm_cell():
         )
     finally:
         co.STRICT = old
+
+
+def test_envelope_ledger_current():
+    """r14: every oracle_max_sf declaration must carry a structured
+    reason AND a scale path, and COVERAGE.md's generated envelope
+    ledger must be exactly what the registry produces today — a new or
+    edited envelope without a regenerated table fails here."""
+    from dataframe_sql_spark.registry import CATALOG, _ordered_names
+    from tools.envelope_ledger import BEGIN, END, REPO_ROOT, build_table
+
+    _ordered_names()
+    for n, spec in CATALOG.items():
+        if spec.oracle_max_sf is not None:
+            assert spec.max_sf_reason, f"{n}: oracle_max_sf without max_sf_reason"
+            assert spec.scale_path, f"{n}: oracle_max_sf without scale_path"
+        else:
+            assert spec.scale_path is None, (
+                f"{n}: scale_path without oracle_max_sf — the field "
+                "documents envelopes, not general notes"
+            )
+    text = (REPO_ROOT / "COVERAGE.md").read_text()
+    assert BEGIN in text and END in text, "envelope ledger missing from COVERAGE.md"
+    current = text.split(BEGIN, 1)[1].split(END, 1)[0]
+    fresh = build_table().split(BEGIN, 1)[1].split(END, 1)[0]
+    assert current == fresh, (
+        "COVERAGE.md envelope ledger is stale — run "
+        "`python tools/envelope_ledger.py --write`"
+    )
