@@ -325,6 +325,108 @@ def _duckdb_ab_mode(factor: int = 10) -> None:
         _sh.rmtree(d, ignore_errors=True)
 
 
+# Docs-axis A/B keys (r12 brief item 5, executed r14): the
+# linear-oracle subset of the pipeline/north-star ops — the dedup/ANN/
+# text keys are ~80% of bench wall but had no same-host oracle-relative
+# ratio at any scale. Keys whose oracle is quadratic-by-design
+# (envelope ledger) are structurally excluded: an A/B against an
+# oracle that does ASYMPTOTICALLY less (or more) work measures the
+# algorithm gap, not the engine gap.
+DOCS_AB_KEYS = [
+    "dd_exact",
+    "dd_fingerprint",
+    "dd_url_dedup",
+    "sim_topk",
+    "sim_ann_ivf",
+    "txt_stats",
+    "txt_quality",
+    "txt_tfidf",
+    "x_dsir_weights",
+    "a_cms_heavy_hitters",
+]
+
+
+def _duckdb_ab_docs_mode(factor: int = 10) -> None:
+    """`bench.py --duckdb-ab-docs[=FACTOR]`: same-host Spark-vs-DuckDB
+    A/B for the linear-oracle docs/pipeline keys at a FACTOR×
+    expansion of sf0.1 (factor=1 reads sf0.1 in place). Same
+    methodology as `--duckdb-ab`: both engines read the same parquet,
+    both materialize full results through pandas, one untimed warm-up
+    then median of N_RUNS."""
+    import shutil as _sh
+    import statistics
+
+    import duckdb
+
+    from dataframe_sql_spark.registry import CATALOG, spark_queries
+    from dataframe_sql_spark.sources.io import TESTDATA_TABLES
+
+    env_start = _env_stamp()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench_ab_docs")
+    d = _write_scaled_dir(spark, sf_dir, factor, kind="docs") if factor > 1 else sf_dir
+    try:
+        con = duckdb.connect()
+        for t in TESTDATA_TABLES:
+            p = Path(d) / f"{t}.parquet"
+            src = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+            )
+
+        def _timeit(run) -> float:
+            t0 = time.perf_counter()
+            run()
+            return time.perf_counter() - t0
+
+        def med(run, n: int = N_RUNS) -> float:
+            run()  # warm-up: page cache, plan, JVM/codegen or duckdb JIT
+            return round(statistics.median(_timeit(run) for _ in range(n)), 4)
+
+        qs = spark_queries()
+        sf = round(0.1 * factor, 4)
+        per: dict[str, dict] = {}
+        for name in DOCS_AB_KEYS:
+            spec = CATALOG[name]
+            assert spec.oracle is not None, f"{name} has no oracle"
+            assert spec.oracle_max_sf is None or spec.oracle_max_sf >= sf, (
+                f"{name} oracle envelope ({spec.oracle_max_sf}) below sf{sf}"
+            )
+            s = med(lambda n=name: qs[n](spark, d).toPandas())
+            k = med(lambda o=spec.oracle: con.execute(o).df())
+            per[name] = {
+                "spark": s,
+                "duckdb": k,
+                "ratio": round(s / k, 2) if k > 0 else None,
+            }
+            print(
+                f"# {name}: spark={s}s duckdb={k}s ratio={per[name]['ratio']}",
+                file=sys.stderr,
+                flush=True,
+            )
+        over = [n for n, v in per.items() if v["ratio"] and v["ratio"] > 2.0]
+        print(
+            json.dumps(
+                {
+                    "metric": "duckdb_ab_docs",
+                    "unit": "sec",
+                    "sf": sf,
+                    "factor": factor,
+                    "n_runs": N_RUNS,
+                    "queries": per,
+                    "spark_total": round(sum(v["spark"] for v in per.values()), 4),
+                    "duckdb_total": round(sum(v["duckdb"] for v in per.values()), 4),
+                    "over_2x": over,
+                    "env": {"start": env_start, "end": _env_stamp()},
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        if d != sf_dir:
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def _scale_mode(r: int, kind: str = "docs") -> None:
     """`bench.py --scale=R`: measured scaling point for the most
     expensive pipeline ops (SCALE.md roadmap #1). BOTH endpoints are
@@ -421,6 +523,11 @@ def main() -> None:
             return
         if a.startswith("--scale-tpch="):
             _scale_mode(int(a.split("=", 1)[1]), kind="tpch")
+            return
+        if a == "--duckdb-ab-docs" or a.startswith("--duckdb-ab-docs="):
+            _duckdb_ab_docs_mode(
+                int(a.split("=", 1)[1]) if "=" in a else 10
+            )
             return
         if a == "--duckdb-ab" or a.startswith("--duckdb-ab="):
             _duckdb_ab_mode(
