@@ -19,7 +19,7 @@ only strict mode (repr of the float) catches an int-vs-float column
 divergence like q12's.
 
 Usage: python tools/check_oracle.py [--vanilla] [--strict]
-           [--driver-memory=8g] [--exclude=a,b,c | --exclude a,b,c]
+           [--driver-memory=8g] [--duckdb-mem=MB] [--exclude=a,b,c | --exclude a,b,c]
            [sf_dir] [name_filter ...]
 
 Entries whose QuerySpec declares ``oracle_max_sf`` below the sf parsed
@@ -108,7 +108,13 @@ def driver_canon_error(pdf: pd.DataFrame) -> str | None:
     if pdf.empty:
         return None
     try:
-        pdf.sort_values(by=sorted(pdf.columns), kind="quicksort")
+        # head slice (r14): the crash class this replays is TYPE-level
+        # (unhashable cells inside sort_values/factorize), which any
+        # slice containing the dtypes reproduces — while a full-frame
+        # lexsort of a 60M-row 100×-gate result costs minutes per side
+        # for no extra signal. The driver itself only ever canonicalizes
+        # sf0.01-sized results.
+        pdf.head(100_000).sort_values(by=sorted(pdf.columns), kind="quicksort")
     except Exception as e:  # noqa: BLE001 — any crash here is a driver crash
         return f"{type(e).__name__}: {str(e)[:160]}"
     return None
@@ -283,12 +289,18 @@ def main() -> int:
     # ``oracle_max_sf`` on its QuerySpec and is auto-skipped below.
     excluded: list[str] = []
     driver_memory: str | None = None
+    duckdb_mem_mb: int | None = None
     first_n: int | None = None
     exact_names: set[str] | None = None
     i = 0
     while i < len(args):
         if args[i].startswith("--driver-memory="):
             driver_memory = args.pop(i).split("=", 1)[1]
+        elif args[i].startswith("--duckdb-mem="):
+            # per-run oracle memory budget in MB (r13 advisor: expose
+            # the limit as a flag) — lets concurrent gate lanes share
+            # the box without over-committing the adaptive default
+            duckdb_mem_mb = int(args.pop(i).split("=", 1)[1])
         elif args[i].startswith("--first="):
             # driver-faithful window: score exactly the first N
             # queries() entries (the driver scores the first 50)
@@ -369,7 +381,7 @@ def main() -> int:
         )
     except (ValueError, OSError, AttributeError):
         phys_mb = 24 * 1024  # unknown: keep the old fixed budget
-    oracle_mb = min(24 * 1024, int(phys_mb * 0.65))
+    oracle_mb = duckdb_mem_mb or min(24 * 1024, int(phys_mb * 0.65))
     con.execute(f"SET memory_limit='{oracle_mb}MB'")
     con.execute(f"SET temp_directory='{tempfile.gettempdir()}/duckdb_oracle_spill'")
     for t in TESTDATA_TABLES:
