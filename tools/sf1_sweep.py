@@ -71,6 +71,13 @@ AXIS_PREFIXES = {
 }
 
 
+def _phys_mb() -> int:
+    try:
+        return os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // (1 << 20)
+    except (ValueError, OSError, AttributeError):
+        return 24 * 1024
+
+
 def axis_entries(axis: str) -> list[str]:
     """Exact catalog entry names whose name starts with one of the
     axis's anchored prefixes. Asserts the two axes stay disjoint so a
@@ -155,6 +162,13 @@ def run_axis(axis: str, factor: int = 10) -> dict:
                         # is an environment axis, sized like a real
                         # deploy would
                         "--driver-memory=8g",
+                        # beyond-driver-SF oracles (sim_ann_ivfpq_verified's
+                        # corpus×dim replay CTEs) need more than the gate's
+                        # conservative 24 GB default: size the oracle like
+                        # the sweep sizes the driver — 65% of the box, no
+                        # fixed cap (r14: the 24 GB default OOM'd an entry
+                        # that had been sf1-green under the old 80% limit)
+                        f"--duckdb-mem={int(_phys_mb() * 0.65)}",
                         f"--names={','.join(axis_entries(axis))}",
                         d,
                     ],
