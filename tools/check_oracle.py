@@ -41,6 +41,7 @@ import os
 import re
 import sys
 import tempfile
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -405,6 +406,7 @@ def main() -> int:
         if excluded and any(e and e in name for e in excluded):
             print(f"SKIP {name} (excluded)")
             continue
+        t_entry = time.perf_counter()
         spec = CATALOG.get(name)
         if (
             sf is not None
@@ -430,7 +432,10 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows-only ({len(spark_pdf)} rows, no oracle)")
+            print(
+                f"ok?  {name}: rows-only ({len(spark_pdf)} rows, no oracle) "
+                f"[{time.perf_counter() - t_entry:.1f}s]"
+            )
             continue
         try:
             duck_pdf = con.execute(oracles[name]).df()
@@ -458,16 +463,20 @@ def main() -> int:
             if not np.array_equal(np.sort(sh), np.sort(dh)):
                 diff = hash_diff_sample(sh, dh, spark_pdf, duck_pdf)
                 problems.append(f"values differ; sample diff: {diff}")
+        elapsed = f"[{time.perf_counter() - t_entry:.1f}s]"
         if problems:
-            print(f"FAIL {name}: " + "; ".join(problems))
+            print(f"FAIL {name}: " + "; ".join(problems) + f" {elapsed}")
             failures += 1
         elif spark_pdf.empty:
             # agreement on EMPTY certifies nothing — a broken operator
             # that returns no rows would also "pass". Round 6 found two
             # such entries (q_scalar_subquery, j_anti); keep them visible.
-            print(f"PASS {name} (0 rows — TRIVIAL: empty result attests nothing)")
+            print(
+                f"PASS {name} (0 rows — TRIVIAL: empty result attests "
+                f"nothing) {elapsed}"
+            )
         else:
-            print(f"PASS {name} ({len(spark_pdf)} rows)")
+            print(f"PASS {name} ({len(spark_pdf)} rows) {elapsed}")
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
