@@ -348,6 +348,7 @@ def cms_partials(
     key_col: str,
     depth: int = 4,
     width: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-segment CMS counters: (segment, d, idx, n).
 
@@ -355,9 +356,21 @@ def cms_partials(
     segments × depth × width distinct keys, with map-side partial
     aggregation. Output is the persistable pre-aggregate; row count is
     bounded by the counter grid, independent of input size.
+
+    ``weight_col`` is the standard weighted-update form: each input row
+    adds ``weight_col`` (instead of 1) to its ``depth`` cells. Feeding
+    pre-aggregated (segment, key, count) rows through it yields counters
+    IDENTICAL to streaming the raw occurrences, while hashing each
+    distinct key once instead of once per occurrence — the md5 bucket
+    hash was ~85% of the raw-stream build cost at sf0.1
+    (OPTIMIZATION_r14.md).
     """
+    n_expr = (
+        F.count("*") if weight_col is None else F.sum(F.col(weight_col))
+    )
     pos = df.select(
         F.col(segment_col),
+        *([F.col(weight_col)] if weight_col else []),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(depth - 1)),
@@ -367,9 +380,14 @@ def cms_partials(
                 ),
             )
         ).alias("p"),
-    ).select(segment_col, F.col("p.d").alias("d"), F.col("p.idx").alias("idx"))
+    ).select(
+        segment_col,
+        *([weight_col] if weight_col else []),
+        F.col("p.d").alias("d"),
+        F.col("p.idx").alias("idx"),
+    )
     return pos.groupBy(segment_col, "d", "idx").agg(
-        F.count("*").cast("bigint").alias("n")
+        n_expr.cast("bigint").alias("n")
     )
 
 

@@ -438,12 +438,16 @@ def minhash_candidate_pairs(
     else:
         shingled = hashed_shingle_frame(df, id_col, text_col, shingle_k)
         value_bits, bucket_hash = 64, "xx"
+    # OPH lanes + rotation densify via the Arrow-vectorized kernel
+    # (functions/npsig.py): bit-exact vs the oph_raw_lanes/
+    # oph_densify_rotation expression pair (pytest-asserted), replacing
+    # the interpreted 64-lane-filter + densify projections that were
+    # ~2 s of the sf0.1 pipeline (guide §4.2; OPTIMIZATION_r14.md).
+    from ..functions.npsig import oph_signature_vec
+
     sig = shingled.select(
         F.col(id_col),
-        oph_raw_lanes(F.col("__h"), num_hashes, value_bits).alias("__lanes"),
-    ).select(
-        F.col(id_col),
-        oph_densify_rotation(F.col("__lanes"), num_hashes).alias("__sig"),
+        oph_signature_vec(F.col("__h"), num_hashes, value_bits).alias("__sig"),
     )
     banded = _banded(sig, id_col, num_hashes, bands, bucket_hash)
     buckets = (
@@ -867,7 +871,22 @@ def simhash_candidate_pairs(
     hashed = hasher(df, id_col, text_col, feature_k).withColumnRenamed(
         "__h", "__th"
     )
-    sig = hashed.select(F.col(id_col), simhash_bits("__th").alias("__sim"))
+    # signature via the Arrow-vectorized kernel (functions/npsig.py):
+    # bit-exact vs simhash_bits (pytest-asserted) at ~1/25th the CPU —
+    # the interpreted 64-aggregate projection was the pipeline's
+    # dominant cost (guide §4.2; OPTIMIZATION_r14.md).
+    from ..functions.npsig import simhash_bits_vec
+
+    # The isNotNull pair is a runtime no-op (ids and signatures are
+    # never null) but load-bearing for the probed self-join's exchange
+    # reuse: the `a.id < b.id` predicate infers the same constraints and
+    # pushes them below the UDF on the probe side only (the bucket-cap
+    # window blocks the pushdown on the other side), making the two
+    # exchange subtrees canonically unequal. Present from the start,
+    # the constraint already holds on both sides and nothing is cloned.
+    sig = hashed.select(
+        F.col(id_col), simhash_bits_vec(F.col("__th")).alias("__sim")
+    ).filter(F.col(id_col).isNotNull() & F.col("__sim").isNotNull())
 
     def piece_struct(c: int, flip: int) -> Column:
         base = F.shiftright("__sim", c * width).bitwiseAND(F.lit(mask))
@@ -895,10 +914,24 @@ def simhash_candidate_pairs(
         )
     else:
         assert probe_bits == 1, "only 1-bit probing is implemented"
-        probes = sig.select(
+        # r14 single-signature shape: BOTH join sides derive from ONE
+        # exploded key frame (probe keys = exact keys ∪ 1-bit flips),
+        # projected to the same (item, chunk, piece) columns, so the
+        # candidate self-join plans one Exchange + a ReusedExchange and
+        # the featurization+signature subtree runs ONCE. The previous
+        # three-branch form (probes / exact / ok) recomputed the
+        # signature pass per branch — 3 corpus scans at any scale
+        # (plans/r14/dd_simhash_probed_{before,after}.txt).
+        #
+        # A row is an EXACT key (flip == 0) iff its piece equals the
+        # piece recomputed from its own signature — checked
+        # post-exchange so no flip column rides the shuffle (a flip tag
+        # would be pruned off the probe side only, making the two
+        # exchange subtrees canonically unequal and defeating reuse).
+        allk = sig.select(
             F.struct(
                 F.col(id_col).alias("id"), F.col("__sim").alias("sim")
-            ).alias("a"),
+            ).alias("item"),
             F.explode(
                 F.array(
                     *[
@@ -908,23 +941,33 @@ def simhash_candidate_pairs(
                     ]
                 )
             ).alias("p"),
-        ).select("a", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
-        # cap on EXACT bucket size (the probe side only multiplies keys)
-        ok = (
-            exact.groupBy("chunk", "piece")
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") <= max_bucket)
-            .select("chunk", "piece")
+        ).select("item", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
+        is_exact = F.expr(
+            f"piece = (shiftright(item.sim, chunk * {width}) & {mask})"
+        )
+        # cap on EXACT bucket size (the probe side only multiplies
+        # keys): a window count over the already-partitioned keys —
+        # the (chunk, piece) sort it needs is the one the sort-merge
+        # join performs anyway, so the cap costs no extra pass.
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("chunk", "piece")
+        ex = (
+            allk.withColumn(
+                "__exn",
+                F.sum(F.when(is_exact, 1).otherwise(0)).over(wb),
+            )
+            .filter(is_exact & (F.col("__exn") <= max_bucket))
+            .select(F.col("item").alias("b"), "chunk", "piece")
         )
         # merge hint: both probe and exact sides are post-explode
         # streams (rows × probes-per-signature) — count AND width blind
         # to the estimator; never broadcast (broadcast_audit finding)
         pairs = (
-            probes.join(
-                exact.withColumnRenamed("item", "b").hint("merge"),
-                ["chunk", "piece"],
+            allk.select(
+                F.col("item").alias("a"), "chunk", "piece"
             )
-            .join(ok, ["chunk", "piece"], "left_semi")
+            .join(ex.hint("merge"), ["chunk", "piece"])
             .filter(F.col("a.id") < F.col("b.id"))
         )
     return (
@@ -1048,12 +1091,16 @@ def minhash_band_index(
     else:
         shingled = hashed_shingle_frame(df, id_col, text_col, shingle_k)
         value_bits, bucket_hash = 64, "xx"
+    # OPH lanes + rotation densify via the Arrow-vectorized kernel
+    # (functions/npsig.py): bit-exact vs the oph_raw_lanes/
+    # oph_densify_rotation expression pair (pytest-asserted), replacing
+    # the interpreted 64-lane-filter + densify projections that were
+    # ~2 s of the sf0.1 pipeline (guide §4.2; OPTIMIZATION_r14.md).
+    from ..functions.npsig import oph_signature_vec
+
     sig = shingled.select(
         F.col(id_col),
-        oph_raw_lanes(F.col("__h"), num_hashes, value_bits).alias("__lanes"),
-    ).select(
-        F.col(id_col),
-        oph_densify_rotation(F.col("__lanes"), num_hashes).alias("__sig"),
+        oph_signature_vec(F.col("__h"), num_hashes, value_bits).alias("__sig"),
     )
     return _banded(sig, id_col, num_hashes, bands, bucket_hash)
 

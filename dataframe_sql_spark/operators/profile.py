@@ -35,15 +35,29 @@ def profile_frame(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     columns here are both).
     """
     names = cols or df.columns
+    string_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "string"}
     aggs = []
     for c in names:
         col = F.col(c)
+        # Distinct-count string columns through a null-preserving
+        # xxhash64: Spark plans multi-column count_distinct as an
+        # Expand + exchange KEYED ON the distinct arguments, so raw
+        # text would ride the shuffle as a key — the 100-TB
+        # shuffle-volume rule this repo lints against (the fixed-width
+        # hash moves 8 bytes instead of the document; collision odds
+        # ~n²/2⁶⁴, the same tolerance exact_dedup documents). The
+        # isNotNull guard keeps count_distinct's ignore-NULLs
+        # semantics (a bare xxhash64(NULL) would hash to the seed and
+        # count as a value).
+        dist_arg = (
+            F.when(col.isNotNull(), F.xxhash64(col)) if c in string_cols else col
+        )
         aggs += [
             F.count(F.lit(1)).alias(f"__rows_{c}"),
             F.sum(F.when(col.isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias(f"__null_{c}"),
-            F.count_distinct(col).alias(f"__dist_{c}"),
+            F.count_distinct(dist_arg).alias(f"__dist_{c}"),
             F.min(col.cast("string")).alias(f"__min_{c}"),
             F.max(col.cast("string")).alias(f"__max_{c}"),
         ]

@@ -466,18 +466,37 @@ def _a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials over the word stream, merge, probe the exact top-10 words
     (count desc, word tiebreak — deterministic), and certify the
     no-underestimate property. Both the estimate and the property are
-    oracle-replayed exactly (md5 bucket hash is engine-portable)."""
+    oracle-replayed exactly (md5 bucket hash is engine-portable).
+
+    r14 shape: one (source, word) count pass over the word stream feeds
+    BOTH the per-source partials (standard weighted CMS update — md5
+    per distinct (source, word), not per occurrence; counters are
+    bit-identical) and, summed over sources, the exact counts. The
+    occurrence-stream build hashed every word occurrence ×depth
+    (~2.2 s of the 2.6 s sf0.1 wall) and tokenized the corpus twice;
+    this hashes each of the ~620 distinct (source, word) pairs once and
+    the shared exchange is reused across both consumers
+    (OPTIMIZATION_r14.md)."""
     from pyspark.sql import Window
 
     from .functions.sketches import cms_estimate, cms_merge, cms_partials
-    from .operators.relevance import doc_words
 
     docs = _docs(spark, sf_dir)
-    words = doc_words(docs, "doc_id", "text").join(
-        docs.select("doc_id", "source"), "doc_id"
+    base = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("__n"))
     )
-    counters = cms_merge(cms_partials(words, "source", "word"))
-    exact = words.groupBy("word").agg(F.count("*").cast("bigint").alias("exact_n"))
+    counters = cms_merge(cms_partials(base, "source", "word", weight_col="__n"))
+    exact = base.groupBy("word").agg(
+        F.sum("__n").cast("bigint").alias("exact_n")
+    )
     w = Window.orderBy(F.col("exact_n").desc(), F.col("word"))
     top = (
         exact.withColumn("__rn", F.row_number().over(w))

@@ -35,18 +35,36 @@ _QUERY_VEC_SQL = "[" + ", ".join("1.0" for _ in range(64)) + "]::DOUBLE[]"
 
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return engine_for(spark, sf_dir).spark.table("documents")
+# r14: the table helpers return the parquet relation DIRECTLY instead
+# of `spark.table(view)`. A temp-view reference wraps the plan in a
+# per-occurrence View/SubqueryAlias that defeats physical-plan
+# canonicalization, so two branches consuming the same intermediate
+# NEVER produce a ReusedExchange — measured: identical
+# groupBy-then-self-join shapes reuse their exchange from
+# `spark.read.parquet` and recompute everything from `spark.table`
+# (OPTIMIZATION_r14.md). engine_for() is still called for its
+# registration side effect (the SQL entries resolve views).
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.io import read_table
+
+    engine_for(spark, sf_dir)
+    return read_table(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return engine_for(spark, sf_dir).spark.table("embeddings")
+    from .sources.io import read_table
 
+    engine_for(spark, sf_dir)
+    return read_table(spark, sf_dir, "embeddings")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return engine_for(spark, sf_dir).spark.table("events")
+    from .sources.io import read_table
+
+    engine_for(spark, sf_dir)
+    return read_table(spark, sf_dir, "events")
 
 
 

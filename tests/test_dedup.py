@@ -195,3 +195,66 @@ def test_substring_span_remove_keep_one_policy(spark):
     # doc 3 untouched; doc 4 fully covered -> empty but still a row
     assert out[3]["kept_tokens"] == 10
     assert out[4]["kept_tokens"] == 0 and out[4]["clean_text"] == ""
+
+
+def test_vectorized_signatures_match_expressions(spark):
+    """The Arrow-vectorized signature kernels (functions/npsig.py) must
+    be BIT-EXACT vs the pure-expression formulations they replaced in
+    the hot paths — for both the xxhash64 (64-bit) and md5 (60-bit)
+    feature-hash spaces, including the short-doc/degenerate rows. This
+    is what lets the oracle-replayed certificates keep hash-matching
+    through the vectorized path."""
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.functions.npsig import (
+        oph_signature_vec,
+        simhash_bits_vec,
+    )
+    from dataframe_sql_spark.operators.dedup import (
+        hashed_shingle_frame,
+        md5_shingle_frame,
+        oph_densify_rotation,
+        oph_raw_lanes,
+        simhash_bits,
+    )
+    from tests.conftest import SF_DIR
+
+    # bounded doc set, and the expression/vectorized sides are collected
+    # as SEPARATE plans (one combined compare plan makes the optimizer
+    # chew on the interpreted signature trees for minutes)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(400)
+    for hasher, value_bits in ((hashed_shingle_frame, 64), (md5_shingle_frame, 60)):
+        h2 = hasher(docs, "doc_id", "text", 2).withColumnRenamed("__h", "__th")
+        ref = {
+            r.doc_id: r.s
+            for r in h2.select(
+                "doc_id", simhash_bits("__th").alias("s")
+            ).collect()
+        }
+        vec = {
+            r.doc_id: r.s
+            for r in h2.select(
+                "doc_id", simhash_bits_vec(F.col("__th")).alias("s")
+            ).collect()
+        }
+        assert ref == vec, value_bits
+        h3 = hasher(docs, "doc_id", "text", 3)
+        oref = {
+            r.doc_id: tuple(r.s)
+            for r in h3.select(
+                "doc_id",
+                oph_raw_lanes(F.col("__h"), 64, value_bits).alias("__lanes"),
+            )
+            .select(
+                "doc_id", oph_densify_rotation(F.col("__lanes"), 64).alias("s")
+            )
+            .collect()
+        }
+        ovec = {
+            r.doc_id: tuple(r.s)
+            for r in h3.select(
+                "doc_id",
+                oph_signature_vec(F.col("__h"), 64, value_bits).alias("s"),
+            ).collect()
+        }
+        assert oref == ovec, value_bits
