@@ -104,6 +104,16 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+# Per-task word→encoding memo cap: BPE output is a pure function of
+# the word, and corpora repeat words (Zipf), so each distinct word is
+# encoded once per task instead of once per occurrence — the standard
+# tokenizer-cache optimization (r14: 270k occurrences / 31 distinct
+# words at sf0.1 meant ~9000× redundant merge loops). The cap bounds
+# executor memory on adversarial vocabularies; past it, words are
+# encoded uncached (identical output, just slower).
+_BPE_CACHE_MAX = 1 << 20
+
+
 def bpe_tokenize_col(text: Column, merges: list[tuple[str, str]]) -> Column:
     """array<string> of BPE tokens — Arrow-batched pandas UDF applying
     the learned merges (broadcast as a closure constant)."""
@@ -111,10 +121,17 @@ def bpe_tokenize_col(text: Column, merges: list[tuple[str, str]]) -> Column:
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def tok(s: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
         def enc(t: str) -> list[str]:
             out: list[str] = []
             for w in (t or "").strip().lower().split():
-                out.extend(_encode_word(w, ranks))
+                v = cache.get(w)
+                if v is None:
+                    v = _encode_word(w, ranks)
+                    if len(cache) < _BPE_CACHE_MAX:
+                        cache[w] = v
+                out.extend(v)
             return out
 
         return s.map(enc)
@@ -129,10 +146,18 @@ def bpe_token_count_col(text: Column, merges: list[tuple[str, str]]) -> Column:
 
     @F.pandas_udf(T.LongType())
     def cnt(s: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
         def n(t: str) -> int:
-            return sum(
-                len(_encode_word(w, ranks)) for w in (t or "").strip().lower().split()
-            )
+            total = 0
+            for w in (t or "").strip().lower().split():
+                v = cache.get(w)
+                if v is None:
+                    v = len(_encode_word(w, ranks))
+                    if len(cache) < _BPE_CACHE_MAX:
+                        cache[w] = v
+                total += v
+            return total
 
         return s.map(n)
 

@@ -369,6 +369,116 @@ def ivf_assign_cells(
     )
 
 
+def ivf_assign_cells_np(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], cell_col: str = "__cell"
+) -> DataFrame:
+    """Numpy ``mapInPandas`` form of :func:`ivf_assign_cells` —
+    bit-exact (pytest-asserted): per cell, the rounded sequential-fold
+    dot against the driver-normalized centroid (HALF_UP/shortest-repr
+    rounding via npsig.round_half_up_np), argmax under the
+    Double.compare total order (ties to the lowest cell). Replaces the
+    rows×cells interpreted-HOF scoring — the dominant index-build term
+    at scale — and the per-call centroid-literal tree construction
+    (guide §4.2)."""
+    import math as _math
+
+    import numpy as np
+
+    from ..functions.npsig import round_half_up_np
+
+    def _normed(c: list[float]) -> list[float]:
+        n = _math.sqrt(sum(x * x for x in c)) or 1.0
+        return [x / n for x in c]
+
+    cn = np.array([_normed(c) for c in centroids], np.float64)
+    dim = cn.shape[1]
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            n = len(V)
+            cell = np.empty(n, np.int32)
+            step = max(1, (4 << 20) // max(1, len(cn) * dim))
+            for s in range(0, n, step):
+                dots = (
+                    np.cumsum(V[s : s + step, None, :] * cn[None, :, :], axis=2)[
+                        :, :, -1
+                    ]
+                    + 0.0
+                )
+                sims = round_half_up_np(dots, CELL_SCORE_DECIMALS)
+                cell[s : s + step] = np.argmax(_f64_order_key(sims), axis=1)
+            out = pdf.copy()
+            out[cell_col] = cell.astype(np.int32)
+            yield out
+
+    schema = (
+        ",".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        + f",`{cell_col}` int"
+    )
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def ivf_probe_cells_np(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    n_probe: int,
+    cell_col: str = "__cell",
+) -> DataFrame:
+    """Numpy ``mapInPandas`` form of :func:`ivf_probe_cells` —
+    bit-exact probe sets (pytest-asserted): same rounded dots as
+    :func:`ivf_assign_cells_np`, then the top-``n_probe`` cells under
+    the expression path's comparator semantics (rounded sim descending
+    with primitive float comparison — ``x + 0.0`` collapses the ±0.0
+    pair exactly as ``a > b`` treats it — ties to the lower cell id),
+    exploded to one output row per probed cell."""
+    import math as _math
+
+    import numpy as np
+
+    from ..functions.npsig import round_half_up_np
+
+    def _normed(c: list[float]) -> list[float]:
+        n = _math.sqrt(sum(x * x for x in c)) or 1.0
+        return [x / n for x in c]
+
+    cn = np.array([_normed(c) for c in centroids], np.float64)
+    n_cells, dim = cn.shape
+    keep = min(n_probe, n_cells)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            n = len(V)
+            probes = np.empty((n, keep), np.int32)
+            step = max(1, (4 << 20) // max(1, n_cells * dim))
+            for s in range(0, n, step):
+                dots = (
+                    np.cumsum(V[s : s + step, None, :] * cn[None, :, :], axis=2)[
+                        :, :, -1
+                    ]
+                    + 0.0
+                )
+                sims = round_half_up_np(dots, CELL_SCORE_DECIMALS) + 0.0
+                # argsort(-sims) stable == sim desc, lower cell on ties
+                order = np.argsort(-sims, axis=1, kind="stable")
+                probes[s : s + step] = order[:, :keep]
+            rep = pdf.loc[pdf.index.repeat(keep)].reset_index(drop=True)
+            rep[cell_col] = probes.reshape(-1).astype(np.int32)
+            yield rep
+
+    schema = (
+        ",".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        + f",`{cell_col}` int"
+    )
+    return df.mapInPandas(kernel, schema=schema)
+
+
 def ivf_assign_cells_2level(
     df: DataFrame,
     vec_col: str,
@@ -655,14 +765,17 @@ def knn_join_ivf(
         n_cells = ivf_default_cells(right.count())
     n_probe = n_cells if n_probe is None else n_probe
     centroids = _ivf_centroids(right, vec_col, right_id, n_cells)
-    rv = ivf_assign_cells(
+    # r14: assignment/probe via the bit-exact numpy kernels (same
+    # rounded scores, same tie semantics — pytest-asserted); the
+    # rows×cells interpreted scoring was the dominant per-call cost.
+    rv = ivf_assign_cells_np(
         right.select(
             F.col(right_id), F.col(vec_col).cast("array<double>").alias("__rv")
         ),
         "__rv",
         centroids,
     )
-    lv = ivf_probe_cells(
+    lv = ivf_probe_cells_np(
         left.select(
             F.col(left_id), F.col(vec_col).cast("array<double>").alias("__lv")
         ),
@@ -670,7 +783,89 @@ def knn_join_ivf(
         centroids,
         n_probe,
     )
-    return knn_join_cells(lv, rv, k, left_id, right_id, exclude_self=exclude_self)
+    return knn_join_cells_cogrouped(
+        lv, rv, k, left_id, right_id, exclude_self=exclude_self
+    )
+
+
+def knn_join_cells_cogrouped(
+    lv: DataFrame,
+    rv: DataFrame,
+    k: int,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Cell-cogrouped variant of :func:`knn_join_cells`: instead of a
+    cell equi-join whose output carries BOTH 64-dim vectors on every
+    candidate row (candidates = probes × occupancy — at sf0.1 already
+    1M pairs ≈ 1 GB through any downstream operator), the two sides are
+    cogrouped on the cell key and each cell's pair scores are computed
+    in one numpy kernel — every vector crosses the boundary ONCE per
+    cell (nl + nr rows, not nl × nr), the §8 "move heavy bytes once"
+    shape. Scores replicate the interpreted fold BIT-FOR-BIT
+    (elementwise products + sequential cumsum, sqrt, same division —
+    pytest-asserted against :func:`knn_join_cells` output), so ranking
+    and the oracle hash are unchanged. Shuffles are identical to the
+    join form (both sides exchange on the bounded cell key; the
+    per-left top-k window shuffles (id, id, score) rows). Memory is
+    bounded by chunking the probe side so each products block stays
+    ~32 MB regardless of occupancy.
+
+    Used by :func:`knn_join_ivf` (assignments computed in-plan). The
+    persisted-index path (:func:`knn_join_indexed`) keeps the
+    equi-join form: its cell key is a parquet partition column and the
+    join is what lets dynamic partition pruning skip unprobed cell
+    directories — a cogroup would read every cell.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a_type = dict(zip(lv.schema.names, lv.schema))[left_id].dataType.simpleString()
+    b_type = dict(zip(rv.schema.names, rv.schema))[right_id].dataType.simpleString()
+    schema = f"`{left_id}` {a_type}, `{right_id}` {b_type}, score double"
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame({left_id: [], right_id: [], "score": []})
+        A = np.stack([np.asarray(v, np.float64) for v in left["__lv"]])
+        B = np.stack([np.asarray(v, np.float64) for v in right["__rv"]])
+        # norms: sequential fold of squares, exactly the hoisted-JVM
+        # sqrt(aggregate(...)) (squares are +0.0, so no zero-sign edge)
+        ln = np.sqrt(np.cumsum(A * A, axis=1)[:, -1] + 0.0)
+        rn = np.sqrt(np.cumsum(B * B, axis=1)[:, -1] + 0.0)
+        ids_a = left[left_id].to_numpy()
+        ids_b = right[right_id].to_numpy()
+        nl, d = A.shape
+        nr = len(B)
+        step = max(1, (4 << 20) // max(1, nr * d))  # ~32 MB f64 blocks
+        outs = []
+        for s in range(0, nl, step):
+            As = A[s : s + step]
+            # sequential cumsum over the dim axis == the interpreted
+            # left fold; trailing +0.0 mirrors the fold's 0.0 seed
+            dots = np.cumsum(As[:, None, :] * B[None, :, :], axis=2)[:, :, -1] + 0.0
+            score = dots / (ln[s : s + step, None] * rn[None, :])
+            ia = np.repeat(ids_a[s : s + step], nr)
+            ib = np.tile(ids_b, len(As))
+            sc = score.ravel()
+            if exclude_self:
+                keep = ia != ib
+                ia, ib, sc = ia[keep], ib[keep], sc[keep]
+            outs.append(pd.DataFrame({left_id: ia, right_id: ib, "score": sc}))
+        return pd.concat(outs, ignore_index=True)
+
+    scored = (
+        lv.groupBy("__cell")
+        .cogroup(rv.groupBy("__cell"))
+        .applyInPandas(score_cell, schema=schema)
+    )
+    w = Window.partitionBy(left_id).orderBy(F.desc("score"), F.asc(right_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def knn_join_cells(
@@ -700,19 +895,30 @@ def knn_join_cells(
     # broadcast_audit finding. Sort-merge on the bounded cell key is
     # the spill-safe shape; at small SF AQE's coalescing keeps the two
     # extra sorts cheap.
-    pairs = lv.join(rv.hint("merge"), "__cell")
-    if exclude_self:
-        pairs = pairs.filter(F.col(left_id) != F.col(right_id))
-    dot = F.aggregate(
-        F.zip_with("__lv", "__rv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    #
+    # r14: the vector norms are hoisted BELOW the join — one
+    # interpreted-HOF pass per input row instead of one per CANDIDATE
+    # (candidates = rows × n_probe × occupancy; the per-pair projection
+    # previously evaluated dot + BOTH norms, ~3× the lambda evals of
+    # the dot alone). Same expression over the same array → identical
+    # doubles → identical ranking; only the dot stays pair-side.
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    lvn = lv.withColumn("__ln", norm(F.col("__lv")))
+    rvn = rv.withColumn("__rn", norm(F.col("__rv")))
+    pairs = lvn.join(rvn.hint("merge"), "__cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col(left_id) != F.col(right_id))
+    # per-pair dot via the Arrow-batched sequential-fold kernel —
+    # bit-identical to the interpreted aggregate(zip_with(...)) fold it
+    # replaces (functions/npsig.py::seq_dot_np, pytest-asserted), at a
+    # fraction of the per-candidate CPU (guide §4.2).
+    from ..functions.npsig import seq_dot_vec
+
+    dot = seq_dot_vec(F.col("__lv"), F.col("__rv"))
     scored = pairs.withColumn(
-        "score", dot / (norm(F.col("__lv")) * norm(F.col("__rv")))
+        "score", dot / (F.col("__ln") * F.col("__rn"))
     ).select(left_id, right_id, "score")
     w = Window.partitionBy(left_id).orderBy(F.desc("score"), F.asc(right_id))
     return (
@@ -890,7 +1096,12 @@ def pq_topk(
     if codebooks is None:
         codebooks = pq_train(df, vec_col, id_col, dim=len(query), n_sub=n_sub, n_codes=n_codes)
     sub = len(codebooks[0][0])
-    encoded = pq_encode(df, vec_col, codebooks, score_digits=score_digits)
+    # production (unrounded) encode goes through the bit-exact numpy
+    # kernel; the pinned replay configs keep the expression path.
+    if score_digits is None:
+        encoded = pq_encode_frames_np(df, vec_col, codebooks)
+    else:
+        encoded = pq_encode(df, vec_col, codebooks, score_digits=score_digits)
     approx = F.lit(0.0)
     for s in range(len(codebooks)):
         qs = query[s * sub : (s + 1) * sub]
@@ -960,8 +1171,10 @@ def ivf_index_write(
     if n_cells is None:
         n_cells = ivf_default_cells(df.count())
     cents = _train_centroids(df, vec_col, id_col, n_cells, centroids)
+    # flat assignment via the bit-exact numpy kernel (r14): identical
+    # cells, vectorized rows×cells scoring (the dominant build term).
     assigner = {
-        "flat": ivf_assign_cells,
+        "flat": ivf_assign_cells_np,
         "2level": ivf_assign_cells_2level,
     }[assign]
     assigned = assigner(df, vec_col, cents, cell_col="cell")
@@ -1194,6 +1407,185 @@ def kmeans_assign(
     return _assigned(df)
 
 
+def _f64_order_key(x):
+    """Monotone int64 key replicating java.lang.Double.compare ordering
+    (including -0.0 < 0.0 and NaN greatest) so a numpy argmax picks the
+    same element as Catalyst's array_position(arr, array_max(arr))."""
+    import numpy as np
+
+    b = np.ascontiguousarray(x, np.float64).view(np.int64)
+    return np.where(b < 0, b ^ np.int64(0x7FFFFFFFFFFFFFFF), b)
+
+
+def _ivfpq_build_frames_np(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    n_sub: int,
+    n_codes: int,
+    dim: int,
+):
+    """Numpy fast path of :func:`_ivfpq_build` for the PRODUCTION
+    configuration (sample centroids, flat assignment, no replay
+    rounding pins): normalize + cell-assign + residual + PQ-encode run
+    as two ``mapInPandas`` kernels instead of interpreted HOF
+    expression trees. ~1.2 s of per-call driver-side py4j expression
+    construction disappears along with the per-element interpreted
+    math; at scale the rows×cells assignment — the dominant index-build
+    term — is vectorized (guide §4.2).
+
+    BIT-EXACT with the expression path (pytest-asserted at sf0.001 and
+    sf0.1): sequential-fold sums via cumsum, cell scores rounded with
+    the HALF_UP/shortest-repr replication (npsig.round_half_up_np),
+    argmax under the Double.compare total order (ties to the lowest
+    cell/code), residual = unit vector minus the RAW collected
+    centroid — each the same IEEE-754 ops in the same order as the
+    expressions they replace.
+    """
+    import math as _math
+
+    import numpy as np
+
+    from ..functions.npsig import round_half_up_np
+
+    # centroid pick: ids by md5 (same job as _ivf_centroids), vectors
+    # normalized driver-side with the same sequential ops as the
+    # in-plan transform.
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_cells)
+        .collect()
+    )
+
+    def _unit(v):
+        a = np.asarray(v, np.float64)
+        return a / _math.sqrt(float(np.cumsum(a * a)[-1] + 0.0))
+
+    cents = [[float(x) for x in _unit(r.v)] for r in rows]
+
+    def _normed(c):
+        n = _math.sqrt(sum(x * x for x in c)) or 1.0
+        return [x / n for x in c]
+
+    cn = np.array([_normed(c) for c in cents], np.float64)  # (cells, dim)
+    craw = np.array(cents, np.float64)
+
+    def kernel_assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1:] + 0.0)
+            VN = V / nrm
+            # rows×cells sequential-fold dots, chunked to ~32 MB blocks
+            n = len(VN)
+            cell = np.empty(n, np.int32)
+            step = max(1, (4 << 20) // max(1, len(cn) * dim))
+            for s in range(0, n, step):
+                dots = (
+                    np.cumsum(VN[s : s + step, None, :] * cn[None, :, :], axis=2)[
+                        :, :, -1
+                    ]
+                    + 0.0
+                )
+                sims = round_half_up_np(dots, CELL_SCORE_DECIMALS)
+                cell[s : s + step] = np.argmax(_f64_order_key(sims), axis=1)
+            res = VN - craw[cell]
+            out = pdf.copy()
+            out["__vn"] = list(VN)
+            out["__cell"] = cell.astype(np.int32)
+            out["__res"] = list(res)
+            yield out
+
+    schema1 = (
+        ",".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ",`__vn` array<double>,`__cell` int,`__res` array<double>"
+    )
+    r_df = df.mapInPandas(kernel_assign, schema=schema1)
+    books = pq_train(r_df, "__res", id_col, dim=dim, n_sub=n_sub, n_codes=n_codes)
+    sub = dim // n_sub
+    B = np.array(books, np.float64)  # (n_sub, n_codes, sub)
+    # the -||c||²/2 fold seed, with the SAME driver-python sequential
+    # sum pq_encode's norms_lit uses
+    seeds = np.array(
+        [
+            [float(sum(x * x for x in code)) / 2.0 for code in books[s]]
+            for s in range(n_sub)
+        ],
+        np.float64,
+    )
+
+    encoded = pq_encode_frames_np(r_df, "__res", books, drop_vec=True)
+    return encoded, cents, books
+
+
+def pq_encode_frames_np(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    code_col: str = "__pq",
+    drop_vec: bool = False,
+) -> DataFrame:
+    """Numpy ``mapInPandas`` form of :func:`pq_encode` for the
+    production (unrounded) configuration — bit-exact with the
+    expression path (pytest-asserted): per subspace, score = the
+    sequential fold seeded at -||c||²/2 (cumsum over a prepended seed
+    column), argmax under the Double.compare total order (ties to the
+    lowest code). Removes both the interpreted per-element scoring and
+    the per-call driver-side construction of the codebook literal
+    trees (guide §4.2)."""
+    import numpy as np
+
+    n_sub = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    B = np.array(codebooks, np.float64)
+    # the -||c||²/2 fold seed, with the SAME driver-python sequential
+    # sum pq_encode's norms_lit uses
+    seeds = np.array(
+        [
+            [float(sum(x * x for x in code)) / 2.0 for code in codebooks[s]]
+            for s in range(n_sub)
+        ],
+        np.float64,
+    )
+
+    def kernel_encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            R = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            n = len(R)
+            codes = np.empty((n, n_sub), np.int32)
+            for s in range(n_sub):
+                Rs = R[:, s * sub : (s + 1) * sub]
+                prods = Rs[:, None, :] * B[s][None, :, :]
+                full = np.concatenate(
+                    [
+                        np.broadcast_to(-seeds[s], (n, n_codes))[:, :, None],
+                        prods,
+                    ],
+                    axis=2,
+                )
+                scores = np.cumsum(full, axis=2)[:, :, -1]
+                codes[:, s] = np.argmax(_f64_order_key(scores), axis=1)
+            out = (pdf.drop(columns=[vec_col]) if drop_vec else pdf).copy()
+            out[code_col] = list(codes)
+            yield out
+
+    schema = (
+        ",".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if not (drop_vec and f.name == vec_col)
+        )
+        + f",`{code_col}` array<int>"
+    )
+    return df.mapInPandas(kernel_encode, schema=schema)
+
+
 def _ivfpq_build(
     df: DataFrame,
     vec_col: str,
@@ -1206,6 +1598,7 @@ def _ivfpq_build(
     assign: str = "flat",
     pq_round_digits: int | None = None,
     score_digits: int | None = None,
+    _force_exprs: bool = False,
 ):
     """Shared IVF-PQ build: L2-normalize, assign coarse cells, train
     residual codebooks, PQ-encode. Returns (encoded_df, centroids,
@@ -1218,7 +1611,24 @@ def _ivfpq_build(
     cosine ordering (||q̂−v̂||² = 2−2cos) — without it L2-ranked
     candidates drop cosine-top rows (measured recall 0.8 → 1.0 at
     full probe on the bench corpus).
+
+    The production configuration (sample centroids, flat assignment, no
+    replay rounding pins) routes through the bit-exact numpy kernels
+    (:func:`_ivfpq_build_frames_np`); the pinned replay configs keep
+    the expression path the oracle certificates were built against.
+    ``_force_exprs`` is the test hook that pins the expression path so
+    the equivalence suite can compare the two.
     """
+    if (
+        not _force_exprs
+        and centroid_method == "sample"
+        and assign == "flat"
+        and pq_round_digits is None
+        and score_digits is None
+    ):
+        return _ivfpq_build_frames_np(
+            df, vec_col, id_col, n_cells, n_sub, n_codes, dim
+        )
     v_raw = F.col(vec_col).cast("array<double>")
     nrm = F.sqrt(F.aggregate(v_raw, F.lit(0.0), lambda acc, x: acc + x * x))
     df_n = df.withColumn("__vn", F.transform(v_raw, lambda x: x / nrm))

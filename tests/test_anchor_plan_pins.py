@@ -244,10 +244,17 @@ def test_minhash_verify_joins_stay_sort_merge(bench_plans):
 
 
 def test_knn_probed_cell_join_stays_sort_merge(bench_plans):
-    # the cell-key equi-join's index side carries embedding arrays —
-    # merge-hinted; per-left top-k stays a partitioned window
+    # r14: candidate generation is the cell-COGROUPED numpy scorer
+    # (knn_join_cells_cogrouped) — both sides still exchange on the
+    # bounded cell key (never broadcast: the index side carries
+    # embedding arrays the estimator cannot size), pair scores are
+    # computed per cell so vectors cross the Arrow boundary once per
+    # cell instead of once per candidate, and the per-left top-k stays
+    # a partitioned window. A regression to a broadcast of either
+    # corpus-scaled side, or to a single-partition stage, fails here.
     plan = bench_plans["sim_knn_join_probed"]
-    assert "SortMergeJoin" in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
     assert "Window" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
 

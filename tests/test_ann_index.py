@@ -578,3 +578,154 @@ def test_ivf_ingest_soak_and_drift_trigger(spark, tmp_path):
     # honest deterministic pin is the RELATIVE drop (27% measured),
     # which is exactly what a re-train trigger thresholds on
     assert d_out < 0.8 * d_in, f"drift not surfaced: in={d_in:.3f} out={d_out:.3f}"
+
+
+def test_knn_join_cogrouped_matches_join_form(spark):
+    """knn_join_cells_cogrouped (the kNN-join form knn_join_ivf uses:
+    per-cell numpy pair scoring, vectors cross the Arrow boundary once
+    per cell) must be BIT-identical — ids AND score doubles — to the
+    cell equi-join + sequential-fold form it replaced, including the
+    exclude_self path."""
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_assign_cells,
+        ivf_probe_cells,
+        knn_join_cells,
+        knn_join_cells_cogrouped,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = _ivf_centroids(emb, "embedding", "vec_id", 8)
+    rv = ivf_assign_cells(
+        emb.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").cast("array<double>").alias("__rv"),
+        ),
+        "__rv",
+        cents,
+    )
+    lv = ivf_probe_cells(
+        emb.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").cast("array<double>").alias("__lv"),
+        ),
+        "__lv",
+        cents,
+        3,
+    )
+    for excl in (False, True):
+        a = (
+            knn_join_cells(lv, rv, 3, exclude_self=excl)
+            .toPandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        b = (
+            knn_join_cells_cogrouped(lv, rv, 3, exclude_self=excl)
+            .toPandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        assert a.equals(b), f"exclude_self={excl}"
+
+
+def test_ivfpq_numpy_build_matches_expressions(spark):
+    """The numpy IVF-PQ build kernels (_ivfpq_build_frames_np /
+    pq_encode_frames_np) must be BIT-identical to the expression path —
+    centroids, codebooks, and every cell/code/unit-vector value —
+    including the HALF_UP cell-score rounding and argmax tie
+    semantics. This is what keeps the ANN results unchanged through
+    the vectorized production path."""
+    import numpy as np
+
+    from dataframe_sql_spark.operators.similarity import (
+        _ivfpq_build,
+        pq_encode,
+        pq_encode_frames_np,
+        pq_train,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    e1, c1, b1 = _ivfpq_build(
+        emb, "embedding", "vec_id", 8, 4, 16, 64, _force_exprs=True
+    )
+    e2, c2, b2 = _ivfpq_build(emb, "embedding", "vec_id", 8, 4, 16, 64)
+    assert [list(map(float, c)) for c in c1] == [list(map(float, c)) for c in c2]
+    assert b1 == b2
+    p1 = e1.toPandas().sort_values("vec_id").reset_index(drop=True)
+    p2 = e2.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert list(p1.columns) == list(p2.columns)
+    for col in p1.columns:
+        if p1[col].dtype == object:
+            for x, y in zip(p1[col], p2[col]):
+                ax, ay = np.asarray(x), np.asarray(y)
+                assert ax.tobytes() == ay.tobytes(), col
+        else:
+            assert (p1[col].to_numpy() == p2[col].to_numpy()).all(), col
+
+    books = pq_train(emb, "embedding", "vec_id", dim=64, n_sub=4, n_codes=16)
+    a = (
+        pq_encode(emb, "embedding", books)
+        .select("vec_id", "__pq")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        pq_encode_frames_np(emb, "embedding", books)
+        .select("vec_id", "__pq")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (a["vec_id"] == b["vec_id"]).all()
+    for x, y in zip(a["__pq"], b["__pq"]):
+        assert (np.asarray(x) == np.asarray(y)).all()
+
+
+def test_ivf_assign_probe_numpy_match_expressions(spark):
+    """ivf_assign_cells_np / ivf_probe_cells_np must produce EXACTLY
+    the expression path's cell assignments and probe sets (same rounded
+    scores, same tie semantics) — these feed the oracle-replayed
+    probed-ANN entries, so any divergence is a correctness break."""
+    from pyspark.sql import functions as F
+
+    from dataframe_sql_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_assign_cells,
+        ivf_assign_cells_np,
+        ivf_probe_cells,
+        ivf_probe_cells_np,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = _ivf_centroids(emb, "v", "vec_id", 16)
+    a = {
+        r["vec_id"]: r["__cell"]
+        for r in ivf_assign_cells(emb, "v", cents).select("vec_id", "__cell").collect()
+    }
+    b = {
+        r["vec_id"]: r["__cell"]
+        for r in ivf_assign_cells_np(emb, "v", cents)
+        .select("vec_id", "__cell")
+        .collect()
+    }
+    assert a == b
+    pa = sorted(
+        (r["vec_id"], r["__cell"])
+        for r in ivf_probe_cells(emb, "v", cents, 4).select("vec_id", "__cell").collect()
+    )
+    pb = sorted(
+        (r["vec_id"], r["__cell"])
+        for r in ivf_probe_cells_np(emb, "v", cents, 4)
+        .select("vec_id", "__cell")
+        .collect()
+    )
+    assert pa == pb
