@@ -64,12 +64,24 @@ class SparkSqlEngine:
         """
         import warnings
 
-        from .sources.io import TESTDATA_TABLES, read_table
+        from .sources.io import (
+            FAN_OUT_TABLES,
+            TESTDATA_TABLES,
+            read_table,
+            scan_fan_out,
+        )
 
         errors: list[str] = []
         for name in tables or TESTDATA_TABLES:
             try:
-                self.register_temp_table(read_table(self.spark, sf_dir, name), name)
+                df = read_table(self.spark, sf_dir, name)
+                if name in FAN_OUT_TABLES:
+                    # r14: the corpus-axis tables' SQL pipelines do
+                    # their per-row CPU (k-gram md5, tokenize) in the
+                    # scan stage; a single-row-group file makes that
+                    # one task. Scale-adaptive, no-op at real scale.
+                    df = scan_fan_out(self.spark, df, f"{sf_dir}/{name}.parquet")
+                self.register_temp_table(df, name)
             except Exception as exc:  # noqa: BLE001 - isolate per-table failures
                 errors.append(f"{name}: {type(exc).__name__}: {exc}")
         if errors:

@@ -47,17 +47,22 @@ _QUERY_VEC_SQL = "[" + ", ".join("1.0" for _ in range(64)) + "]::DOUBLE[]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sources.io import read_table
+    from .sources.io import read_table, scan_fan_out
 
     engine_for(spark, sf_dir)
-    return read_table(spark, sf_dir, "documents")
+    df = read_table(spark, sf_dir, "documents")
+    # r14: scale-adaptive fan-out — the single-row-group testdata file
+    # scans as ONE task, serializing the featurization projections that
+    # precede the first exchange (guide §2.5; OPTIMIZATION_r14.md).
+    return scan_fan_out(spark, df, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sources.io import read_table
+    from .sources.io import read_table, scan_fan_out
 
     engine_for(spark, sf_dir)
-    return read_table(spark, sf_dir, "embeddings")
+    df = read_table(spark, sf_dir, "embeddings")
+    return scan_fan_out(spark, df, f"{sf_dir}/embeddings.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,12 +28,83 @@ TESTDATA_TABLES = [
 
 __all__ = [
     "TESTDATA_TABLES",
+    "FAN_OUT_TABLES",
     "read_table",
     "read_csv",
     "read_json",
+    "scan_fan_out",
     "write_parquet",
     "merge_upsert",
 ]
+
+
+# Corpus-axis tables whose pipelines do heavy per-row CPU work
+# (featurization, signature math, vector scoring) BEFORE their first
+# exchange. events is deliberately excluded: its consumers shuffle by
+# user_id immediately, so a post-read exchange is pure overhead
+# (measured r14: x_sessionize 0.20 s -> 0.54 s, ts_ewma 0.31 -> 0.52).
+FAN_OUT_TABLES = ("documents", "embeddings")
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-valued conf ("134217728b", "128MB", "1g")."""
+    import re
+
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    m = re.match(r"^(\d+)\s*([kmgt]?i?b?)$", raw)
+    if not m:
+        return default
+    mult = {
+        "": 1, "b": 1,
+        "k": 1024, "kb": 1024, "kib": 1024,
+        "m": 1024**2, "mb": 1024**2, "mib": 1024**2,
+        "g": 1024**3, "gb": 1024**3, "gib": 1024**3,
+        "t": 1024**4, "tb": 1024**4, "tib": 1024**4,
+    }[m.group(2)]
+    return int(m.group(1)) * mult
+
+
+def scan_fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive post-read fan-out (optimization guide §2.5,
+    "input skew": a small or unsplittable input produces fewer scan
+    tasks than the cluster has cores, so any CPU-heavy per-row work
+    before the first exchange runs near-serially).
+
+    The testdata tables are single-file single-row-group parquet —
+    every scan is ONE task, and at sf0.1 the tokenize/shingle/signature
+    projections of the dedup/text pipelines were measured running on 1
+    of 32 cores (txt_winnow_fingerprint 2.6 s -> 0.6 s from this change
+    alone). When the input's file bytes cannot fill the session's
+    default parallelism at maxPartitionBytes granularity — i.e. the
+    scan is guaranteed to under-parallelize — repartition (round-robin)
+    to defaultParallelism right after the read. The shuffled bytes are
+    bounded by cores x maxPartitionBytes for the triggering case and a
+    hard byte cap guards the cluster edge (a wide-but-under-split table
+    should widen splits, not pay a full-table shuffle).
+
+    At production scale (enough splits, or too many bytes) this is a
+    no-op — nothing here is tuned to local mode; the decision derives
+    from input size and session parallelism.
+    """
+    import os
+
+    try:
+        if os.path.isdir(path):
+            n_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            n_bytes = os.path.getsize(path)
+    except OSError:  # non-local / vanished path: leave the scan alone
+        return df
+    target = spark.sparkContext.defaultParallelism
+    mpb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024**2)
+    cap = _conf_bytes(spark, "spark.dataframe_sql_spark.fanOut.maxBytes", 4 * 1024**3)
+    if n_bytes // mpb >= target or n_bytes > cap:
+        return df
+    return df.repartition(target)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -276,22 +276,34 @@ def test_winnow_window_form_single_bounded_exchange(bench_plans):
     # the window formulation's design contract: ONE corpus exchange,
     # keyed on doc_id (the distinct's (doc_id, fp) requirement is
     # satisfied by the window's doc_id partitioning, so no second
-    # shuffle appears) — a regression adding an exchange would erase
-    # its advantage over the map-only twin
+    # shuffle appears) — a regression adding a KEYED exchange would
+    # erase its advantage over the map-only twin. The r14 adaptive
+    # scan fan-out (sources/io.py::scan_fan_out) may add one
+    # round-robin repartition of the RAW documents rows right after
+    # the scan — pre-explode bytes, and a no-op whenever the input
+    # scans at cluster parallelism — which this pin deliberately
+    # permits.
     plan = bench_plans["txt_winnow_fingerprint"]
-    assert plan.count("Exchange ") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
     keys = _exchange_keys(plan)
     assert len(keys) == 1 and "doc_id#" in keys[0], plan
     assert "Window" in plan, plan
 
 
 def test_winnow_maponly_form_has_zero_exchanges(bench_plans):
-    # the map-only twin exists PRECISELY to have no exchange at all —
-    # the formulation for when the corpus-wide shuffle, not CPU, is
-    # the bottleneck; any Exchange in this plan defeats its purpose
+    # the map-only twin exists PRECISELY to have no corpus-keyed
+    # exchange at all — the formulation for when the corpus-wide
+    # post-explode shuffle, not CPU, is the bottleneck. The adaptive
+    # scan fan-out's round-robin repartition of the raw rows is
+    # allowed (no-op at scale, pre-explode bytes locally); any KEYED
+    # or sorting exchange in this plan defeats its purpose.
     plan = bench_plans["txt_winnow_maponly"]
-    assert "Exchange" not in plan, plan
-    assert "Sort" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Sort " not in plan, plan
 
 
 def test_ivfpq_build_collects_are_bounded(spark, tmp_path):

@@ -175,3 +175,35 @@ def test_register_table_function_udtf(engine):
     for did, text in docs.items():
         words = text.split()
         assert [w for _, w in sorted(got[did])] == words
+
+
+def test_scan_fan_out_widens_small_single_file_scan(spark):
+    """r14 scale-adaptive fan-out: a small single-row-group parquet
+    scans as one task; scan_fan_out must widen it to the session's
+    default parallelism WITHOUT changing the rows, and must leave the
+    frame alone when the input is estimated to scan wide enough or is
+    too big to shuffle cheaply."""
+    from dataframe_sql_spark.sources.io import scan_fan_out
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = f"{sf_dir}/documents.parquet"
+    base = read_table(spark, sf_dir, "documents")
+    assert base.rdd.getNumPartitions() == 1  # the premise: 1-task scan
+
+    wide = scan_fan_out(spark, base, path)
+    assert (
+        wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+    # row-identical (the fan-out is pure layout, never semantics)
+    a = sorted(r.doc_id for r in base.select("doc_id").collect())
+    b = sorted(r.doc_id for r in wide.select("doc_id").collect())
+    assert a == b
+
+    # no-op when the byte cap says the shuffle would be too expensive
+    spark.conf.set("spark.dataframe_sql_spark.fanOut.maxBytes", "1")
+    try:
+        assert scan_fan_out(spark, base, path) is base
+    finally:
+        spark.conf.unset("spark.dataframe_sql_spark.fanOut.maxBytes")
+    # no-op on a path that cannot be stat'ed (remote / vanished)
+    assert scan_fan_out(spark, base, "/no/such/path.parquet") is base
