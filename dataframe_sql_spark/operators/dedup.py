@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .lineage import truncate_lineage
+
 __all__ = [
     "exact_dedup",
     "word_shingles",
@@ -449,6 +451,14 @@ def minhash_candidate_pairs(
         F.col(id_col),
         oph_signature_vec(F.col("__h"), num_hashes, value_bits).alias("__sig"),
     )
+    # r14: materialize the signature table once (truncate_lineage —
+    # guide §8's "decide with small rows": id + 64 longs per doc,
+    # ~0.5 KB/row vs the multi-KB text). The nondeterministic Arrow
+    # kernel defeats Catalyst's subtree canonicalization, so WITHOUT
+    # this cut every downstream branch re-runs tokenize→gram-hash→OPH
+    # from the raw scan (measured: 6 parquet scans / 2 ArrowEvalPython
+    # in the dd_minhash_pairs plan, 0 ReusedExchange).
+    sig = truncate_lineage(sig)
     banded = _banded(sig, id_col, num_hashes, bands, bucket_hash)
     buckets = (
         banded.groupBy("band", "bucket")
@@ -492,6 +502,12 @@ def ngram_jaccard_pairs(
         sh = hashed_shingle_frame(df, id_col, text_col, shingle_k, out_col="__sh")
     else:
         sh = shingle_frame(df, id_col, text_col, shingle_k)
+    # r14: materialize the shingle-set frame once — it feeds BOTH join
+    # sides below, and the lambda-bearing gram projection defeats
+    # subtree canonicalization, so without the cut the corpus is
+    # tokenized twice (guide §8: compute the fingerprint pass once,
+    # then attach decisions to it).
+    sh = truncate_lineage(sh)
     # merge hints: the shingle-set sides carry a per-doc array column,
     # which Catalyst's width estimator counts as ONE element
     # (ArrayType.defaultSize) — so a corpus-scaled multi-GB side can sit
@@ -942,6 +958,16 @@ def simhash_candidate_pairs(
                 )
             ).alias("p"),
         ).select("item", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
+        # r14: materialize the exploded key frame once. The intended
+        # one-Exchange + ReusedExchange self-join never planned once
+        # the signature moved to the nondeterministic Arrow kernel
+        # (nondeterministic expressions are never sameResult, so the
+        # two sides each re-ran featurize→sign→explode from the raw
+        # scan — 6 scans in the HEAD plan). The key frame is small
+        # fixed-width rows ((id, sim) struct + chunk + piece); after
+        # the cut both join sides and the bucket-cap window scan the
+        # same materialized RDD.
+        allk = truncate_lineage(allk)
         is_exact = F.expr(
             f"piece = (shiftright(item.sim, chunk * {width}) & {mask})"
         )
@@ -1294,7 +1320,12 @@ def prefix_filter_pairs(
     1000-executor job needs). Sort-merge rather than shuffle-hash
     because only SMJ is unconditionally spill-safe on the build side.
     """
-    sh = shingle_frame(df, id_col, text_col, shingle_k)
+    # r14: materialize the shingle frame once — it feeds the token
+    # stream (frequency + ranked branches) AND both verification sides,
+    # and lambda-bearing projections defeat subtree canonicalization:
+    # the un-cut plan re-ran the full tokenize+shingle featurization
+    # SIX times from the raw scan (plans/r14/dd_prefix_pairs_before).
+    sh = truncate_lineage(shingle_frame(df, id_col, text_col, shingle_k))
     toks = sh.select(
         F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("tok")
     )
@@ -1316,6 +1347,11 @@ def prefix_filter_pairs(
             )
         ).alias("p"),
     ).select(id_col, F.col("p.tok").alias("tok"))
+    # r14: materialize the prefix table before the self-join — the two
+    # sides otherwise each recompute the whole freq+rank+prefix subtree
+    # (two more shuffles and a collect_list groupBy EACH). (id, tok)
+    # rows only; both sides then scan the same RDD.
+    prefix = truncate_lineage(prefix)
     a = prefix.withColumnRenamed(id_col, "id_a")
     b = prefix.withColumnRenamed(id_col, "id_b")
     cand = (

