@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .lineage import truncate_lineage
 from .scalars import broadcast_attach
 
 __all__ = [
@@ -272,8 +273,6 @@ def dsir_weights(
     # tokenize→bigram→hash from the raw scan (guide §8: the two-pass
     # decide-then-attach shape should pay featurization once). Rows
     # are (id, bool, int) — far smaller than the text they derive from.
-    from .lineage import truncate_lineage
-
     feats = truncate_lineage(feats)
     counts = feats.groupBy("b").agg(
         F.count("*").alias("cr"),
@@ -330,12 +329,24 @@ def pmi_bigrams(
     100 TB.
     """
     bg = _bigram_frame(df, id_col, text_col)
-    c_xy = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
-    uni = doc_words(df, id_col, text_col).groupBy("word").agg(
-        F.count("*").alias("c")
+    # r14: aggregate FIRST, then materialize the vocab-sized count
+    # tables once (truncate_lineage) — c_xy feeds the join and the
+    # b_total scalar (sum of all bigram counts == bg.count()), and uni
+    # feeds u_total plus TWO broadcast joins; without the cuts each
+    # consumer re-ran the full tokenize/bigram featurization from the
+    # raw scan (lambda-bearing projections defeat subtree
+    # canonicalization). The corpus-scale bg stream itself is never
+    # materialized — only its Zipf-bounded aggregate.
+    c_xy = truncate_lineage(
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    )
+    uni = truncate_lineage(
+        doc_words(df, id_col, text_col).groupBy("word").agg(
+            F.count("*").alias("c")
+        )
     )
     totals = broadcast_attach(
-        bg.select(F.count("*").alias("b_total")),
+        c_xy.select(F.sum("c_xy").alias("b_total")),
         uni.select(F.sum("c").alias("u_total")),
     )
     out = (
@@ -388,10 +399,22 @@ def bigram_lm_scores(
     (broadcast after tail pruning at real scale — here unpruned since
     the oracle needs exact mass); per-doc mean shuffles on doc id.
     """
+    # r14: materialize the unigram count table once (truncate_lineage)
+    # — vocab-sized (Heaps-bounded), it feeds the v scalar AND the
+    # broadcast join, and without the cut each consumer re-ran a full
+    # tokenize pass from the raw scan (lambda-bearing projections
+    # defeat subtree canonicalization). The corpus-scale bigram stream
+    # itself is deliberately NOT materialized: its two consumers (c12
+    # aggregation, scoring join) each recompute it map-side — two
+    # embarrassingly-parallel passes beat serializing a stream wider
+    # than the corpus (measured: the bg cut regressed 0.98→1.33 s at
+    # sf0.1). Guide §8: only the SMALL decision tables get stored.
     bg = _bigram_frame(df, id_col, text_col)
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    uni = doc_words(df, id_col, text_col).groupBy("word").agg(
-        F.count("*").alias("c1")
+    uni = truncate_lineage(
+        doc_words(df, id_col, text_col).groupBy("word").agg(
+            F.count("*").alias("c1")
+        )
     )
     vocab = uni.select(F.count("*").alias("v"))
     # c12 joins via SMJ, not broadcast: the UNPRUNED bigram-count table
