@@ -1341,22 +1341,37 @@ def prefix_filter_pairs(
     ceil_t_sz = -F.floor((-F.lit(t_num) * F.col("sz")) / F.lit(t_den)).cast("int")
     prefix = per_doc.select(
         F.col(id_col),
+        F.col("sz"),
         F.explode(
             F.slice(
                 "ordered", 1, (F.col("sz") - ceil_t_sz + F.lit(1)).cast("int")
             )
         ).alias("p"),
-    ).select(id_col, F.col("p.tok").alias("tok"))
+    ).select(id_col, "sz", F.col("p.tok").alias("tok"))
     # r14: materialize the prefix table before the self-join — the two
     # sides otherwise each recompute the whole freq+rank+prefix subtree
-    # (two more shuffles and a collect_list groupBy EACH). (id, tok)
-    # rows only; both sides then scan the same RDD.
+    # (two more shuffles and a collect_list groupBy EACH). (id, sz,
+    # tok) rows only; both sides then scan the same RDD.
     prefix = truncate_lineage(prefix)
-    a = prefix.withColumnRenamed(id_col, "id_a")
-    b = prefix.withColumnRenamed(id_col, "id_b")
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok"
+    )
     cand = (
         a.join(b.hint("merge"), "tok")
         .filter(F.col("id_a") < F.col("id_b"))
+        # AllPairs length filter (Bayardo et al. §3): J(a,b) ≤
+        # min(|a|,|b|)/max(|a|,|b|), so any pair whose distinct-set
+        # sizes differ by more than t_den/t_num can never verify —
+        # prune it BEFORE the two corpus-side verification joins.
+        # Exact integer arithmetic; provably result-identical (only
+        # pairs that must fail `inter·t_den >= t_num·uni` are cut).
+        .filter(
+            F.lit(t_num) * F.greatest("sz_a", "sz_b")
+            <= F.lit(t_den) * F.least("sz_a", "sz_b")
+        )
         .select("id_a", "id_b")
         .distinct()
     )
