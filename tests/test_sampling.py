@@ -80,7 +80,11 @@ def test_split_is_map_side_only(engine):
     plan = hash_split(
         engine.spark.table("documents"), "doc_id", {"a": 0.5, "b": 0.5}
     )._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # no shuffle: pure scan+project
+    # no KEYED shuffle: the split itself is pure scan+project. The r14
+    # adaptive scan fan-out may insert one round-robin repartition of
+    # the raw scan (no-op at scale) — deliberately permitted.
+    assert "hashpartitioning" not in plan  # no shuffle from the split
+    assert "SinglePartition" not in plan
 
 
 def test_dataset_mix_hits_target_proportions(engine):
