@@ -290,7 +290,16 @@ def ivf_kmeans_centroids(
         train = df
     for _ in range(max(0, n_iters - 1)):
         upd = (
-            ivf_assign_cells(train, vec_col, cents, cell_col="__cell")
+            # r14: the numpy assignment kernel (bit-exact vs the
+            # interpreted ivf_assign_cells — pytest-asserted) also
+            # carries the training loop; the refinement passes were
+            # the last interpreted rows×cells scoring on the build
+            # path (guide §4.2)
+            # (input pruned to the vector column: mapInPandas ships
+            # every column it is handed — guide §4.1)
+            ivf_assign_cells_np(
+                train.select(F.col(vec_col)), vec_col, cents, cell_col="__cell"
+            )
             .select(
                 F.col("__cell"),
                 F.posexplode(F.col(vec_col).cast("array<double>")).alias(
@@ -1386,22 +1395,57 @@ def kmeans_assign(
     cluster_ids: list[int] = list(range(len(cents)))
 
     def _assigned(frame: DataFrame) -> DataFrame:
-        cents_lit = F.lit([[float(x) for x in c] for c in cents])
-        ids_lit = F.lit(cluster_ids)
-        d2 = F.transform(
-            cents_lit,
-            lambda c: F.aggregate(
-                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+        # r14 (guide §4.2): numpy mapInPandas kernel in place of the
+        # interpreted HOF projection, which evaluated the k·dim
+        # distance array TWICE per row (array_position + array_min are
+        # separate evaluations of the same transform(...) tree) with
+        # per-element lambda dispatch — the "interpreted-HOF ×
+        # scale-pinned-config" cost class. Bit-exact by construction:
+        # the expression's aggregate(zip_with(v, c, (a-b)²), 0.0, +)
+        # is a sequential left fold over dims, reproduced here as a
+        # float64 cumsum over axis 2 (same op order, each op IEEE
+        # double); np.argmin takes the FIRST minimum, exactly
+        # array_position(d2, array_min(d2)); cluster ids map through
+        # the same surviving-id list as element_at(ids_lit, pos).
+        import numpy as np
+
+        cn = np.array([[float(x) for x in c] for c in cents], np.float64)
+        ids = np.array(cluster_ids, np.int64)
+        dim = cn.shape[1]
+
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(
+                    [np.asarray(x, np.float64) for x in pdf[vec_col]]
+                )
+                n = len(V)
+                cl = np.empty(n, np.int64)
+                step = max(1, (4 << 20) // max(1, len(cn) * dim))
+                for s in range(0, n, step):
+                    diff = V[s : s + step, None, :] - cn[None, :, :]
+                    d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                    cl[s : s + step] = ids[np.argmin(d2, axis=1)]
+                out = pdf.copy()
+                out[out_col] = cl
+                yield out
+
+        schema = (
+            ",".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in frame.schema.fields
+            )
+            + f",`{out_col}` int"
         )
-        pos = F.array_position(d2, F.array_min(d2)).cast("int")
-        return frame.withColumn(out_col, F.element_at(ids_lit, pos))
+        return frame.mapInPandas(kernel, schema=schema)
 
     for it in range(n_iters - 1):
         upd = (
-            _assigned(df)
+            # the update pass needs only (cluster, vec): pruning the
+            # kernel's input to the vector column keeps every other
+            # column off the Arrow boundary (guide §4.1)
+            _assigned(df.select(F.col(vec_col)))
             .select(F.col(out_col), F.posexplode(v).alias("dim", "x"))
             .groupBy(out_col, "dim")
             .agg(F.round(F.avg("x"), round_digits).alias("m"))

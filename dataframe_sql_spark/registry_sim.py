@@ -714,7 +714,13 @@ def _emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import kmeans_assign
 
     return kmeans_assign(
-        _emb(spark, sf_dir), "vec_id", "embedding", k=8, n_iters=2
+        # pruned to the two used columns: mapInPandas ships every
+        # column it is handed across the Arrow boundary (guide §4.1)
+        _emb(spark, sf_dir).select("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+        k=8,
+        n_iters=2,
     ).select("vec_id", "cluster")
 
 
