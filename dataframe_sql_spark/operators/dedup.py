@@ -517,6 +517,12 @@ def ngram_jaccard_pairs(
     # join at 10× estimates). Sort-merge is the spill-safe shape and
     # the candidate table is already id-keyed, so the exchange is the
     # honest cost.
+    # r14 (guide §2.3): no array_union — every shingle frame emits a
+    # DISTINCT gram set, so |A∪B| = |A| + |B| − |A∩B| exactly
+    # (inclusion-exclusion; F.size is O(1) on the carried arrays).
+    # Same int/int division, bit-identical jaccard, half the per-pair
+    # array CPU of computing intersect AND union.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     j = (
         pairs.join(
             sh.withColumnRenamed(id_col, "id_a")
@@ -532,8 +538,7 @@ def ngram_jaccard_pairs(
         )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            inter / (F.size("sh_a") + F.size("sh_b") - inter),
         )
         .select("id_a", "id_b", "jaccard")
     )
@@ -572,8 +577,11 @@ def blocked_ngram_jaccard(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # r14 (guide §2.3): uni by inclusion-exclusion over the distinct
+    # gram sets instead of array_union — identical integers (the
+    # shingle arrays are distinct at build), half the per-pair CPU
     inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
-    uni = F.size(F.array_union(F.col("a.__sh"), F.col("b.__sh")))
+    uni = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
     return (
         a.join(b, cond)
         .select(
@@ -1378,26 +1386,16 @@ def prefix_filter_pairs(
         .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )
-    # r14 verification refinements (guide §2.3): (a) the join sides
-    # carry array_distinct(__sh) — the RAW shingle arrays repeat
-    # duplicated grams, so distinct-ifying MAP-SIDE before the
-    # exchange shrinks the shuffled array payload and the per-pair
-    # intersect cost (array_intersect dedups internally either way:
-    # |A∩B| is unchanged); (b) array_union is gone entirely — uni =
-    # sz_a + sz_b − inter by inclusion-exclusion over the distinct
-    # sets (sz IS the distinct-token count), bit-identical integers
-    # at half the per-pair array CPU. (A row-exploded count-based
-    # verification was measured and REJECTED: same underlying bytes
-    # exploded to one row per token cost +46% at sf0.1 — the set
-    # arrays are the compact transport.)
-    sh_a = sh.select(
-        F.col(id_col).alias("id_a"),
-        F.array_distinct(F.col("__sh")).alias("sh_a"),
-    )
-    sh_b = sh.select(
-        F.col(id_col).alias("id_b"),
-        F.array_distinct(F.col("__sh")).alias("sh_b"),
-    )
+    # r14 verification refinement (guide §2.3): array_union is gone —
+    # __sh is already a DISTINCT set (shingle_frame dedups at build),
+    # so uni = sz_a + sz_b − inter by inclusion-exclusion
+    # (sz IS the distinct-token count), bit-identical integers at half
+    # the per-pair array CPU. (A row-exploded count-based verification
+    # was measured and REJECTED: same underlying bytes exploded to one
+    # row per token cost +46% at sf0.1 — the set arrays are the
+    # compact transport.)
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
     uni = (F.col("sz_a") + F.col("sz_b") - inter).cast("bigint")
     return (

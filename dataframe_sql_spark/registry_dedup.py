@@ -219,7 +219,15 @@ _reg(
         "id_a",
         "id_b",
         F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("inter"),
-        F.size(F.array_union("sh_a", "sh_b")).cast("bigint").alias("uni"),
+        # r14: uni by inclusion-exclusion over the distinct shingle
+        # sets — identical integers to array_union at half the CPU
+        (
+            F.size("sh_a")
+            + F.size("sh_b")
+            - F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .cast("bigint")
+        .alias("uni"),
     ),
     f"WITH {_SH_CTE}, "
     r"ex AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh), "
