@@ -390,11 +390,19 @@ def sorted_neighborhood_pairs(
 
     Returns (id_a, id_b, pos_a, pos_b) with pos_a < pos_b.
     """
+    from .lineage import truncate_lineage
     from .rank import global_rank
 
     order = [(c, True) for c in sort_cols] + [(id_col, True)]
-    ranked = global_rank(df, order, out_col="__pos").select(
-        F.col(id_col), F.col("__pos")
+    # r14: materialize the (id, pos) rank table once — it feeds BOTH
+    # sides of the neighborhood join, and without the cut each side
+    # re-ran the whole two-pass rank (Exchange + Sort + Window each;
+    # plans/r14/x_sorted_neighborhood_before.txt). Two fixed-width
+    # columns per row — exactly the §8 "small decision table" shape.
+    ranked = truncate_lineage(
+        global_rank(df, order, out_col="__pos").select(
+            F.col(id_col), F.col("__pos")
+        )
     )
     probes = ranked.select(
         F.col(id_col).alias("id_a"),
