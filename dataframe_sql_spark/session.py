@@ -146,6 +146,22 @@ def get_spark(app_name: str = "dataframe_sql_spark") -> SparkSession:
         # sources.io.read_table convert to microsecond timestamps
         # JVM-side (no driver materialization).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The lineage-truncation operators (operators/lineage.py) eagerly
+        # localCheckpoint intermediate frames; their blocks are freed by
+        # the ContextCleaner only after a JVM GC collects the RDD object
+        # behind its weak reference. The default periodic-GC safety net
+        # (30 min) lets a session that builds many short-lived
+        # checkpointed frames (repeated queries, the bench, any
+        # long-running service) accumulate gigabytes of dead storage
+        # blocks: measured at sf0.1, bench keys running LATE in one
+        # session degraded 3-10x (sim_ann_ivfpq_build 1.5 -> 14.7 s)
+        # purely from this buildup. One forced GC a minute bounds the
+        # dead-block window at negligible cost; the same hygiene is the
+        # standard recommendation for iterative/streaming apps at any
+        # cluster size. Builder-time only: ContextCleaner reads it at
+        # SparkContext start, so tune_session cannot retrofit it onto a
+        # foreign session.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
