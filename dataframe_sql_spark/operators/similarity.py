@@ -1227,22 +1227,49 @@ def knn_join_indexed(
     import json
     import os
 
+    from .lineage import truncate_lineage
+
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = json.load(f)
-    idx = spark.read.parquet(path).select(
-        F.col(right_id),
-        F.col(vec_col).cast("array<double>").alias("__rv"),
-        F.col("cell").cast("int").alias("__cell"),
+    # r14: probe assignment via the numpy kernel (bit-exact probe sets,
+    # pytest-asserted vs ivf_probe_cells), materialized once — it feeds
+    # both the probed-cell listing and the scoring cogroup below.
+    lv = truncate_lineage(
+        ivf_probe_cells_np(
+            left.select(
+                F.col(left_id), F.col(vec_col).cast("array<double>").alias("__lv")
+            ),
+            "__lv",
+            centroids,
+            n_probe,
+        )
     )
-    lv = ivf_probe_cells(
-        left.select(
-            F.col(left_id), F.col(vec_col).cast("array<double>").alias("__lv")
-        ),
-        "__lv",
-        centroids,
-        n_probe,
+    # r14: STATIC partition pruning + cogrouped scoring, replacing the
+    # cell equi-join + per-candidate Arrow dot. The join form relied on
+    # runtime DPP to skip unprobed cell directories, but its scoring
+    # shipped BOTH vectors across the Python boundary on every
+    # candidate row (probes × occupancy — ~1 KB × |left|·occ·n_probe).
+    # The probed-cell set is bounded by the index's cell count (≤ the
+    # 4096 cap), so collecting it is a bounded driver materialization,
+    # and a literal IN filter prunes the same partitions at PLANNING
+    # time (PartitionFilters on the scan — stronger than DPP, no
+    # runtime subquery). Scoring then cogroups on the cell key: every
+    # vector crosses the Arrow boundary ONCE per cell (nl + nr rows,
+    # not nl × nr — guide §8 "move heavy bytes once"), through the
+    # kernel that replicates the expression fold bit-for-bit.
+    cells = sorted(
+        r["__cell"] for r in lv.select("__cell").distinct().collect()
     )
-    return knn_join_cells(lv, idx, k, left_id, right_id)
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([int(c) for c in cells]))
+        .select(
+            F.col(right_id),
+            F.col(vec_col).cast("array<double>").alias("__rv"),
+            F.col("cell").cast("int").alias("__cell"),
+        )
+    )
+    return knn_join_cells_cogrouped(lv, idx, k, left_id, right_id)
 
 
 def ivf_topk_indexed(
