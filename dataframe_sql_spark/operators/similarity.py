@@ -972,17 +972,34 @@ def pq_train(
 
     Returns ``codebooks[s][c] = centroid vector`` (len dim/n_sub).
     """
-    import numpy as np
-
     assert dim % n_sub == 0, "dim must divide evenly into n_sub subspaces"
-    sub = dim // n_sub
     rows = (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(F.md5(F.col(id_col).cast("string")))
         .limit(sample)
         .collect()
     )
+    import numpy as np
+
     X = np.array([r.v for r in rows])  # (n, dim)
+    return _pq_train_np(X, dim, n_sub, n_codes, iters, round_digits)
+
+
+def _pq_train_np(
+    X,
+    dim: int,
+    n_sub: int,
+    n_codes: int,
+    iters: int = 5,
+    round_digits: int | None = None,
+) -> list[list[list[float]]]:
+    """The numpy k-means loop behind :func:`pq_train`, factored out so
+    a caller that already holds the (md5-ordered) sample matrix can
+    train without a second Spark job. Bit-identical to training on the
+    collected sample: same init, same update order, same rounding."""
+    import numpy as np
+
+    sub = dim // n_sub
     books: list[list[list[float]]] = []
     for s in range(n_sub):
         Xs = X[:, s * sub : (s + 1) * sub]
@@ -1524,20 +1541,33 @@ def _ivfpq_build_frames_np(
     cell/code), residual = unit vector minus the RAW collected
     centroid — each the same IEEE-754 ops in the same order as the
     expressions they replace.
+
+    ONE corpus pass, ONE bounded collect (r14, guide §1.2/§4): the
+    md5-ordered TakeOrdered that used to run twice (n_cells rows for
+    centroids, then again through a full corpus assign pass for
+    pq_train's 2048-row sample) now runs once for max(sample, n_cells)
+    rows; the sample's residuals and the codebooks train driver-side
+    with the same numpy ops the kernel applies (per-row math — chunking
+    and batching cannot change any value), and assignment + PQ encode
+    fuse into a single mapInPandas crossing, so the corpus crosses the
+    Arrow boundary once instead of three times (assign for the train
+    sample, assign again, then encode).
     """
     import math as _math
 
     import numpy as np
 
-    from ..functions.npsig import round_half_up_np
-
-    # centroid pick: ids by md5 (same job as _ivf_centroids), vectors
-    # normalized driver-side with the same sequential ops as the
-    # in-plan transform.
+    # centroid pick + PQ train sample in ONE TakeOrdered job: the first
+    # n_cells rows of the md5 order are the centroids (same rows the
+    # separate limit(n_cells) collect returned), the first `sample`
+    # rows are pq_train's sample (same rows its collect over the
+    # assigned frame returned — the md5 order is on the id column,
+    # which the assign kernel carries through unchanged).
+    sample = 2048
     rows = (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(n_cells)
+        .limit(max(n_cells, sample))
         .collect()
     )
 
@@ -1545,7 +1575,7 @@ def _ivfpq_build_frames_np(
         a = np.asarray(v, np.float64)
         return a / _math.sqrt(float(np.cumsum(a * a)[-1] + 0.0))
 
-    cents = [[float(x) for x in _unit(r.v)] for r in rows]
+    cents = [[float(x) for x in _unit(r.v)] for r in rows[:n_cells]]
 
     def _normed(c):
         n = _math.sqrt(sum(x * x for x in c)) or 1.0
@@ -1554,39 +1584,37 @@ def _ivfpq_build_frames_np(
     cn = np.array([_normed(c) for c in cents], np.float64)  # (cells, dim)
     craw = np.array(cents, np.float64)
 
-    def kernel_assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
-            nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1:] + 0.0)
-            VN = V / nrm
-            # rows×cells sequential-fold dots, chunked to ~32 MB blocks
-            n = len(VN)
-            cell = np.empty(n, np.int32)
-            step = max(1, (4 << 20) // max(1, len(cn) * dim))
-            for s in range(0, n, step):
-                dots = (
-                    np.cumsum(VN[s : s + step, None, :] * cn[None, :, :], axis=2)[
-                        :, :, -1
-                    ]
-                    + 0.0
-                )
-                sims = round_half_up_np(dots, CELL_SCORE_DECIMALS)
-                cell[s : s + step] = np.argmax(_f64_order_key(sims), axis=1)
-            res = VN - craw[cell]
-            out = pdf.copy()
-            out["__vn"] = list(VN)
-            out["__cell"] = cell.astype(np.int32)
-            out["__res"] = list(res)
-            yield out
+    def _assign(V):
+        """normalize + cell-assign + residual for a (n, dim) matrix —
+        the shared per-row math of the executor kernel and the
+        driver-side training sample (row-independent, so identical
+        wherever it runs)."""
+        from ..functions.npsig import round_half_up_np
 
-    schema1 = (
-        ",".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
-        + ",`__vn` array<double>,`__cell` int,`__res` array<double>"
-    )
-    r_df = df.mapInPandas(kernel_assign, schema=schema1)
-    books = pq_train(r_df, "__res", id_col, dim=dim, n_sub=n_sub, n_codes=n_codes)
+        nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1:] + 0.0)
+        VN = V / nrm
+        # rows×cells sequential-fold dots, chunked to ~32 MB blocks
+        n = len(VN)
+        cell = np.empty(n, np.int32)
+        step = max(1, (4 << 20) // max(1, len(cn) * dim))
+        for s in range(0, n, step):
+            dots = (
+                np.cumsum(VN[s : s + step, None, :] * cn[None, :, :], axis=2)[
+                    :, :, -1
+                ]
+                + 0.0
+            )
+            sims = round_half_up_np(dots, CELL_SCORE_DECIMALS)
+            cell[s : s + step] = np.argmax(_f64_order_key(sims), axis=1)
+        res = VN - craw[cell]
+        return VN, cell, res
+
+    # codebooks train driver-side on the sample rows' residuals — the
+    # exact doubles the old corpus-pass collect returned (binary64
+    # survives the Arrow/py4j round trip; the kernel math is per-row).
+    Xs = np.stack([np.asarray(r.v, np.float64) for r in rows])
+    _, _, res_s = _assign(Xs)
+    books = _pq_train_np(res_s[:sample], dim, n_sub, n_codes)
     sub = dim // n_sub
     B = np.array(books, np.float64)  # (n_sub, n_codes, sub)
     # the -||c||²/2 fold seed, with the SAME driver-python sequential
@@ -1599,8 +1627,49 @@ def _ivfpq_build_frames_np(
         np.float64,
     )
 
-    encoded = pq_encode_frames_np(r_df, "__res", books, drop_vec=True)
+    def kernel_assign_encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            VN, cell, res = _assign(V)
+            codes = _pq_codes_np(res, B, seeds, n_sub, n_codes, sub)
+            out = pdf.copy()
+            out["__vn"] = list(VN)
+            out["__cell"] = cell.astype(np.int32)
+            out["__pq"] = list(codes)
+            yield out
+
+    schema = (
+        ",".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ",`__vn` array<double>,`__cell` int,`__pq` array<int>"
+    )
+    encoded = df.mapInPandas(kernel_assign_encode, schema=schema)
     return encoded, cents, books
+
+
+def _pq_codes_np(R, B, seeds, n_sub: int, n_codes: int, sub: int):
+    """PQ-encode a (n, dim) residual matrix against codebook tensor B
+    ((n_sub, n_codes, sub)) with fold seeds -||c||²/2 — the shared
+    per-row math of :func:`pq_encode_frames_np` and the fused build
+    kernel. Returns (n, n_sub) int32 codes."""
+    import numpy as np
+
+    n = len(R)
+    codes = np.empty((n, n_sub), np.int32)
+    for s in range(n_sub):
+        Rs = R[:, s * sub : (s + 1) * sub]
+        prods = Rs[:, None, :] * B[s][None, :, :]
+        full = np.concatenate(
+            [
+                np.broadcast_to(-seeds[s], (n, n_codes))[:, :, None],
+                prods,
+            ],
+            axis=2,
+        )
+        scores = np.cumsum(full, axis=2)[:, :, -1]
+        codes[:, s] = np.argmax(_f64_order_key(scores), axis=1)
+    return codes
 
 
 def pq_encode_frames_np(
@@ -1639,20 +1708,7 @@ def pq_encode_frames_np(
             if not len(pdf):
                 continue
             R = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
-            n = len(R)
-            codes = np.empty((n, n_sub), np.int32)
-            for s in range(n_sub):
-                Rs = R[:, s * sub : (s + 1) * sub]
-                prods = Rs[:, None, :] * B[s][None, :, :]
-                full = np.concatenate(
-                    [
-                        np.broadcast_to(-seeds[s], (n, n_codes))[:, :, None],
-                        prods,
-                    ],
-                    axis=2,
-                )
-                scores = np.cumsum(full, axis=2)[:, :, -1]
-                codes[:, s] = np.argmax(_f64_order_key(scores), axis=1)
+            codes = _pq_codes_np(R, B, seeds, n_sub, n_codes, sub)
             out = (pdf.drop(columns=[vec_col]) if drop_vec else pdf).copy()
             out[code_col] = list(codes)
             yield out
