@@ -480,9 +480,17 @@ def _a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from .functions.sketches import cms_estimate, cms_merge, cms_partials
+    from .operators.lineage import truncate_lineage
 
     docs = _docs(spark, sf_dir)
-    base = (
+    # r14: materialize the vocab-sized (source, word, n) table once —
+    # its three consumers (partials, exact counts, and the top-10
+    # probe's second reference) otherwise each re-run the corpus
+    # tokenize+count from the raw scan (3 parquet scans in the plan;
+    # TakeOrderedAndProject subtrees have no exchange for Catalyst to
+    # reuse). Same guide-§8 boundary as the LM/PMI count tables:
+    # only the Heaps-bounded aggregate is stored, never the stream.
+    base = truncate_lineage(
         docs.select(
             "source",
             F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
