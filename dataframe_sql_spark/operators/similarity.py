@@ -839,14 +839,28 @@ def knn_join_cells_cogrouped(
             return pd.DataFrame({left_id: [], right_id: [], "score": []})
         A = np.stack([np.asarray(v, np.float64) for v in left["__lv"]])
         B = np.stack([np.asarray(v, np.float64) for v in right["__rv"]])
+        ids_a = left[left_id].to_numpy()
+        ids_b = right[right_id].to_numpy()
+        # r14: pre-truncate to the k best per (left row, cell) INSIDE
+        # the kernel (guide §2.3, aggregate-before-shuffle): a candidate
+        # dropped here has ≥ k better candidates in its own cell under
+        # the window's exact total order (score desc, id_b asc), hence
+        # ≥ k better globally — the per-left top-k window downstream
+        # returns the identical rows from nl·n_probe·k inputs instead
+        # of the full nl×nr candidate stream. Order replication: right
+        # side sorted by id_b once, so within a row equal scores
+        # tie-break by column index; a stable argsort on ~okey (okey =
+        # the Double.compare-monotone int64 key; bitwise NOT reverses
+        # it without overflow) is exactly (score desc, id_b asc).
+        border = np.argsort(ids_b, kind="stable")
+        B, ids_b = B[border], ids_b[border]
         # norms: sequential fold of squares, exactly the hoisted-JVM
         # sqrt(aggregate(...)) (squares are +0.0, so no zero-sign edge)
         ln = np.sqrt(np.cumsum(A * A, axis=1)[:, -1] + 0.0)
         rn = np.sqrt(np.cumsum(B * B, axis=1)[:, -1] + 0.0)
-        ids_a = left[left_id].to_numpy()
-        ids_b = right[right_id].to_numpy()
         nl, d = A.shape
         nr = len(B)
+        kk = min(k, nr)
         step = max(1, (4 << 20) // max(1, nr * d))  # ~32 MB f64 blocks
         outs = []
         for s in range(0, nl, step):
@@ -855,9 +869,21 @@ def knn_join_cells_cogrouped(
             # left fold; trailing +0.0 mirrors the fold's 0.0 seed
             dots = np.cumsum(As[:, None, :] * B[None, :, :], axis=2)[:, :, -1] + 0.0
             score = dots / (ln[s : s + step, None] * rn[None, :])
-            ia = np.repeat(ids_a[s : s + step], nr)
-            ib = np.tile(ids_b, len(As))
-            sc = score.ravel()
+            okey = _f64_order_key(score)
+            if exclude_self:
+                # self rows sink below every real candidate and are
+                # dropped after selection (scores are finite, so
+                # int64 min never collides with a real key)
+                okey = np.where(
+                    ids_b[None, :] == ids_a[s : s + step, None],
+                    np.int64(-(2**63)),
+                    okey,
+                )
+            sel = np.argsort(~okey, axis=1, kind="stable")[:, :kk]
+            srows = np.arange(len(As))[:, None]
+            ia = np.repeat(ids_a[s : s + step], kk)
+            ib = ids_b[sel].ravel()
+            sc = score[srows, sel].ravel()
             if exclude_self:
                 keep = ia != ib
                 ia, ib, sc = ia[keep], ib[keep], sc[keep]
