@@ -405,6 +405,7 @@ def minhash_candidate_pairs(
     shingle_k: int = 3,
     max_bucket: int = 1000,
     feature_hash: str = "xx",
+    pre_shingled: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) from banded minhash.
 
@@ -433,8 +434,18 @@ def minhash_candidate_pairs(
     verbatim (the `dd_minhash_banded_verified` certificate); the OPH
     lane math, rotation fill, caps, and pair generation are the same
     production code either way.
+
+    ``pre_shingled`` (r14): an ALREADY-MATERIALIZED gram-hash frame
+    (``hashed_shingle_frame`` shape, ``__h`` column) shared with a
+    downstream verifier — when given, the tokenize+gram pass is
+    neither re-run nor re-materialized here, and the signature kernel
+    needs no lineage cut of its own (its parent is materialized and it
+    feeds a single consumer chain).
     """
-    if feature_hash == "md5":
+    if pre_shingled is not None:
+        assert feature_hash == "xx", "pre_shingled shares the xxhash64 path"
+        shingled, value_bits, bucket_hash = pre_shingled, 64, "xx"
+    elif feature_hash == "md5":
         shingled = md5_shingle_frame(df, id_col, text_col, shingle_k)
         value_bits, bucket_hash = 60, "md5"
     else:
@@ -451,14 +462,15 @@ def minhash_candidate_pairs(
         F.col(id_col),
         oph_signature_vec(F.col("__h"), num_hashes, value_bits).alias("__sig"),
     )
-    # r14: materialize the signature table once (truncate_lineage —
-    # guide §8's "decide with small rows": id + 64 longs per doc,
-    # ~0.5 KB/row vs the multi-KB text). The nondeterministic Arrow
-    # kernel defeats Catalyst's subtree canonicalization, so WITHOUT
-    # this cut every downstream branch re-runs tokenize→gram-hash→OPH
-    # from the raw scan (measured: 6 parquet scans / 2 ArrowEvalPython
-    # in the dd_minhash_pairs plan, 0 ReusedExchange).
-    sig = truncate_lineage(sig)
+    if pre_shingled is None:
+        # materialize the signature table once (truncate_lineage —
+        # guide §8's "decide with small rows": id + 64 longs per doc,
+        # ~0.5 KB/row vs the multi-KB text). The nondeterministic Arrow
+        # kernel defeats Catalyst's subtree canonicalization, so WITHOUT
+        # this cut every downstream branch re-runs tokenize→gram-hash→OPH
+        # from the raw scan (measured: 6 parquet scans / 2 ArrowEvalPython
+        # in the dd_minhash_pairs plan, 0 ReusedExchange).
+        sig = truncate_lineage(sig)
     banded = _banded(sig, id_col, num_hashes, bands, bucket_hash)
     buckets = (
         banded.groupBy("band", "bucket")
@@ -482,6 +494,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
     hashed: bool = False,
     feature_hash: str = "xx",
+    pre_shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate (id_a, id_b) pairs with exact shingle Jaccard.
 
@@ -496,18 +509,27 @@ def ngram_jaccard_pairs(
     default for LSH pipelines. Keep strings where bit-exact parity
     with a string-based oracle matters (``dd_minhash_verified``).
     """
-    if hashed and feature_hash == "md5":
-        sh = md5_shingle_frame(df, id_col, text_col, shingle_k, out_col="__sh")
-    elif hashed:
-        sh = hashed_shingle_frame(df, id_col, text_col, shingle_k, out_col="__sh")
+    if pre_shingled is not None:
+        # r14: a shared ALREADY-MATERIALIZED gram frame (e.g. the one
+        # the LSH candidate generator signed) — rename to the verify
+        # column, skip the second tokenize pass and its second cut.
+        assert hashed and feature_hash == "xx"
+        sh = pre_shingled.withColumnRenamed("__h", "__sh")
     else:
-        sh = shingle_frame(df, id_col, text_col, shingle_k)
-    # r14: materialize the shingle-set frame once — it feeds BOTH join
-    # sides below, and the lambda-bearing gram projection defeats
-    # subtree canonicalization, so without the cut the corpus is
-    # tokenized twice (guide §8: compute the fingerprint pass once,
-    # then attach decisions to it).
-    sh = truncate_lineage(sh)
+        if hashed and feature_hash == "md5":
+            sh = md5_shingle_frame(df, id_col, text_col, shingle_k, out_col="__sh")
+        elif hashed:
+            sh = hashed_shingle_frame(
+                df, id_col, text_col, shingle_k, out_col="__sh"
+            )
+        else:
+            sh = shingle_frame(df, id_col, text_col, shingle_k)
+        # r14: materialize the shingle-set frame once — it feeds BOTH
+        # join sides below, and the lambda-bearing gram projection
+        # defeats subtree canonicalization, so without the cut the
+        # corpus is tokenized twice (guide §8: compute the fingerprint
+        # pass once, then attach decisions to it).
+        sh = truncate_lineage(sh)
     # merge hints: the shingle-set sides carry a per-doc array column,
     # which Catalyst's width estimator counts as ONE element
     # (ArrayType.defaultSize) — so a corpus-scaled multi-GB side can sit

@@ -101,16 +101,33 @@ _reg(
 )
 
 
-_reg(
-    "dd_minhash_pairs",
-    lambda spark, sf_dir: ngram_jaccard_pairs(
-        _docs(spark, sf_dir),
-        minhash_candidate_pairs(_docs(spark, sf_dir), "doc_id", "text"),
+def _dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: ONE materialized gram-hash pass feeds both the OPH
+    signature path and the Jaccard verifier — the two stages used to
+    tokenize+gram-hash the corpus independently (two identical
+    truncate_lineage materializations of the same frame)."""
+    from .operators.dedup import hashed_shingle_frame
+    from .operators.lineage import truncate_lineage
+
+    docs = _docs(spark, sf_dir)
+    grams = truncate_lineage(hashed_shingle_frame(docs, "doc_id", "text", 3))
+    cands = minhash_candidate_pairs(
+        docs, "doc_id", "text", pre_shingled=grams
+    )
+    return ngram_jaccard_pairs(
+        docs,
+        cands,
         "doc_id",
         "text",
         threshold=0.5,
         hashed=True,
-    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")),
+        pre_shingled=grams,
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+_reg(
+    "dd_minhash_pairs",
+    _dd_minhash_pairs,
     None,
     "LSH candidate pairs verified by exact shingle Jaccard ≥ 0.5",
 )
