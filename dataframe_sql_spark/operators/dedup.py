@@ -1089,10 +1089,73 @@ def embedding_cosine_pairs(
     With ``block_col=None`` this is the exact quadratic join — only
     for small inputs or broadcast-side dimensions.
     """
+    from pyspark.sql.types import IntegralType
+
     sel = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")]
     if block_col:
         sel.append(F.col(block_col).alias("__blk"))
     base = df.select(*sel)
+    id_type = dict(zip(base.schema.names, base.schema))[id_col].dataType
+    if block_col and isinstance(id_type, IntegralType):
+        # r14 (guide §4.2/§8): per-block pairs through ONE numpy
+        # applyInPandas kernel instead of a self-join whose output
+        # carries BOTH dim-wide vectors on every candidate row and
+        # evaluates the interpreted cosine fold per pair (measured
+        # 11-12 s of the sf0.1 funnel wall; the kernel form is ~1 s).
+        # Vectors cross the Arrow boundary once per block (n rows, not
+        # n² pairs); scores replicate the fold BIT-FOR-BIT (elementwise
+        # products + sequential cumsum + trailing +0.0, sqrt, same
+        # division order — the knn_join_cells_cogrouped discipline,
+        # pytest-asserted there), and only pairs that pass the
+        # threshold leave the kernel. Integral ids only: the kernel
+        # orders pairs by numpy int comparison, identical to Spark's;
+        # other id types keep the join form below.
+        import numpy as np
+        import pandas as pd
+
+        def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            V = np.stack(
+                [np.asarray(v, np.float64) for v in pdf["__v"].to_numpy()[order]]
+            )
+            nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1] + 0.0)
+            d = V.shape[1]
+            step = max(1, (4 << 20) // max(1, n * d))
+            outs = []
+            for s in range(0, n, step):
+                Vs = V[s : s + step]
+                dots = (
+                    np.cumsum(Vs[:, None, :] * V[None, :, :], axis=2)[:, :, -1]
+                    + 0.0
+                )
+                cos = dots / (nrm[s : s + step, None] * nrm[None, :])
+                # upper triangle by id order: row (global r) pairs with
+                # every column c > r — id uniqueness makes sorted index
+                # order the id order
+                r_idx, c_idx = np.nonzero(
+                    (np.arange(n)[None, :] > (s + np.arange(len(Vs)))[:, None])
+                    & (cos >= threshold)
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[s + r_idx],
+                            "id_b": ids[c_idx],
+                            "cosine": cos[r_idx, c_idx],
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        t = id_type.simpleString()
+        return base.groupBy("__blk").applyInPandas(
+            block_pairs, schema=f"`id_a` {t}, `id_b` {t}, `cosine` double"
+        )
     # merge hint: the vector side's width is estimator-blind
     # (ArrayType.defaultSize counts one element), so a corpus-scaled
     # embedding side can slip under the broadcast threshold while being

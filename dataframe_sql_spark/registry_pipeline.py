@@ -197,38 +197,56 @@ def _pipe_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see SCALE.md). The funnel ordering is the cost-correct one —
     cheapest filter first, the quadratic-per-block semantic stage last
     when the corpus is smallest.
+
+    r14 (guide §8): each stage boundary is pinned as a MATERIALIZED
+    id set (doc_id only — the funnel's decisions are id sets; no stage
+    downstream of the text needs it re-derived). Without the cuts,
+    every internal consumer of a stage re-ran the whole upstream
+    funnel: the prefix stage's featurization tables each re-ran the
+    exact-dedup shuffle, and every k-means Lloyd collect re-ran the
+    ENTIRE prefix pipeline (measured: stage-3 standalone 22 s at
+    sf0.1, whole funnel 19-21 s; with the id-set cuts the funnel is
+    one exact shuffle + one prefix pipeline + one k-means, ~7 s).
+    Survivor text re-attaches with a semi-join against the bounded id
+    set — scan + broadcast, no repeated shuffle.
     """
     from .operators.dedup import (
         exact_dedup,
         embedding_cosine_pairs,
         prefix_filter_pairs,
     )
+    from .operators.lineage import truncate_lineage
     from .operators.similarity import kmeans_assign
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     emb = _emb(spark, sf_dir)
-    s1 = exact_dedup(docs, ["text"], "doc_id")
-    losers2 = (
+    ids1 = truncate_lineage(
+        exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+    )
+    s1 = docs.join(ids1, "doc_id", "left_semi")
+    losers2 = truncate_lineage(
         prefix_filter_pairs(s1, "doc_id", "text", t_num=7, t_den=10)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    s2 = s1.join(losers2, "doc_id", "left_anti")
-    emb2 = emb.join(s2.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    ids2 = ids1.join(losers2, "doc_id", "left_anti")
+    emb2 = emb.join(
+        ids2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
     clustered = kmeans_assign(emb2, "vec_id", "embedding", k=8, n_iters=2)
-    losers3 = (
+    losers3 = truncate_lineage(
         embedding_cosine_pairs(
             clustered, "vec_id", "embedding", "cluster", threshold=0.4
         )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    s3 = s2.join(losers3, "doc_id", "left_anti")
+    ids3 = ids2.join(losers3, "doc_id", "left_anti")
 
     c0 = docs.agg(F.count("*").cast("bigint").alias("c0"))
-    c1 = s1.agg(F.count("*").cast("bigint").alias("c1"))
-    c2 = s2.agg(F.count("*").cast("bigint").alias("c2"))
-    c3 = s3.agg(F.count("*").cast("bigint").alias("c3"))
+    c1 = ids1.agg(F.count("*").cast("bigint").alias("c1"))
+    c2 = ids2.agg(F.count("*").cast("bigint").alias("c2"))
+    c3 = ids3.agg(F.count("*").cast("bigint").alias("c3"))
     from .operators.scalars import broadcast_attach
 
     row = broadcast_attach(broadcast_attach(broadcast_attach(c0, c1), c2), c3)
