@@ -614,7 +614,11 @@ def ivf_topk(
     probe = sorted(
         range(len(centroids)), key=lambda i: (-_cos_py(query, centroids[i]), i)
     )[:n_probe]
-    assigned = ivf_assign_cells(df, vec_col, centroids)
+    # r14: assignment via the bit-exact numpy kernel (same cells,
+    # pytest-asserted vs ivf_assign_cells) — drops the rows×cells
+    # interpreted-HOF scoring and the per-call centroid-literal tree
+    # construction from the per-query path (guide §4.2).
+    assigned = ivf_assign_cells_np(df, vec_col, centroids)
     return (
         assigned.filter(F.col("__cell").isin(probe))
         .select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("score"))
