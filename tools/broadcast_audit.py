@@ -90,6 +90,14 @@ ADJUDICATED_OK = {
     "txt_char_entropy": "honest_thin",
     "txt_bm25": "honest_thin (doc-length table) + vocab_sublinear (DF)",
     "dd_simhash": "honest_thin (dupe-id set; 100x/2GiB zero-spill gate)",
+    # r14: the blocked-cosine numpy kernel made the loser side a plain
+    # distinct over the kernel output, so the audit now sees the same
+    # dupe-id-set anti-join broadcast dd_simhash has always carried
+    # (before, the id set hid behind the self-join's projection).
+    # Same adjudication: an 8-byte id per DUPLICATE is the thin
+    # decision set (guide §8); the alternative shuffles the corpus
+    # for a sort-merge anti join.
+    "dd_embedding": "honest_thin (dupe-id set, same class as dd_simhash)",
     "dd_bloom_cert": "bounded_keyspace (bloom bit positions)",
     "dd_simhash_probed": "bounded_keyspace (chunk x piece, <=1000 cap)",
     "dd_simhash_probed_verified": "bounded_keyspace (chunk x piece, <=1000 cap)",
