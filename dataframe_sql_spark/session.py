@@ -160,8 +160,13 @@ def get_spark(app_name: str = "dataframe_sql_spark") -> SparkSession:
         # standard recommendation for iterative/streaming apps at any
         # cluster size. Builder-time only: ContextCleaner reads it at
         # SparkContext start, so tune_session cannot retrofit it onto a
-        # foreign session.
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # foreign session. Env-overridable so the interval can be
+        # A/B-isolated (r15) and tuned per deployment without a code
+        # edit; the default stays the measured local/bench value.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
