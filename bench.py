@@ -129,6 +129,13 @@ PIPELINE_OPS = [
     # round-9 addition: DSIR importance weighting (domain-targeted
     # data selection — one bucket-bounded shuffle + doc-keyed sum)
     "x_dsir_weights",
+    # round-15 additions (r14 verdict item 7): the blocked-cosine
+    # embedding dedup pair optimized in r14 (2-5× claimed) sat outside
+    # both the bench and the rotated correctness window — adding the
+    # keys puts driver ground truth on them. Additive only: nothing
+    # removed or renamed.
+    "dd_embedding",
+    "dd_semantic",
 ]
 
 
@@ -652,6 +659,18 @@ def main() -> None:
                 "tpch_shapes": tpch,
                 "pipeline_ops_total": round(sum(pipeline.values()), 4),
                 "pipeline_ops": pipeline,
+                # parallelism stamp (r14 verdict item 3): the effective
+                # master / core count / shuffle partitions the run
+                # actually used, so the driver's scaling probe can
+                # verify $SPARK_GRAFT_CPUS was honored from the JSON
+                # line itself rather than inferring it from timings.
+                "cpus": int(
+                    os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+                ),
+                "master": spark.conf.get("spark.master", "?"),
+                "shuffle_partitions": spark.conf.get(
+                    "spark.sql.shuffle.partitions", "?"
+                ),
                 # environment stamp (r11 verdict item 8): load and
                 # page-cache state at bench start + end, so a
                 # driver-vs-builder timing disagreement can be
