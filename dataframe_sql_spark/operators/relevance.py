@@ -399,24 +399,32 @@ def bigram_lm_scores(
     (broadcast after tail pruning at real scale — here unpruned since
     the oracle needs exact mass); per-doc mean shuffles on doc id.
     """
-    # r14: materialize the unigram count table once (truncate_lineage)
-    # — vocab-sized (Heaps-bounded), it feeds the v scalar AND the
-    # broadcast join, and without the cut each consumer re-ran a full
-    # tokenize pass from the raw scan (lambda-bearing projections
-    # defeat subtree canonicalization). The corpus-scale bigram stream
-    # itself is deliberately NOT materialized: its two consumers (c12
-    # aggregation, scoring join) each recompute it map-side — two
-    # embarrassingly-parallel passes beat serializing a stream wider
-    # than the corpus (measured: the bg cut regressed 0.98→1.33 s at
-    # sf0.1). Guide §8: only the SMALL decision tables get stored.
+    # r15 (r14 verdict item 2: the r14 truncate_lineage cut on `uni`
+    # regressed the driver's cold-JVM bench +77% — the eager
+    # materialization job's fixed cost exceeded the corpus pass it
+    # saved at this scale). The unigram table has TWO consumers (the
+    # v vocab scalar and the per-bigram c1 join) and without sharing
+    # each re-ran a full tokenize pass; instead of materializing, the
+    # vocab count now rides ON the aggregate itself as a
+    # single-partition window over the vocab-sized (Heaps-bounded)
+    # post-agg rows — one unigram corpus pass, ZERO eager jobs, no
+    # checkpoint I/O. The window's single task touches only the
+    # aggregated vocab table (millions of short rows at 100 TB), not
+    # the corpus. The corpus-scale bigram stream stays unmaterialized:
+    # its two consumers (c12 aggregation, scoring join) each recompute
+    # it map-side — two embarrassingly-parallel passes beat
+    # serializing a stream wider than the corpus (measured r14: the bg
+    # cut regressed 0.98→1.33 s at sf0.1). Guide §8 + §1.2.
+    from pyspark.sql import Window
+
     bg = _bigram_frame(df, id_col, text_col)
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    uni = truncate_lineage(
-        doc_words(df, id_col, text_col).groupBy("word").agg(
-            F.count("*").alias("c1")
-        )
+    uni = (
+        doc_words(df, id_col, text_col)
+        .groupBy("word")
+        .agg(F.count("*").alias("c1"))
+        .withColumn("v", F.count(F.lit(1)).over(Window.partitionBy()))
     )
-    vocab = uni.select(F.count("*").alias("v"))
     # c12 joins via SMJ, not broadcast: the UNPRUNED bigram-count table
     # has near-corpus cardinality at build time (most bigram types are
     # rare) and its size estimate is post-explode-blind — the round-11
@@ -429,11 +437,8 @@ def bigram_lm_scores(
     # call. A production LM with tail pruning (min-count cap) should
     # flip c12 back to broadcast.
     scored = (
-        broadcast_attach(
-            bg.join(c12.hint("merge"), ["w1", "w2"])
-            .join(F.broadcast(uni.withColumnRenamed("word", "w1")), "w1"),
-            vocab,
-        )
+        bg.join(c12.hint("merge"), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("word", "w1")), "w1")
         .withColumn(
             "logp",
             F.log(
