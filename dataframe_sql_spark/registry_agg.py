@@ -482,7 +482,11 @@ def _a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sketches import cms_estimate, cms_merge, cms_partials
     from .operators.lineage import truncate_lineage
 
-    docs = _docs(spark, sf_dir)
+    # fan_out=False (r15): the one corpus pass lands in the
+    # materialized vocab table whose groupBy exchange parallelizes
+    # downstream; the fan-out exchange measured 1.3-1.6x slower at
+    # sf0.1 (interleaved A/B)
+    docs = _docs(spark, sf_dir, fan_out=False)
     # r14: materialize the vocab-sized (source, word, n) table once —
     # its three consumers (partials, exact counts, and the top-10
     # probe's second reference) otherwise each re-run the corpus

@@ -518,7 +518,11 @@ _reg(
     # two ops reproduces the md5 hex thresholds bit-identically.
     lambda spark, sf_dir: __import__(
         "dataframe_sql_spark.operators.sampling", fromlist=["temperature_mix"]
-    ).temperature_mix(_docs(spark, sf_dir), "doc_id", "lang", tau=0.5, seed=42)
+    ).temperature_mix(
+        # fan_out=False (r15): one groupBy(lang).count + map-side hash
+        # filter — the fan-out exchange is pure overhead (same class as
+        # x_dataset_mix, measured 1.58x at sf0.1)
+        _docs(spark, sf_dir, fan_out=False), "doc_id", "lang", tau=0.5, seed=42)
     .select("doc_id", "lang", "source"),
     "WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang), "
     "m AS (SELECT min(cnt) AS mn FROM c), "
@@ -541,7 +545,10 @@ _MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
 _reg(
     "x_dataset_mix",
     lambda spark, sf_dir: dataset_mix(
-        _docs(spark, sf_dir), "doc_id", "lang", _MIX_WEIGHTS, seed=42
+        # fan_out=False (r15): groupBy(source).count + map-side hash
+        # filter shuffle/aggregate immediately — fan-out measured 1.58x
+        # slower at sf0.1 (driver r14: 0.20->0.36 s)
+        _docs(spark, sf_dir, fan_out=False), "doc_id", "lang", _MIX_WEIGHTS, seed=42
     ).select("doc_id", "lang", "source"),
     # Oracle recomputes the feasible total T = min(count/weight), the
     # per-source acceptance fractions, and the same md5 hex-threshold

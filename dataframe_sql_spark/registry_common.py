@@ -46,7 +46,9 @@ _QUERY_VEC_SQL = "[" + ", ".join("1.0" for _ in range(64)) + "]::DOUBLE[]"
 # registration side effect (the SQL entries resolve views).
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(
+    spark: SparkSession, sf_dir: str, fan_out: bool = True
+) -> DataFrame:
     from .sources.io import read_table, scan_fan_out
 
     engine_for(spark, sf_dir)
@@ -54,15 +56,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14: scale-adaptive fan-out — the single-row-group testdata file
     # scans as ONE task, serializing the featurization projections that
     # precede the first exchange (guide §2.5; OPTIMIZATION_r14.md).
+    # r15 (verdict item 4): gated PER CONSUMER — entries that shuffle
+    # or aggregate immediately after the read (no heavy scan-stage
+    # kernel to feed) pass fan_out=False, because for them the
+    # round-robin exchange is pure overhead (driver-measured r14:
+    # x_dataset_mix 0.20→0.36 s, dd_decontaminate 0.79→1.03 s).
+    if not fan_out:
+        return df
     return scan_fan_out(spark, df, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sources.io import read_table, scan_fan_out
+    from .sources.io import read_table
 
     engine_for(spark, sf_dir)
-    df = read_table(spark, sf_dir, "embeddings")
-    return scan_fan_out(spark, df, f"{sf_dir}/embeddings.parquet")
+    # r15: no fan-out on embeddings — every measured consumer is HURT
+    # by the post-read exchange (the vector payload costs more to
+    # shuffle than the Arrow kernels save; see FAN_OUT_TABLES note in
+    # sources/io.py and OPTIMIZATION_r15.md).
+    return read_table(spark, sf_dir, "embeddings")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

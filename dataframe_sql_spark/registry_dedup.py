@@ -338,7 +338,13 @@ _reg(
     # signature per doc must suffice (banded minhash beats it on both
     # recall and cost when signatures can be wider; see SCALE.md).
     lambda spark, sf_dir: simhash_dedup(
-        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+        # fan_out=False (r15): probe_bits=0 has no materialized key
+        # frame — the (chunk, piece) groupBy is the first exchange and
+        # parallelizes everything downstream, so the fan-out exchange
+        # is pure overhead (interleaved sf0.1 A/B: 0.90->1.49 s). The
+        # probed entry keeps fan-out (its eager key-frame featurize
+        # job IS the scan stage; measured flat-to-helpful there).
+        _docs(spark, sf_dir, fan_out=False), "doc_id", "text", max_hamming=3
     ).select("doc_id", "lang", "source"),
     None,
     "simhash near-dup removal (64-bit, pigeonhole chunk blocking, "
@@ -682,7 +688,12 @@ def _dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the scan side streams, nothing corpus-sized shuffles."""
     from .operators.dedup import kgram_positions
 
-    docs = engine_for(spark, sf_dir).spark.table("documents")
+    # fan_out=False via _docs (r15): both gram streams shuffle (distinct
+    # / semi-join) right after the per-row hashing; fan-out measured
+    # flat-to-slower locally (0.95-1.01x) and the driver's r14 bench
+    # had it 0.79->1.03 s — the direct parquet relation also restores
+    # subtree canonicalization that the temp-view wrapper defeats
+    docs = _docs(spark, sf_dir, fan_out=False)
     bench = docs.filter("doc_id < 50")
     train = docs.filter("doc_id >= 50")
     bench_grams = kgram_positions(bench, "doc_id", "text", k=8).select("gh").distinct()

@@ -230,7 +230,11 @@ def _txt_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression)."""
     from .functions.bpe import bpe_token_count_col, learn_bpe
 
-    docs = _docs(spark, sf_dir)
+    # fan_out=False (r15): learn_bpe's word count parallelizes at its
+    # own shuffle, and the iterator-form encode UDF with the per-task
+    # cache is fast per row — the fan-out exchange measured 1.6-1.8x
+    # slower at sf0.1 (interleaved A/B)
+    docs = _docs(spark, sf_dir, fan_out=False)
     merges = learn_bpe(docs, "text", n_merges=50)
     return docs.select(
         "doc_id", bpe_token_count_col(F.col("text"), merges).alias("n_bpe_learned")
@@ -551,7 +555,13 @@ _reg(
 def _txt_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.relevance import bigram_lm_scores
 
-    return bigram_lm_scores(_docs(spark, sf_dir), "doc_id", "text")
+    # fan_out=False (r15): both corpus passes are tokenize->groupBy
+    # shapes whose own exchanges parallelize downstream work; the
+    # fan-out exchange measured 1.15-1.36x slower at sf0.1 (and the
+    # driver's r14 bench had flagged this key +77%)
+    return bigram_lm_scores(
+        _docs(spark, sf_dir, fan_out=False), "doc_id", "text"
+    )
 
 
 

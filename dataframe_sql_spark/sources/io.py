@@ -43,7 +43,18 @@ __all__ = [
 # exchange. events is deliberately excluded: its consumers shuffle by
 # user_id immediately, so a post-read exchange is pure overhead
 # (measured r14: x_sessionize 0.20 s -> 0.54 s, ts_ewma 0.31 -> 0.52).
-FAN_OUT_TABLES = ("documents", "embeddings")
+# r15 (verdict item 4): embeddings removed — with the r14 Arrow
+# kernels, every measured embeddings consumer is HURT by the fan-out
+# exchange (interleaved sf0.1 A/B, /tmp/fanout_ab2.jsonl: dd_semantic
+# 1.55→3.25 s, emb_kmeans 0.80→1.53, sim_ann_ivf 0.70→1.05, sim_ann_pq
+# 0.88→1.30, sim_topk 0.29→0.42, dd_embedding 0.78→1.32): the vector
+# payload costs more to shuffle than the vectorized kernels save.
+# documents stays: the win lives in the md5/explode-heavy SQL scans
+# (txt_winnow_fingerprint 3.17→1.03, txt_repetition 1.10→0.68,
+# txt_word_rarity 1.26→0.96, dd_substring_spans 1.61→1.28); fn entries
+# whose first exchange arrives immediately opt out per consumer via
+# `_docs(..., fan_out=False)` (registry_common).
+FAN_OUT_TABLES = ("documents",)
 
 
 def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
@@ -88,6 +99,10 @@ def scan_fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """
     import os
 
+    # kill-switch for A/B isolation and deployments where the input
+    # layout already guarantees scan parallelism (default on)
+    if os.environ.get("SPARK_GRAFT_FAN_OUT", "1") == "0":
+        return df
     try:
         if os.path.isdir(path):
             n_bytes = sum(
