@@ -443,7 +443,15 @@ def minhash_candidate_pairs(
     feeds a single consumer chain).
     """
     if pre_shingled is not None:
-        assert feature_hash == "xx", "pre_shingled shares the xxhash64 path"
+        # public-API argument contract: ValueError, not assert — under
+        # `python -O` an assert vanishes and a mismatched caller would
+        # silently bucket-hash 60-bit md5 grams with the 64-bit path
+        # (advisor note, r15)
+        if feature_hash != "xx":
+            raise ValueError(
+                "pre_shingled shares the xxhash64 path; got "
+                f"feature_hash={feature_hash!r}"
+            )
         shingled, value_bits, bucket_hash = pre_shingled, 64, "xx"
     elif feature_hash == "md5":
         shingled = md5_shingle_frame(df, id_col, text_col, shingle_k)
@@ -513,7 +521,12 @@ def ngram_jaccard_pairs(
         # r14: a shared ALREADY-MATERIALIZED gram frame (e.g. the one
         # the LSH candidate generator signed) — rename to the verify
         # column, skip the second tokenize pass and its second cut.
-        assert hashed and feature_hash == "xx"
+        # ValueError, not assert: survives `python -O` (advisor, r15)
+        if not (hashed and feature_hash == "xx"):
+            raise ValueError(
+                "pre_shingled requires hashed=True with the xxhash64 "
+                f"path; got hashed={hashed!r}, feature_hash={feature_hash!r}"
+            )
         sh = pre_shingled.withColumnRenamed("__h", "__sh")
     else:
         if hashed and feature_hash == "md5":
@@ -1088,13 +1101,29 @@ def embedding_cosine_pairs(
     the self-join shuffles on it, keeping the pair space per-block.
     With ``block_col=None`` this is the exact quadratic join — only
     for small inputs or broadcast-side dimensions.
+
+    Input invariants (r15, advisor note): rows with a null id, a null
+    block key, or an empty vector are EXCLUDED up front — the
+    self-join form never pairs them anyway (null comparisons are
+    filtered), and the explicit filter makes the numpy kernel path
+    (where a null group IS pairable and empty vectors crash
+    ``np.stack``) agree with it by construction. Vectors must share
+    one dimensionality; ragged inputs raise inside the kernel rather
+    than silently dropping (the join form nulls them out). Zero-norm
+    vectors yield NaN cosine, which PASSES the threshold on both
+    paths (Spark orders NaN greatest; the kernel keeps
+    ``~(cos < threshold)``).
     """
     from pyspark.sql.types import IntegralType
 
     sel = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")]
     if block_col:
         sel.append(F.col(block_col).alias("__blk"))
-    base = df.select(*sel)
+    base = df.select(*sel).filter(
+        F.col(id_col).isNotNull() & (F.size("__v") > 0)
+    )
+    if block_col:
+        base = base.filter(F.col("__blk").isNotNull())
     id_type = dict(zip(base.schema.names, base.schema))[id_col].dataType
     if block_col and isinstance(id_type, IntegralType):
         # r14 (guide §4.2/§8): per-block pairs through ONE numpy
@@ -1137,9 +1166,12 @@ def embedding_cosine_pairs(
                 # upper triangle by id order: row (global r) pairs with
                 # every column c > r — id uniqueness makes sorted index
                 # order the id order
+                # ~(cos < t), not (cos >= t): NaN (zero-norm vectors)
+                # must PASS, matching Spark's NaN-greatest ordering on
+                # the expression path (advisor note, r15)
                 r_idx, c_idx = np.nonzero(
                     (np.arange(n)[None, :] > (s + np.arange(len(Vs)))[:, None])
-                    & (cos >= threshold)
+                    & ~(cos < threshold)
                 )
                 outs.append(
                     pd.DataFrame(

@@ -51,6 +51,11 @@ __all__ = [
     "kmeans_assign",
 ]
 
+# PQ training sample size, shared by pq_train's default and the fused
+# numpy build (_ivfpq_build_frames_np) so the two paths can never
+# silently train on different samples (advisor note, r15).
+PQ_TRAIN_SAMPLE = 2048
+
 
 def cosine_col(vec: Column, query: list[float]) -> Column:
     """Cosine similarity of an array column against a constant query
@@ -979,7 +984,7 @@ def pq_train(
     dim: int,
     n_sub: int = 4,
     n_codes: int = 16,
-    sample: int = 2048,
+    sample: int = PQ_TRAIN_SAMPLE,
     iters: int = 5,
     round_digits: int | None = None,
 ) -> list[list[list[float]]]:
@@ -1593,7 +1598,7 @@ def _ivfpq_build_frames_np(
     # rows are pq_train's sample (same rows its collect over the
     # assigned frame returned — the md5 order is on the id column,
     # which the assign kernel carries through unchanged).
-    sample = 2048
+    sample = PQ_TRAIN_SAMPLE
     rows = (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(F.md5(F.col(id_col).cast("string")))
