@@ -570,3 +570,45 @@ def test_minhash_est_cert_within_tolerance(spark):
     rows = entrymod.queries()["dd_minhash_est_cert"](spark, SF_DIR).collect()
     assert len(rows) > 0
     assert all(r.within_tol for r in rows)
+
+
+def test_simhash_probed_window_rides_join_sort(spark):
+    """dd_simhash_probed's bucket-cap window must ride the candidate
+    self-join's own (chunk, piece) sort (r14 claim, r15 plan pin): the
+    materialized key frame feeds BOTH join sides, the cap is computed
+    by ONE Window whose Exchange+Sort directly satisfies the
+    sort-merge join's right-side requirement — no extra Sort between
+    the Window and the join, no re-featurization from the raw scan.
+    A broken sort-reuse shows up as a 5th Sort; a broken lineage cut
+    shows up as extra parquet scans."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    df = entrymod.queries()["dd_simhash_probed"](spark, SF_DIR)
+    plan = _formatted(df)
+    tree = plan.split("\n\n(", 1)[0]
+
+    import re
+
+    def n(op: str) -> int:
+        # match the bare operator (e.g. "Sort (13)", "Scan parquet
+        # (1)"), not prefixes of longer names ("SortMergeJoin")
+        return sum(
+            1
+            for line in tree.splitlines()
+            if re.match(rf"^[\s:+-]*{re.escape(op)}\s+\(\d+\)", line)
+        )
+
+    # one corpus parquet scan (the anti-join base); the key frame is a
+    # materialized RDD read twice (both self-join sides)
+    assert n("Scan parquet") == 1, tree
+    assert n("Scan ExistingRDD") == 2, tree
+    # exactly one bucket-cap Window
+    assert n("Window") == 1, tree
+    # sorts: anti-join left, join left (key frame), the window's sort
+    # (shared with the join's right side), anti-join right = 4 total;
+    # a 5th means the join re-sorted what the window already ordered
+    assert n("Sort") == 4, tree
+    # exchanges: anti-join left, join left, window/join right, the
+    # candidate distinct, and the final output exchange = 5
+    assert n("Exchange") == 5, tree
