@@ -158,7 +158,11 @@ _reg(
         "candidate volume is corpus-quadratic (interpreted-HOF cosines; "
         "8 cores for 2h+ at 100x) — the entry would hang, not just the "
         "oracle; algorithm certified through sf1/500k vectors, the "
-        "100-TB path is sim_knn_join_indexed/ivf_index_write"
+        "100-TB path is sim_knn_join_indexed/ivf_index_write. "
+        "OPTIMIZATION-FROZEN (r15 disposition): the construction IS the "
+        "certificate — rounded scores, expression-path cosines, fixed "
+        "cells — so changing it would re-mint the certificate, not "
+        "speed it up; optimization rounds should not re-examine it"
     ),
     scale_path=(
         "sim_knn_join_indexed / ivf_index_write (cells proportional to rows "
