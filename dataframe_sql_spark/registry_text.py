@@ -392,23 +392,42 @@ _reg_sql(
 
 
 
-_reg_sql(
+def _txt_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring (CCNet-style, integer-exact):
+    per-doc mean corpus frequency of its words + share of rare
+    (freq<=2) words. Both outputs are ratios of exact integer
+    aggregates, so the cross-engine hash matches bit-for-bit without
+    any float-sum ordering concerns.
+
+    r15: converted from the SQL form (identical expressions, oracle
+    unchanged) so the documents read can opt OUT of the scan fan-out —
+    the words stream shuffles at its own groupBy immediately, and the
+    fan-out exchange measured 1.44x slower in a clean single-key A/B
+    at sf0.1 (driver r14 concurred: 0.37->0.60 s)."""
+    words = _docs(spark, sf_dir, fan_out=False).select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("w"),
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    return words.join(freq, "w").groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        # BIGINT cast on freq_sum: DuckDB sum(BIGINT) widens to
+        # HUGEINT -> pandas float64 -> driver value-hash mismatch
+        # (q12 class)
+        F.sum("c").cast("bigint").alias("freq_sum"),
+        (F.sum("c").cast("double") / F.count("*")).alias("avg_word_freq"),
+        (
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("rare_ratio"),
+    )
+
+
+_reg(
     "txt_word_rarity",
-    # corpus-statistics quality scoring (CCNet-style, integer-exact):
-    # per-doc mean corpus frequency of its words + share of rare
-    # (freq<=2) words. Both outputs are ratios of exact integer
-    # aggregates, so the cross-engine hash matches bit-for-bit without
-    # any float-sum ordering concerns.
-    "with words as (select doc_id, "
-    "explode(split(trim(lower(text)), '\\\\s+')) as w from documents), "
-    "freq as (select w, count(*) as c from words group by w) "
-    # BIGINT cast on freq_sum: DuckDB sum(BIGINT) widens to HUGEINT ->
-    # pandas float64 -> driver value-hash mismatch (q12 class)
-    "select doc_id, count(*) as n_words, cast(sum(c) as bigint) as freq_sum, "
-    "cast(sum(c) as double) / count(*) as avg_word_freq, "
-    "cast(sum(case when c <= 2 then 1 else 0 end) as double) / count(*) "
-    "as rare_ratio "
-    "from words join freq using (w) group by doc_id",
+    _txt_word_rarity,
     r"WITH words AS (SELECT doc_id, "
     r"unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents), "
     r"freq AS (SELECT w, count(*) AS c FROM words GROUP BY w) "
