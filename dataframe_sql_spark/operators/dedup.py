@@ -1454,8 +1454,19 @@ def prefix_filter_pairs(
     toks = sh.select(
         F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
-    ranked = toks.join(freq.hint("merge"), "tok")
+    # r15 (guide §2.4): corpus frequency attached via a window count
+    # over the token partition instead of a separate aggregate pass +
+    # merge join — the join's SMJ sorted the token stream by tok anyway,
+    # so the window rides the same exchange+sort while the second
+    # explode pass over the shingle RDD and the vocab-count exchange
+    # disappear. Same bigint count, same (freq, tok) ordering struct —
+    # output bit-identical (verified at sf0.01/sf0.1; interleaved
+    # fresh-JVM A/B both orders: 2.93 → 2.76 s median at sf0.1).
+    from pyspark.sql import Window
+
+    ranked = toks.withColumn(
+        "freq", F.count("*").over(Window.partitionBy("tok"))
+    )
     per_doc = ranked.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("freq"), F.col("tok")))

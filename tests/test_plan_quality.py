@@ -111,20 +111,24 @@ def test_prefix_filter_pairs_never_broadcasts(engine):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("SortMergeJoin") >= 3, plan
 
-    # the frequency-rank join (now inside the materialized prefix
-    # subtree) must also stay sort-merge: rebuild the same shape the
-    # operator builds and check the hint wins over the tiny-SF
-    # broadcast estimate
+    # the token-frequency rank (inside the materialized prefix subtree)
+    # is a window count over the token partition since r15 — no join at
+    # all, so there is nothing the estimator could mis-broadcast there.
+    # Rebuild the same shape the operator builds and pin it: one Window
+    # over one token exchange, zero joins of any strategy.
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     sh = shingle_frame(engine.spark.table("documents"), "doc_id", "text", 3)
     toks = sh.select("doc_id", F.explode(F.array_distinct("__sh")).alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
-    ranked = toks.join(freq.hint("merge"), "tok")
+    ranked = toks.withColumn(
+        "freq", F.count("*").over(Window.partitionBy("tok"))
+    )
     rplan = ranked._sc._jvm.PythonSQLUtils.explainString(
         ranked._jdf.queryExecution(), "simple"
     )
-    assert "SortMergeJoin" in rplan and "BroadcastHashJoin" not in rplan, rplan
+    assert "Window" in rplan and "Join" not in rplan, rplan
+    assert rplan.count("Exchange hashpartitioning(tok") == 1, rplan
 
 
 def test_constant_folding(engine):
