@@ -369,6 +369,7 @@ def sorted_neighborhood_pairs(
     sort_cols: list[str],
     id_col: str,
     window: int = 3,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo 1995): rank all
     records by ``sort_cols`` and emit every pair within ``window``
@@ -388,7 +389,13 @@ def sorted_neighborhood_pairs(
     positions are unique (rank == row_number) and the neighborhood is
     deterministic.
 
-    Returns (id_a, id_b, pos_a, pos_b) with pos_a < pos_b.
+    Returns (id_a, id_b, pos_a, pos_b) with pos_a < pos_b; each column
+    ``c`` in ``carry_cols`` is carried through the rank table and comes
+    back as ``<c>_a`` / ``<c>_b`` — callers that verify pairs on an
+    attribute (e.g. edit distance on the sort key itself) get both
+    sides' values without re-joining the source table per side (r15:
+    two broadcast joins + one extra scan dropped from the
+    x_sorted_neighborhood plan).
     """
     from .lineage import truncate_lineage
     from .rank import global_rank
@@ -397,21 +404,35 @@ def sorted_neighborhood_pairs(
     # r14: materialize the (id, pos) rank table once — it feeds BOTH
     # sides of the neighborhood join, and without the cut each side
     # re-ran the whole two-pass rank (Exchange + Sort + Window each;
-    # plans/r14/x_sorted_neighborhood_before.txt). Two fixed-width
-    # columns per row — exactly the §8 "small decision table" shape.
+    # plans/r14/x_sorted_neighborhood_before.txt). Fixed-width id+pos
+    # plus the caller's carry columns — the §8 "small decision table".
     ranked = truncate_lineage(
         global_rank(df, order, out_col="__pos").select(
-            F.col(id_col), F.col("__pos")
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.col("__pos"),
         )
     )
     probes = ranked.select(
         F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry_cols],
         F.col("__pos").alias("pos_a"),
         F.explode(
             F.sequence(F.col("__pos") + 1, F.col("__pos") + window)
         ).alias("__nbr"),
     )
     return probes.join(
-        ranked.select(F.col(id_col).alias("id_b"), F.col("__pos").alias("__nbr")),
+        ranked.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in carry_cols],
+            F.col("__pos").alias("__nbr"),
+        ),
         "__nbr",
-    ).select("id_a", "id_b", "pos_a", F.col("__nbr").alias("pos_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        "pos_a",
+        F.col("__nbr").alias("pos_b"),
+        *[f"{c}_a" for c in carry_cols],
+        *[f"{c}_b" for c in carry_cols],
+    )

@@ -1046,22 +1046,20 @@ def _x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join.
     """
     cust = engine_for(spark, sf_dir).spark.table("customer")
-    pairs = sorted_neighborhood_pairs(cust, ["c_name"], "c_custkey", window=3)
-    names = cust.select("c_custkey", "c_name")
+    # r15: the verify attribute (c_name) rides THROUGH the rank table
+    # (carry_cols) instead of re-joining customer once per pair side —
+    # two broadcast joins and one extra customer scan gone from the
+    # plan; projecting the input to (id, name) also shrinks the rank
+    # checkpoint from all 8 customer columns to the two used.
+    pairs = sorted_neighborhood_pairs(
+        cust.select("c_custkey", "c_name"),
+        ["c_name"],
+        "c_custkey",
+        window=3,
+        carry_cols=("c_name",),
+    )
     return (
-        pairs.join(
-            names.select(
-                F.col("c_custkey").alias("id_a"), F.col("c_name").alias("n_a")
-            ),
-            "id_a",
-        )
-        .join(
-            names.select(
-                F.col("c_custkey").alias("id_b"), F.col("c_name").alias("n_b")
-            ),
-            "id_b",
-        )
-        .withColumn("distance", F.levenshtein("n_a", "n_b"))
+        pairs.withColumn("distance", F.levenshtein("c_name_a", "c_name_b"))
         .filter(F.col("distance") <= 2)
         .select("id_a", "id_b", F.col("distance").cast("bigint").alias("distance"))
         .orderBy("id_a", "id_b")
