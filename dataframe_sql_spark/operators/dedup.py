@@ -1475,6 +1475,19 @@ def prefix_filter_pairs(
     )
     # prefix length = sz - ceil(t*sz) + 1 ; ceil(a*b/c) = -floordiv(-a*b, c)
     ceil_t_sz = -F.floor((-F.lit(t_num) * F.col("sz")) / F.lit(t_den)).cast("int")
+    # r15 (guide §2.3 "shuffle keys, not payloads"): the candidate
+    # self-join keys on xxhash64 of the prefix token instead of the
+    # token string — fixed 8-byte shuffle keys through the prefix
+    # checkpoint and both join exchanges. Output PROVABLY identical,
+    # not just collision-unlikely: a hash collision can only ADD a
+    # candidate pair (two docs "sharing" a prefix key they don't share
+    # as strings), never remove one, and the verification below is the
+    # unchanged exact string-shingle arithmetic — a spurious candidate
+    # either fails `inter·t_den >= t_num·uni` or is a genuine J >= t
+    # pair, which by the prefix theorem already shares a REAL prefix
+    # token and was a candidate anyway. Completeness and the emitted
+    # integers are untouched. (Interleaved fresh-JVM A/B both orders:
+    # 2.75 → 2.59 s median at sf0.1.)
     prefix = per_doc.select(
         F.col(id_col),
         F.col("sz"),
@@ -1483,7 +1496,7 @@ def prefix_filter_pairs(
                 "ordered", 1, (F.col("sz") - ceil_t_sz + F.lit(1)).cast("int")
             )
         ).alias("p"),
-    ).select(id_col, "sz", F.col("p.tok").alias("tok"))
+    ).select(id_col, "sz", F.xxhash64(F.col("p.tok")).alias("tok"))
     # r14: materialize the prefix table before the self-join — the two
     # sides otherwise each recompute the whole freq+rank+prefix subtree
     # (two more shuffles and a collect_list groupBy EACH). (id, sz,
