@@ -1039,8 +1039,15 @@ def _dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_cosine_pairs
     from .operators.similarity import kmeans_assign
 
+    # r15: project to the two columns the pipeline reads before the
+    # assignment kernel — mapInPandas ships every input column across
+    # Arrow (guide §4.1), and `label` is dead weight here
     clustered = kmeans_assign(
-        _emb(spark, sf_dir), "vec_id", "embedding", k=8, n_iters=2
+        _emb(spark, sf_dir).select("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+        k=8,
+        n_iters=2,
     )
     pairs = embedding_cosine_pairs(
         clustered, "vec_id", "embedding", "cluster", threshold=0.4
