@@ -139,6 +139,32 @@ def test_sorted_neighborhood_pairs_window_semantics(spark):
     assert got == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
 
 
+def test_sorted_neighborhood_carry_cols_match_rejoin(spark):
+    """carry_cols (r15) must return exactly the values a per-side
+    re-join of the source would have attached — same pairs, same
+    carried attributes — since it exists to REPLACE those two joins."""
+    from dataframe_sql_spark.operators.joins import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aab"), (3, "aac"), (4, "zzz")], ["rid", "name"]
+    )
+    carried = {
+        (r.id_a, r.id_b): (r.pos_a, r.pos_b, r.name_a, r.name_b)
+        for r in sorted_neighborhood_pairs(
+            df, ["name"], "rid", window=2, carry_cols=("name",)
+        ).collect()
+    }
+    plain = {
+        (r.id_a, r.id_b): (r.pos_a, r.pos_b)
+        for r in sorted_neighborhood_pairs(df, ["name"], "rid", window=2).collect()
+    }
+    names = {r.rid: r.name for r in df.collect()}
+    assert set(carried) == set(plain)
+    for (a, b), (pa, pb, na, nb) in carried.items():
+        assert (pa, pb) == plain[(a, b)]
+        assert na == names[a] and nb == names[b]
+
+
 def test_sorted_neighborhood_candidate_volume_is_linear(spark):
     from dataframe_sql_spark.operators.joins import sorted_neighborhood_pairs
 
