@@ -404,7 +404,15 @@ _sql(
 def _w_rank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.rank import global_rank
 
-    li = engine_for(spark, sf_dir).spark.table("lineitem")
+    # r15 (guide §2.3): project BEFORE the rank — global_rank's range
+    # exchange and eager checkpoint materialize whatever columns they
+    # are given, and column pruning cannot reach back through an RDD
+    # boundary, so passing the full 16-column lineitem shuffled and
+    # checkpointed 4× the bytes the query emits. Rank values are a
+    # function of the order columns only — output identical.
+    li = engine_for(spark, sf_dir).spark.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
     return global_rank(li, [("l_quantity", False)], out_col="rnk").select(
         "l_orderkey", "l_linenumber", "l_quantity", "rnk"
     )
@@ -413,7 +421,9 @@ def _w_rank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _w_rank_multi_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.rank import global_rank
 
-    li = engine_for(spark, sf_dir).spark.table("lineitem")
+    li = engine_for(spark, sf_dir).spark.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
     return global_rank(
         li,
         [("l_quantity", False), ("l_extendedprice", True), ("l_orderkey", True)],
@@ -424,7 +434,9 @@ def _w_rank_multi_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _w_dense_rank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.rank import global_rank
 
-    li = engine_for(spark, sf_dir).spark.table("lineitem")
+    li = engine_for(spark, sf_dir).spark.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
     return global_rank(li, [("l_quantity", False)], dense=True, out_col="drnk").select(
         "l_orderkey", "l_linenumber", "drnk"
     )
